@@ -1,0 +1,79 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Reference parity: fletcher has no session concept (it is an eager,
+single-process library); this module is the port's equivalent of its
+implicit execution environment (Numba nogil threads + Dask partitions —
+see SURVEY.md §3).  On Spark the same knobs are: Arrow-accelerated
+Python interchange, adaptive query execution (runtime partition
+coalescing + skew-join handling), and a UTC session timezone so that
+timestamp semantics are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to *any* session we are handed (the
+#: driver may construct its own SparkSession; these are safe to set
+#: post-hoc and make query results deterministic and Arrow-fast).
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # The events table stores timestamp[ns]; Spark's reader rejects NANOS
+    # unless they are surfaced as raw longs (converted in io.load_tables).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply deterministic/performance confs that are legal at runtime."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment; keep going
+    return spark
+
+
+def get_spark(
+    app_name: str = "fletcher-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for columnar analytics.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no cluster is configured — mirroring the test harness.  On a real
+    cluster the caller passes nothing and spark-submit decides.
+    """
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+
+    builder = (
+        builder
+        # Arrow batches across the Python boundary (pandas_udf, toPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # AQE: runtime shuffle-partition coalescing, skew-join splitting.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Deterministic timestamp semantics (match DuckDB's naive-UTC).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Local-mode default; on a cluster AQE coalesces from here.
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))),
+        )
+    )
+    spark = builder.getOrCreate()
+    return apply_runtime_confs(spark)
