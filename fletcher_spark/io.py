@@ -104,8 +104,13 @@ class Tables:
             if name == "events":
                 from pyspark.sql import functions as F
 
-                df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                # µs is the common precision: DuckDB's parquet reader
+                # truncates ns→µs, so all cross-engine comparisons use
+                # ts_us (== DuckDB epoch_us(ts)).  Raw nanos kept as ts_ns.
+                df = (
+                    df.withColumn("ts_ns", F.col("ts"))
+                    .withColumn("ts_us", F.expr("ts div 1000"))
+                    .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
                 )
             self._cache[name] = df
         return self._cache[name]

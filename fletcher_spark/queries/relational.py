@@ -1,1 +1,380 @@
-"""(populated in later milestones)"""
+"""Relational-layer queries: joins, windows, set ops, grouping sets,
+as-of join, sessionization (SURVEY.md §2.8 — host-provided in the
+reference, native Catalyst here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fletcher_spark.io import load_tables
+from fletcher_spark.operators import relational as R
+from fletcher_spark.queries.registry import query
+
+
+@query(
+    "join_semi_exists",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+ORDER BY c_custkey
+""",
+)
+def join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS).  The orders side is filtered before the
+    join, so at scale the semi-join probe side is small and broadcast."""
+    t = load_tables(spark, sf_dir)
+    big_orders = t["orders"].filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return (
+        R.semi_join(t["customer"], big_orders, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_anti_not_exists",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+ORDER BY c_custkey
+""",
+)
+def join_anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    t = load_tables(spark, sf_dir)
+    big_orders = t["orders"].filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return (
+        R.anti_join(t["customer"], big_orders, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+SELECT * FROM (
+  SELECT
+    o_custkey,
+    o_orderkey,
+    o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+    dense_rank() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS drk
+  FROM orders
+) WHERE rn <= 3
+ORDER BY o_custkey, rn
+""",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number window — shuffle on the group key
+    only; the reference's argsort+head has no distributed analog."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        t["orders"]
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("drk", F.dense_rank().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "drk")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+SELECT
+  o_custkey,
+  o_orderkey,
+  round(sum(o_totalprice) OVER (
+    PARTITION BY o_custkey
+    ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend
+FROM orders
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative aggregate over an explicit ROWS frame (reference
+    analog: fletcher fillna/cumulative patterns via pandas)."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t["orders"]
+        .withColumn("running_spend", F.round(F.sum("o_totalprice").over(w), 4))
+        .select("o_custkey", "o_orderkey", "running_spend")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+SELECT
+  event_id,
+  user_id,
+  round(value - lag(value)  OVER w, 4) AS delta_prev,
+  round(lead(value) OVER w - value, 4) AS delta_next
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+ORDER BY event_id
+""",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over event time.  Ordering key is exact integer
+    microseconds (ts_us) so both engines sort identically."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
+    return (
+        t["events"]
+        .withColumn("delta_prev", F.round(F.col("value") - F.lag("value").over(w), 4))
+        .withColumn("delta_next", F.round(F.lead("value").over(w) - F.col("value"), 4))
+        .select("event_id", "user_id", "delta_prev", "delta_next")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "rollup_flag_status",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  round(sum(l_quantity), 4) AS sum_qty,
+  count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+)
+def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (free in Spark; absent in the reference)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+@query(
+    "cube_status_priority",
+    oracle="""
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  round(sum(o_totalprice), 4) AS sum_price,
+  count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_custkey
+""",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — customers holding both open and finished
+    orders."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .intersect(o.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "setop_except",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_custkey
+""",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct)."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .subtract(o.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "union_all_concat",
+    oracle="""
+SELECT o_orderkey, 'big' AS tag FROM orders WHERE o_totalprice > 450000
+UNION ALL
+SELECT o_orderkey, 'urgent' AS tag FROM orders WHERE o_orderpriority = '1-URGENT'
+ORDER BY o_orderkey, tag
+""",
+)
+def union_all_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL — the distributed analog of fletcher's
+    ``_concat_same_type`` (/root/reference/fletcher/base.py:930-943,
+    1309-1326): concatenation is a metadata operation on partition sets.
+    """
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    big = o.filter(F.col("o_totalprice") > 450000).select(
+        "o_orderkey", F.lit("big").alias("tag")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("urgent").alias("tag")
+    )
+    return big.unionByName(urgent).orderBy("o_orderkey", "tag")
+
+
+@query(
+    "asof_join_last_click",
+    oracle="""
+SELECT
+  e1.event_id,
+  e1.user_id,
+  epoch_us(e1.ts) AS ts_us,
+  (SELECT max(epoch_us(e2.ts)) FROM events e2
+   WHERE e2.user_id = e1.user_id
+     AND e2.event_type = 'click'
+     AND e2.ts <= e1.ts) AS last_click_us
+FROM events e1
+WHERE e1.event_type = 'purchase'
+ORDER BY e1.event_id
+""",
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attach the most recent preceding click to each
+    purchase.  Union+window implementation (one shuffle on user_id) —
+    the oracle's correlated subquery is the O(n²) spec, not the plan."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", F.col("ts_us").alias("click_ts_us")
+    )
+    out = R.asof_join(
+        purchases, clicks, ts="ts_us", by="user_id", right_cols={"click_ts_us": "last_click_us"}
+    )
+    return out.select("event_id", "user_id", "ts_us", "last_click_us").orderBy("event_id")
+
+
+@query(
+    "range_join_follows",
+    oracle="""
+SELECT e1.event_type AS lead_type, count(*) AS n_follow
+FROM events e1
+JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND epoch_us(e2.ts) > epoch_us(e1.ts)
+ AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 300000000
+GROUP BY e1.event_type
+ORDER BY e1.event_type
+""",
+)
+def range_join_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events followed by another event of the same user
+    within 5 minutes.  Equi-join on user_id keeps it a hash join with a
+    residual range predicate — never a cross product."""
+    t = load_tables(spark, sf_dir)
+    e1 = t["events"].select(
+        F.col("user_id"), F.col("ts_us").alias("t1"), F.col("event_type").alias("lead_type")
+    )
+    e2 = t["events"].select(F.col("user_id"), F.col("ts_us").alias("t2"))
+    five_min_us = 300 * 1_000_000
+    return (
+        e1.join(e2, "user_id")
+        .filter((F.col("t2") > F.col("t1")) & (F.col("t2") <= F.col("t1") + five_min_us))
+        .groupBy("lead_type")
+        .agg(F.count(F.lit(1)).alias("n_follow"))
+        .orderBy("lead_type")
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+WITH flags AS (
+  SELECT
+    event_id,
+    user_id,
+    epoch_us(ts) AS tns,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT
+  event_id,
+  user_id,
+  sum(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+FROM flags
+ORDER BY event_id
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute gap) on exact microsecond
+    timestamps; batch analog of a session window."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_id", "user_id", "ts_us")
+    gap_us = 1800 * 1_000_000
+    w_lag = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
+    w_cum = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts_us").over(w_lag)
+    new_s = F.when(prev.isNull() | ((F.col("ts_us") - prev) > gap_us), 1).otherwise(0)
+    return (
+        ev.withColumn("session_id", F.sum(new_s).over(w_cum))
+        .select("event_id", "user_id", "session_id")
+        .orderBy("event_id")
+    )
