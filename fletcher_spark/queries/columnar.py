@@ -1,1 +1,447 @@
-"""(populated in later milestones)"""
+"""Columnar compute surface queries (SURVEY.md §2.2–2.5): reductions,
+element-wise arithmetic/comparison with SQL null propagation, Kleene
+three-valued logic, fillna/ffill/bfill, casts, selection, encoding.
+
+This is the reference's core capability set (fletcher's buffer kernels)
+expressed as Catalyst expressions — every one stays inside whole-stage
+codegen; nothing below crosses into Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fletcher_spark.io import load_tables
+from fletcher_spark.operators import core as C
+from fletcher_spark.operators import encoding as E
+from fletcher_spark.queries.registry import query
+
+
+@query(
+    "reductions_numeric",
+    oracle="""
+WITH s AS (SELECT avg(l_quantity) AS mu FROM lineitem),
+m AS (
+  SELECT
+    avg(pow(l_quantity - mu, 2)) AS m2,
+    avg(pow(l_quantity - mu, 3)) AS m3,
+    avg(pow(l_quantity - mu, 4)) AS m4
+  FROM lineitem, s
+),
+a AS (
+  SELECT
+    round(sum(l_quantity), 4)          AS sum_qty,
+    round(min(l_quantity), 4)          AS min_qty,
+    round(max(l_quantity), 4)          AS max_qty,
+    round(avg(l_quantity), 4)          AS mean_qty,
+    round(stddev_samp(l_quantity), 4)  AS std_qty,
+    round(var_samp(l_quantity), 4)     AS var_qty,
+    round(median(l_quantity), 4)       AS median_qty,
+    count(*)                           AS n,
+    count(DISTINCT l_suppkey)          AS n_supp
+  FROM lineitem
+)
+SELECT
+  a.*,
+  round(m3 / pow(m2, 1.5), 4)     AS skew_qty,
+  round(m4 / pow(m2, 2) - 3, 4)   AS kurt_qty
+FROM a, m
+""",
+)
+def reductions_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full `_reduce` map (sum/min/max/mean/std/var/median/skew/kurt
+    — /root/reference/fletcher/base.py:470-523) in ONE partial+final
+    hash aggregate.  Spark's skewness/kurtosis are population-moment
+    formulas; the oracle derives the same from raw moments."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    q = F.col("l_quantity")
+    return li.agg(
+        F.round(F.sum(q), 4).alias("sum_qty"),
+        F.round(F.min(q), 4).alias("min_qty"),
+        F.round(F.max(q), 4).alias("max_qty"),
+        F.round(F.avg(q), 4).alias("mean_qty"),
+        F.round(F.stddev_samp(q), 4).alias("std_qty"),
+        F.round(F.var_samp(q), 4).alias("var_qty"),
+        F.round(F.median(q), 4).alias("median_qty"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
+        F.round(F.skewness(q), 4).alias("skew_qty"),
+        F.round(F.kurtosis(q), 4).alias("kurt_qty"),
+    )
+
+
+@query(
+    "reductions_product",
+    oracle="""
+WITH p AS (
+  SELECT l_orderkey, product(1 + l_discount) AS pr
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT
+  round(avg(pr), 4) AS avg_prod,
+  round(min(pr), 4) AS min_prod,
+  round(max(pr), 4) AS max_prod
+FROM p
+""",
+)
+def reductions_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prod reduction (/root/reference/fletcher/_algorithms.py:170) —
+    grouped so the product stays in double range."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    per_order = li.groupBy("l_orderkey").agg(
+        F.product(1 + F.col("l_discount")).alias("pr")
+    )
+    return per_order.agg(
+        F.round(F.avg("pr"), 4).alias("avg_prod"),
+        F.round(F.min("pr"), 4).alias("min_prod"),
+        F.round(F.max("pr"), 4).alias("max_prod"),
+    )
+
+
+@query(
+    "reductions_bool_any_all",
+    oracle="""
+SELECT
+  l_returnflag,
+  bool_or(l_discount > 0.05)  AS any_big_disc,
+  bool_and(l_quantity >= 1)   AS all_qty_pos,
+  bool_or(CASE WHEN l_tax = 0 THEN NULL ELSE l_discount > 0.08 END) AS any_with_nulls
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def reductions_bool_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """any/all boolean reductions (SQL null semantics; the reference's
+    bit-scan kernels /root/reference/fletcher/algorithms/bool.py:15-101)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    with_nulls = F.when(F.col("l_tax") == 0, F.lit(None)).otherwise(
+        F.col("l_discount") > 0.08
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bool_or(F.col("l_discount") > 0.05).alias("any_big_disc"),
+            F.bool_and(F.col("l_quantity") >= 1).alias("all_qty_pos"),
+            F.bool_or(with_nulls).alias("any_with_nulls"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "arith_null_propagation",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  round(l_quantity + nullif(l_discount, 0.0), 4)                   AS add_nd,
+  round(l_quantity - nullif(l_discount, 0.0), 4)                   AS sub_nd,
+  round(l_extendedprice * nullif(l_discount, 0.0), 4)              AS mul_nd,
+  round(l_extendedprice / nullif(l_discount, 0.0), 4)              AS div_nd,
+  round(fmod(l_quantity, 7), 4)                                    AS mod7,
+  round(pow(1 + l_discount, 3), 4)                                 AS pow3,
+  CAST(floor(l_extendedprice / l_quantity) AS BIGINT)              AS floordiv
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def arith_null_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise `+ - * / % ** //` with null propagation
+    (/root/reference/fletcher/_algorithms.py:192-234: mask-OR of the two
+    validity bitmaps == SQL null semantics, 1:1)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    nd = F.nullif(F.col("l_discount"), F.lit(0.0))
+    q, ep = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(q + nd, 4).alias("add_nd"),
+            F.round(q - nd, 4).alias("sub_nd"),
+            F.round(ep * nd, 4).alias("mul_nd"),
+            F.round(ep / nd, 4).alias("div_nd"),
+            F.round(q % 7, 4).alias("mod7"),
+            F.round(F.pow(1 + F.col("l_discount"), 3), 4).alias("pow3"),
+            F.floor(ep / q).alias("floordiv"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "comparison_ops",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  l_quantity < 25                       AS lt,
+  l_quantity <= 25                      AS le,
+  l_quantity = 25                       AS eq,
+  l_quantity != 25                      AS ne,
+  nullif(l_discount, 0.0) > 0.05        AS gt_null,
+  nullif(l_discount, 0.0) >= l_tax      AS ge_null
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def comparison_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`== != < <= > >=` with null propagation
+    (/root/reference/fletcher/base.py:592-612)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    q = F.col("l_quantity")
+    nd = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            (q < 25).alias("lt"),
+            (q <= 25).alias("le"),
+            (q == 25).alias("eq"),
+            (q != 25).alias("ne"),
+            (nd > 0.05).alias("gt_null"),
+            (nd >= F.col("l_tax")).alias("ge_null"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "kleene_logic",
+    oracle="""
+WITH t AS (
+  SELECT
+    event_id,
+    CASE event_id % 3 WHEN 0 THEN TRUE WHEN 1 THEN FALSE ELSE NULL END AS x,
+    CASE event_id % 5 WHEN 0 THEN TRUE WHEN 1 THEN FALSE WHEN 2 THEN NULL
+         WHEN 3 THEN TRUE ELSE NULL END AS y
+  FROM events
+)
+SELECT event_id, x, y, x OR y AS x_or_y, x AND y AS x_and_y, NOT x AS not_x
+FROM t
+ORDER BY event_id
+""",
+)
+def kleene_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleene OR/AND/NOT — the reference's flagship bit-kernel suite
+    (/root/reference/fletcher/algorithms/bool.py:104-415, ~240 LoC of
+    numba) is a 1:1 semantic match with Spark SQL's three-valued logic:
+    `TRUE OR NULL = TRUE`, `FALSE OR NULL = NULL`, etc."""
+    ev = load_tables(spark, sf_dir)["events"]
+    x = (
+        F.when(F.col("event_id") % 3 == 0, F.lit(True))
+        .when(F.col("event_id") % 3 == 1, F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+    y = (
+        F.when(F.col("event_id") % 5 == 0, F.lit(True))
+        .when(F.col("event_id") % 5 == 1, F.lit(False))
+        .when(F.col("event_id") % 5 == 2, F.lit(None).cast("boolean"))
+        .when(F.col("event_id") % 5 == 3, F.lit(True))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+    return (
+        ev.select("event_id", x.alias("x"), y.alias("y"))
+        .select(
+            "event_id",
+            "x",
+            "y",
+            (F.col("x") | F.col("y")).alias("x_or_y"),
+            (F.col("x") & F.col("y")).alias("x_and_y"),
+            (~F.col("x")).alias("not_x"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "isna_fillna",
+    oracle="""
+SELECT
+  count(*) FILTER (WHERE nullif(value, 0.0) IS NULL)      AS n_null,
+  count(*) FILTER (WHERE nullif(value, 0.0) IS NOT NULL)  AS n_valid,
+  round(sum(coalesce(nullif(value, 0.0), -1.0)), 4)       AS sum_filled
+FROM events
+""",
+)
+def isna_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isna (/root/reference/fletcher/base.py:892-902) + scalar fillna
+    (/root/reference/fletcher/base.py:1155-1213) as coalesce."""
+    ev = load_tables(spark, sf_dir)["events"]
+    v = F.nullif(F.col("value"), F.lit(0.0))
+    return ev.agg(
+        F.count(F.when(C.is_null(v), 1)).alias("n_null"),
+        F.count(v).alias("n_valid"),
+        F.round(F.sum(C.fill_null(v, -1.0)), 4).alias("sum_filled"),
+    )
+
+
+@query(
+    "fillna_ffill_bfill",
+    oracle="""
+WITH t AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus,
+         CASE WHEN value < 50 THEN NULL ELSE value END AS v
+  FROM events
+)
+SELECT
+  event_id,
+  user_id,
+  round(last_value(v IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY tus, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_ffill,
+  round(first_value(v IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY tus, event_id
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 4) AS v_bfill
+FROM t
+ORDER BY event_id
+""",
+)
+def fillna_ffill_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ffill/bfill (/root/reference/fletcher/base.py:1196-1210 —
+    object-dtype pandas fallback there; ordered windows here, with the
+    partition key making it distributable)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    v = F.when(F.col("value") < 50, F.lit(None)).otherwise(F.col("value"))
+    df = ev.select("event_id", "user_id", "ts_us", v.alias("v"))
+    df = C.ffill(df, "v", order=["ts_us", "event_id"], partition=["user_id"], out="v_ffill")
+    df = C.bfill(df, "v", order=["ts_us", "event_id"], partition=["user_id"], out="v_bfill")
+    return df.select(
+        "event_id",
+        "user_id",
+        F.round("v_ffill", 4).alias("v_ffill"),
+        F.round("v_bfill", 4).alias("v_bfill"),
+    ).orderBy("event_id")
+
+
+@query(
+    "cast_astype",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CAST(trunc(l_quantity) AS INTEGER) AS qty_int,
+  CAST(l_linenumber AS VARCHAR)      AS ln_str,
+  CAST(l_linenumber AS DOUBLE)       AS ln_dbl,
+  epoch(l_shipdate)::BIGINT          AS ship_epoch
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def cast_astype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """astype/cast (/root/reference/fletcher/base.py:794-861).  NOTE:
+    Spark truncates double→int; DuckDB rounds — oracle uses trunc()
+    explicitly to pin Spark semantics."""
+    from fletcher_spark.functions.timeutil import epoch_seconds
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("int").alias("qty_int"),
+            F.col("l_linenumber").cast("string").alias("ln_str"),
+            F.col("l_linenumber").cast("double").alias("ln_dbl"),
+            epoch_seconds("l_shipdate").alias("ship_epoch"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "unique_distinct",
+    oracle="SELECT DISTINCT p_brand FROM part ORDER BY p_brand",
+)
+def unique_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unique (/root/reference/fletcher/base.py:652-666)."""
+    return E.unique(load_tables(spark, sf_dir)["part"], "p_brand").orderBy("p_brand")
+
+
+@query(
+    "value_counts",
+    oracle="""
+SELECT event_type, count(*) AS count
+FROM events
+WHERE event_type IS NOT NULL
+GROUP BY event_type
+ORDER BY count DESC, event_type
+""",
+)
+def value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_counts (/root/reference/fletcher/base.py:863-890)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return E.value_counts(ev, "event_type").orderBy(F.desc("count"), F.asc("event_type"))
+
+
+@query(
+    "factorize_dense_codes",
+    oracle="""
+SELECT
+  p_partkey,
+  p_brand,
+  dense_rank() OVER (ORDER BY p_brand) - 1 AS code
+FROM part
+ORDER BY p_partkey
+""",
+)
+def factorize_dense_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """factorize/dictionary-encode (/root/reference/fletcher/base.py:
+    1116-1130): dense codes via distinct→zipWithIndex→broadcast-join —
+    the oracle's dense_rank window is the spec, not the plan (a global
+    window would single-partition 100 TB)."""
+    part = load_tables(spark, sf_dir)["part"]
+    coded = E.factorize(part.select("p_partkey", "p_brand"), "p_brand")
+    return coded.select("p_partkey", "p_brand", "code").orderBy("p_partkey")
+
+
+@query(
+    "explode_flatten",
+    oracle="""
+SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val
+FROM embeddings
+""",
+)
+def explode_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatten on list<T> (/root/reference/fletcher/base.py:1272-1276) —
+    row-multiplying explode."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    out = C.explode_list(emb, "embedding", out="raw", keep=["vec_id"])
+    # float32→float64 widening is exact IEEE on both engines; no rounding
+    # needed (and rounding would *introduce* halfway-tie divergence).
+    return out.select("vec_id", F.col("raw").cast("double").alias("val"))
+
+
+@query(
+    "take_by_key",
+    oracle="""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE doc_id IN (3, 26, 59, 141, 404, 499)
+ORDER BY doc_id
+""",
+)
+def take_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """take (/root/reference/fletcher/base.py:690-792) re-expressed as a
+    keyed gather: broadcast the wanted keys, semi-join.  Positional
+    indices have no stable meaning on a distributed table."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = C.take_by_key(docs, "doc_id", [3, 26, 59, 141, 404, 499])
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+@query(
+    "slice_offset_limit",
+    oracle="""
+SELECT doc_id, source
+FROM documents
+ORDER BY doc_id
+LIMIT 100 OFFSET 50
+""",
+)
+def slice_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """slice (/root/reference/fletcher/base.py:1049-1067) under an
+    explicit ordering — Spark 4 offset+limit."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = C.slice_rows(docs, [F.asc("doc_id")], 50, 150)
+    return out.select("doc_id", "source")

@@ -1,0 +1,154 @@
+"""Unit tests for the operator library — semantics the oracle suite
+can't see: pandas-flavored skipna reductions, Arrow interchange, type
+mapping, immutable setitem.
+
+Mirrors the reference's kernel-level tests (SURVEY.md §5 layer 3:
+tests/test_algorithms.py, tests/test_boolean.py).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fletcher_spark.operators import agg as A
+from fletcher_spark.operators import core as C
+from fletcher_spark.operators import encoding as E
+
+
+@pytest.fixture(scope="module")
+def bool_df(spark):
+    # id groups: all-true, all-false, mixed, with-null, all-null
+    rows = [
+        ("t", True), ("t", True),
+        ("f", False), ("f", False),
+        ("m", True), ("m", False),
+        ("n", True), ("n", None),
+        ("fn", False), ("fn", None),
+        ("nn", None), ("nn", None),
+    ]
+    return spark.createDataFrame(rows, "g string, b boolean")
+
+
+def _collect_map(df, key="g", val="v"):
+    return {r[key]: r[val] for r in df.collect()}
+
+
+def test_any_skipna_true(bool_df):
+    """pandas semantics: nulls skipped; all-null → False."""
+    out = _collect_map(bool_df.groupBy("g").agg(A.any_("b").alias("v")))
+    assert out == {"t": True, "f": False, "m": True, "n": True, "fn": False, "nn": False}
+
+
+def test_any_skipna_false(bool_df):
+    """Kleene: True if any true; else NULL if any null; else False."""
+    out = _collect_map(bool_df.groupBy("g").agg(A.any_("b", skipna=False).alias("v")))
+    assert out == {"t": True, "f": False, "m": True, "n": True, "fn": None, "nn": None}
+
+
+def test_all_skipna_true(bool_df):
+    """pandas: 'True unless a valid False'; all-null → True."""
+    out = _collect_map(bool_df.groupBy("g").agg(A.all_("b").alias("v")))
+    assert out == {"t": True, "f": False, "m": False, "n": True, "fn": False, "nn": True}
+
+
+def test_all_skipna_false(bool_df):
+    out = _collect_map(bool_df.groupBy("g").agg(A.all_("b", skipna=False).alias("v")))
+    assert out == {"t": True, "f": False, "m": False, "n": None, "fn": False, "nn": None}
+
+
+def test_reductions_skipna_false_poisons(spark):
+    df = spark.createDataFrame([("a", 1.0), ("a", None), ("b", 2.0)], "g string, x double")
+    out = df.groupBy("g").agg(
+        A.sum_("x", skipna=False).alias("s"), A.mean("x", skipna=False).alias("m")
+    )
+    got = {r["g"]: (r["s"], r["m"]) for r in out.collect()}
+    assert got == {"a": (None, None), "b": (2.0, 2.0)}
+
+
+def test_mean_null_handling_not_reference_bug(spark):
+    """Reference divides by total length incl. nulls (fletcher/base.py:504-505
+    bug); we must use SQL semantics: mean of [2.0, None] is 2.0, not 1.0."""
+    df = spark.createDataFrame([(2.0,), (None,)], "x double")
+    assert df.agg(A.mean("x").alias("m")).collect()[0]["m"] == 2.0
+
+
+def test_set_where_immutable_setitem(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, s string")
+    out = C.set_where(df, "s", F.col("id") == 2, "Z")
+    assert sorted((r.id, r.s) for r in out.collect()) == [(1, "a"), (2, "Z"), (3, "c")]
+
+
+def test_factorize_dense_and_na_sentinel(spark):
+    df = spark.createDataFrame([("b",), ("a",), (None,), ("b",)], "v string")
+    out = E.factorize(df, "v")
+    got = sorted((r.v, r.code) for r in out.collect() if r.v is not None)
+    assert got == [("a", 0), ("b", 1), ("b", 1)]
+    assert [r.code for r in out.collect() if r.v is None] == [-1]
+
+
+def test_concat_unionByName(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, s string")
+    b = spark.createDataFrame([("y", 2)], "s string, id int")  # reordered cols
+    out = E.concat([a, b])
+    assert sorted((r.id, r.s) for r in out.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_flatten_nested(spark):
+    df = spark.createDataFrame([Row(x=[[1, 2], [3]]), Row(x=[[], [4]])])
+    out = df.select(C.flatten_nested("x").alias("f"))
+    assert sorted(tuple(r.f) for r in out.collect()) == [(1, 2, 3), (4,)]
+
+
+def test_arrow_roundtrip(spark):
+    """pandas_from_arrow / __arrow_array__ analog
+    (/root/reference/tests/test_pyarrow_roundtrip.py:11-25)."""
+    from fletcher_spark.io import from_arrow, to_arrow
+
+    table = pa.table(
+        {
+            "i": pa.array([1, 2, None], pa.int64()),
+            "s": pa.array(["a", None, "c"], pa.string()),
+            "l": pa.array([[1.0], None, [2.0, 3.0]], pa.list_(pa.float64())),
+        }
+    )
+    df = from_arrow(spark, table)
+    back = to_arrow(df.orderBy("i"))  # nulls first: (None,"c"), (1,"a"), (2,None)
+    assert back.column("s").to_pylist() == ["c", "a", None]
+    got = {r["i"]: (r["s"], r["l"]) for r in df.collect()}
+    assert got[1] == ("a", [1.0])
+    assert got[2] == (None, None) or got[2][0] is None
+
+
+def test_type_mapping_roundtrip():
+    from fletcher_spark.types import arrow_to_spark_type, spark_to_arrow_type
+    from pyspark.sql import types as T
+
+    cases = {
+        pa.bool_(): T.BooleanType(),
+        pa.int8(): T.ByteType(),
+        pa.uint8(): T.ShortType(),          # widened
+        pa.uint64(): T.DecimalType(20, 0),  # widened
+        pa.float16(): T.FloatType(),        # widened
+        pa.string(): T.StringType(),
+        pa.list_(pa.int32()): T.ArrayType(T.IntegerType()),
+        pa.dictionary(pa.int32(), pa.string()): T.StringType(),  # collapsed
+        pa.struct([pa.field("a", pa.int64())]): T.StructType(
+            [T.StructField("a", T.LongType(), True)]
+        ),
+    }
+    for at, st in cases.items():
+        assert arrow_to_spark_type(at) == st
+    # canonical inverses
+    assert spark_to_arrow_type(T.StringType()) == pa.string()
+    assert spark_to_arrow_type(T.ArrayType(T.DoubleType())) == pa.list_(pa.float64())
+
+
+def test_median_approx_close(spark):
+    df = spark.range(0, 10001).select(F.col("id").cast("double").alias("x"))
+    exact, approx = df.agg(
+        A.median("x").alias("m"), A.median_approx("x").alias("a")
+    ).collect()[0]
+    assert abs(exact - approx) <= 1.0
