@@ -59,7 +59,7 @@ def from_arrow(spark: SparkSession, table: pa.Table | pa.RecordBatch) -> DataFra
         table = pa.Table.from_batches([table])
     try:
         return spark.createDataFrame(table)  # Spark 4 native Arrow path
-    except Exception:
+    except TypeError:  # pre-4.0 Spark: no pa.Table overload — pandas bridge
         return spark.createDataFrame(table.to_pandas())
 
 

@@ -89,6 +89,8 @@ def asof_join(
 
     ``right_cols`` maps right column → output alias.
     """
+    if tolerance is not None:
+        raise NotImplementedError("tolerance pruning lands with the streaming variant")
     lcols = left.columns
     l_tag = left.withColumn("__is_left", F.lit(1))
     for rc, alias in right_cols.items():
@@ -112,12 +114,9 @@ def asof_join(
     out = unioned
     for rc, alias in right_cols.items():
         out = out.withColumn(alias, F.last(f"__r_{alias}", ignorenulls=True).over(w))
-    out = out.filter(F.col("__is_left") == 1).select(
+    return out.filter(F.col("__is_left") == 1).select(
         *lcols, *[F.col(a) for a in right_cols.values()]
     )
-    if tolerance is not None:
-        raise NotImplementedError("tolerance pruning lands with the streaming variant")
-    return out
 
 
 def sessionize(

@@ -166,7 +166,6 @@ def arith_null_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.pow(1 + F.col("l_discount"), 3), 4).alias("pow3"),
             F.floor(ep / q).alias("floordiv"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
     )
 
 
@@ -203,7 +202,6 @@ def comparison_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             (nd > 0.05).alias("gt_null"),
             (nd >= F.col("l_tax")).alias("ge_null"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
     )
 
 
@@ -251,7 +249,6 @@ def kleene_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("x") & F.col("y")).alias("x_and_y"),
             (~F.col("x")).alias("not_x"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -312,7 +309,7 @@ def fillna_ffill_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round("v_ffill", 4).alias("v_ffill"),
         F.round("v_bfill", 4).alias("v_bfill"),
-    ).orderBy("event_id")
+    )
 
 
 @query(
@@ -345,7 +342,6 @@ def cast_astype(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").cast("double").alias("ln_dbl"),
             epoch_seconds("l_shipdate").alias("ship_epoch"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
     )
 
 
@@ -392,7 +388,7 @@ def factorize_dense_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     window would single-partition 100 TB)."""
     part = load_tables(spark, sf_dir)["part"]
     coded = E.factorize(part.select("p_partkey", "p_brand"), "p_brand")
-    return coded.select("p_partkey", "p_brand", "code").orderBy("p_partkey")
+    return coded.select("p_partkey", "p_brand", "code")
 
 
 @query(

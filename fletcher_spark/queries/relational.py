@@ -33,7 +33,6 @@ def join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         R.semi_join(t["customer"], big_orders, F.col("c_custkey") == F.col("o_custkey"))
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
     )
 
 
@@ -56,7 +55,6 @@ def join_anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         R.anti_join(t["customer"], big_orders, F.col("c_custkey") == F.col("o_custkey"))
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
     )
 
 
@@ -88,7 +86,6 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("drk", F.dense_rank().over(w))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "drk")
-        .orderBy("o_custkey", "rn")
     )
 
 
@@ -119,7 +116,6 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .withColumn("running_spend", F.round(F.sum("o_totalprice").over(w), 4))
         .select("o_custkey", "o_orderkey", "running_spend")
-        .orderBy("o_custkey", "o_orderkey")
     )
 
 
@@ -146,7 +142,6 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("delta_prev", F.round(F.col("value") - F.lag("value").over(w), 4))
         .withColumn("delta_next", F.round(F.lead("value").over(w) - F.col("value"), 4))
         .select("event_id", "user_id", "delta_prev", "delta_next")
-        .orderBy("event_id")
     )
 
 
@@ -224,7 +219,6 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(F.col("o_orderstatus") == "O")
         .select("o_custkey")
         .intersect(o.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
-        .orderBy("o_custkey")
     )
 
 
@@ -271,7 +265,7 @@ def union_all_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
         "o_orderkey", F.lit("urgent").alias("tag")
     )
-    return big.unionByName(urgent).orderBy("o_orderkey", "tag")
+    return big.unionByName(urgent)
 
 
 @query(
@@ -305,7 +299,7 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = R.asof_join(
         purchases, clicks, ts="ts_us", by="user_id", right_cols={"click_ts_us": "last_click_us"}
     )
-    return out.select("event_id", "user_id", "ts_us", "last_click_us").orderBy("event_id")
+    return out.select("event_id", "user_id", "ts_us", "last_click_us")
 
 
 @query(
@@ -357,10 +351,9 @@ WITH flags AS (
 SELECT
   event_id,
   user_id,
-  sum(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
 FROM flags
-ORDER BY event_id
 """,
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,8 +366,6 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cum = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag("ts_us").over(w_lag)
     new_s = F.when(prev.isNull() | ((F.col("ts_us") - prev) > gap_us), 1).otherwise(0)
-    return (
-        ev.withColumn("session_id", F.sum(new_s).over(w_cum))
-        .select("event_id", "user_id", "session_id")
-        .orderBy("event_id")
+    return ev.withColumn("session_id", F.sum(new_s).over(w_cum).cast("long")).select(
+        "event_id", "user_id", "session_id"
     )

@@ -154,7 +154,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        # customer is the largest sf-proportional dimension: no forced
+        # broadcast — AQE picks broadcast vs shuffle from runtime stats.
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(dim),
             (F.col("l_suppkey") == F.col("s_suppkey"))

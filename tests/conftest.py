@@ -68,7 +68,9 @@ def assert_matches_oracle(spark, duck, name, sf_dir=SF_DIR):
 
     sql = registry.ORACLE.get(name)
     if sql is None:
-        assert len(srows) >= 0  # rows-only check
+        # rows-only check: mirror the driver's rows>0 smoke contract so a
+        # broken plan returning an empty frame cannot pass silently.
+        assert len(srows) > 0, f"{name}: rows-only query returned no rows"
         return srows
     rel = duck.sql(sql)
     drows = rel.fetchall()
