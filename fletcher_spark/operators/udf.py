@@ -1,0 +1,126 @@
+"""UDF harness (SURVEY.md §2.7): vectorized Python escape hatches.
+
+Reference: ``apply_binary_str`` (fletcher/algorithms/string.py:1046-1119)
+lets a user run a JIT-compiled ``f(bytes_a, len_a, bytes_b, len_b) →
+scalar`` over two string columns with automatic null merging and chunk
+realignment.  The exact Spark analog is a ``pandas_udf``: Arrow moves
+whole column batches (the reference's "chunk") across the JVM↔Python
+boundary, the user function sees ``pd.Series``, and Spark handles
+distribution; null merging is done here so user kernels never see NaN.
+
+These are the **slow path** by design — everything in
+``operators/strings.py`` stays JVM-side.  Use this tier only for
+semantics the JVM cannot express (``textwrap.wrap``,
+``unicodedata.normalize``, true Unicode ``casefold``/``swapcase``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def apply_binary_str(
+    func: Callable[[str, str], object],
+    output_type: str = "long",
+) -> Callable[[Column, Column], Column]:
+    """Wrap a per-row ``f(a: str, b: str) → scalar`` into an
+    Arrow-vectorized binary string UDF with null merging.
+
+    Mirror of fletcher's ``apply_binary_str`` contract
+    (fletcher/algorithms/string.py:1046-1119): rows where either input
+    is null yield null without calling ``func`` (the reference's
+    ``_apply_with_nulls`` kernels, string.py:930-1000).
+
+    The returned callable is a normal Column function:
+    ``plen = apply_binary_str(lambda a, b: len(commonprefix((a, b))))``
+    then ``df.select(plen(F.col("x"), F.col("y")))``.
+    """
+
+    @pandas_udf(output_type)
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        # positional build (not mask assignment): stays correct for
+        # ragged outputs like array<string>
+        return pd.Series(
+            [
+                None if x is None or y is None else func(x, y)
+                for x, y in zip(a.astype("object").where(a.notna(), None),
+                                b.astype("object").where(b.notna(), None))
+            ],
+            dtype="object",
+        )
+
+    return _udf
+
+
+def apply_unary_str(
+    func: Callable[[str], object],
+    output_type: str = "string",
+) -> Callable[[Column], Column]:
+    """Unary variant for Python-only string semantics (wrap, normalize,
+    casefold); same null contract as :func:`apply_binary_str`."""
+
+    @pandas_udf(output_type)
+    def _udf(a: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if x is None else func(x) for x in a.astype("object").where(a.notna(), None)],
+            dtype="object",
+        )
+
+    return _udf
+
+
+# --------------------------------------------------------------------------
+# Reference demo kernels
+# --------------------------------------------------------------------------
+
+
+def prefix_length(a: Column, b: Column) -> Column:
+    """Length of the common prefix of two string columns.
+
+    The reference's canonical ``apply_binary_str`` example UDF
+    (/root/reference/tests/test_text.py — ``prefix_length``): a numba
+    kernel comparing raw bytes; here a per-row Python loop inside an
+    Arrow batch.  Codepoint-based (Python ``str``), not byte-based.
+    """
+
+    def _prefix(x: str, y: str) -> int:
+        n = min(len(x), len(y))
+        i = 0
+        while i < n and x[i] == y[i]:
+            i += 1
+        return i
+
+    return apply_binary_str(_prefix, "long")(a, b)
+
+
+def wrap(col: Column, width: int) -> Column:
+    """``textwrap.wrap`` — pure-Python semantics (greedy word wrap with
+    Python's whitespace rules); returns array<string> of lines."""
+    import textwrap
+
+    wrapper = textwrap.TextWrapper(width=width)
+    return apply_unary_str(wrapper.wrap, "array<string>")(col)
+
+
+def normalize(col: Column, form: str = "NFC") -> Column:
+    """``unicodedata.normalize`` — no JVM builtin matches Python's
+    normalization tables exactly, so this stays Python-side."""
+    import unicodedata
+
+    return apply_unary_str(lambda s: unicodedata.normalize(form, s), "string")(col)
+
+
+def casefold(col: Column) -> Column:
+    """True Unicode casefold (ß→ss) — Python semantics."""
+    return apply_unary_str(str.casefold, "string")(col)
+
+
+def swapcase(col: Column) -> Column:
+    """Full-Unicode swapcase; the JVM tier (operators/strings.py) is
+    ASCII-only via translate."""
+    return apply_unary_str(str.swapcase, "string")(col)
