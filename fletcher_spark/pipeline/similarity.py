@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (LLM-pipeline extensions).
+
+Brute-force cosine top-k as the correctness baseline, and
+random-hyperplane (sign) LSH bucketing as the scale path.  All vector
+math is Catalyst higher-order functions (``zip_with``/``aggregate``)
+over ``array<float>`` — JVM codegen, no Python, no explode.
+
+Cross-engine determinism: every element is cast to DOUBLE before any
+arithmetic and folds run left-to-right from 0.0, so Spark and DuckDB
+produce bit-identical sums; the LSH hyperplanes are ±1 matrices derived
+from md5 at *build* time (plain Python, embedded as literals in both
+the Spark plan and the oracle SQL).
+
+Scale shape: brute force is a broadcast nested loop — O(|Q|·N) dot
+products, the right plan when |Q| is small and N is sharded (each
+executor scans its partition once).  LSH bucketing turns that into a
+bucket-equi-join: shuffle keyed on an 8-bit code, each query compared
+only to its bucket (≈ N/256 per probe).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["dot", "cosine", "l2_norm", "hyperplane_signs", "lsh_bucket", "brute_force_topk"]
+
+
+def _d(col: Column) -> Column:
+    """Elementwise cast to double — the parity contract (float32 math
+    differs between engines; double math on float32 inputs does not)."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product: aggregate(zip_with(a,b,*), 0.0, +)."""
+    return F.aggregate(
+        F.zip_with(_d(a), _d(b), lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def hyperplane_signs(n_planes: int, dim: int, seed: str = "ann") -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix from md5 — reproducible in any
+    engine/language, no RNG state.  Element (p, j) is +1 iff the first
+    hex digit of md5("seed:p:j") is even."""
+    mat = []
+    for p in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{j}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        mat.append(row)
+    return mat
+
+
+def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """Sign-LSH bucket id: one char per hyperplane ('1' if dot ≥ 0),
+    concatenated to an n_planes-bit string key."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(float(w)) for w in row])) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for row in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_table_keys(vec: Column, planes: list[list[int]], planes_per_table: int = 4) -> Column:
+    """Multi-table sign-LSH: group the hyperplanes into L tables of
+    ``planes_per_table`` and emit an array of ``(band, key)`` structs —
+    two vectors are candidates iff they share a key in ANY table.
+
+    The standard recall lever: P[candidate] = 1 - (1 - p^k)^L where
+    p = 1 - θ/π.  One 16-plane table has near-zero recall on
+    weakly-correlated vectors; 4 tables × 4 planes passes θ≈45° pairs
+    with p≈0.79 while still pruning ~15/16 of the corpus per table.
+    """
+    n_tables = len(planes) // planes_per_table
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("band"),
+                F.concat(
+                    *[
+                        F.when(
+                            dot(vec, F.array(*[F.lit(float(w)) for w in planes[t * planes_per_table + p]]))
+                            >= 0,
+                            F.lit("1"),
+                        ).otherwise(F.lit("0"))
+                        for p in range(planes_per_table)
+                    ]
+                ).alias("key"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    sharded vector table, window top-k per query.
+
+    Output: (query_id, neighbor_id, cos).  Self-matches excluded.
+    The per-query window partitions on query_id — |Q| partitions, each
+    holding N candidate rows at worst; for large |Q| switch to the LSH
+    path, this is the oracle/baseline.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
+    )

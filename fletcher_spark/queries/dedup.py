@@ -1,1 +1,251 @@
-"""(populated in later milestones)"""
+"""Deduplication queries over ``documents`` (LLM-pipeline extensions).
+
+Exact dedup, MinHash-LSH near-dup, and SimHash near-dup — all with full
+DuckDB oracles: the hash family is md5-based (identical bits in both
+engines), so even the LSH banding and SimHash bit-sums are
+value-checked end-to-end, not just row-counted.
+
+The synthetic corpus plants ~25 near-duplicate pairs (shingle Jaccard
+0.90–0.99); both near-dup queries must surface exactly those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fletcher_spark.io import load_tables
+from fletcher_spark.pipeline import dedup as D
+from fletcher_spark.queries.registry import query
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+WITH k AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')) AS key
+  FROM documents
+)
+SELECT key, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM k GROUP BY key HAVING count(*) > 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a normalized key (first 8 tokens —
+    title/prefix dedup), keep-min policy.  One partial+final hash
+    aggregate keyed on a 32-char digest: the canonical 100 TB exact
+    dedup (shuffle is |distinct keys|, map-side combined)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    key = F.md5(F.array_join(F.slice(F.split("text", " ", -1), 1, 8), " "))
+    return (
+        d.groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_MINHASH_ORACLE = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) >= 3
+      THEN list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [array_to_string(toks, ' ')] END) AS s
+  FROM tok
+),
+sig AS (
+  SELECT doc_id, s, [
+    {minhashes}
+  ] AS sg
+  FROM sh
+),
+bands AS (
+  SELECT doc_id,
+         b.band AS band,
+         md5(sg[b.band*3+1] || '|' || sg[b.band*3+2] || '|' || sg[b.band*3+3]) AS key
+  FROM sig, (SELECT unnest([0,1,2,3]) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+  FROM bands a
+  JOIN bands b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+),
+ver AS (
+  SELECT id1, id2,
+         len(list_intersect(s1.s, s2.s))::DOUBLE
+           / len(list_distinct(list_concat(s1.s, s2.s))) AS j
+  FROM cand
+  JOIN sh s1 ON s1.doc_id = id1
+  JOIN sh s2 ON s2.doc_id = id2
+)
+SELECT id1, id2, round(j, 4) AS jaccard FROM ver WHERE j >= 0.5
+""".format(
+    minhashes=",\n    ".join(
+        f"list_min(list_transform(s, x -> md5('{j}:' || x)))" for j in range(12)
+    )
+)
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup detection, end to end:
+
+    word 3-shingles → 12 md5-family MinHashes → 4 bands × 3 rows →
+    bucket-join candidates → exact-Jaccard verification ≥ 0.5.
+
+    Scale: signatures are map-only; the only shuffles are the band
+    bucket group and the candidates-only verify join — all-pairs never
+    exists (pipeline/dedup.py:candidate_pairs).
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    sh = d.select("doc_id", D.word_shingles("text", 3).alias("shingles"))
+    sig = sh.select(
+        "doc_id", "shingles", D.minhash_signature(F.col("shingles"), 12).alias("sig")
+    )
+    banded = sig.select("doc_id", D.lsh_band_keys(F.col("sig"), 4, 3).alias("band_keys"))
+    pairs = D.candidate_pairs(banded, "doc_id")
+    return D.verify_jaccard(pairs, sh, "doc_id", "shingles", 0.5)
+
+
+_SIMHASH_ORACLE = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) >= 3
+      THEN list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [array_to_string(toks, ' ')] END) AS s
+  FROM tok
+),
+bits AS (
+  SELECT doc_id,
+    list_transform(
+      list_reduce(
+        list_transform(s, t ->
+          list_transform(range(0, 64), i -> CASE
+            WHEN i < 32 THEN ((('0x' || substr(md5(t), 1, 8))::BIGINT >> (31 - i)::INT) & 1) * 2 - 1
+            ELSE            ((('0x' || substr(md5(t), 9, 8))::BIGINT >> (63 - i)::INT) & 1) * 2 - 1
+          END)),
+        (a, b) -> list_transform(range(1, 65), i -> a[i] + b[i])),
+      v -> CASE WHEN v > 0 THEN 1 ELSE 0 END) AS bv
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, k.band AS band,
+         array_to_string(list_slice(bv, k.band*8 + 1, k.band*8 + 8), '') AS key
+  FROM bits, (SELECT unnest([0,1,2,3,4,5,6,7]) AS band) k
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+  FROM bands a
+  JOIN bands b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+),
+ham AS (
+  SELECT id1, id2,
+         len(list_filter(range(1, 65), i -> x.bv[i] != y.bv[i])) AS hamming
+  FROM cand JOIN bits x ON x.doc_id = id1 JOIN bits y ON y.doc_id = id2
+)
+SELECT id1, id2, CAST(hamming AS BIGINT) AS hamming FROM ham WHERE hamming <= 8
+"""
+
+
+@query("dedup_simhash_pairs", oracle=_SIMHASH_ORACLE)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signature over word 3-shingles, 8×8-bit
+    chunk bucketing (pigeonhole: Hamming ≤ 7 ⇒ ≥1 shared chunk),
+    Hamming ≤ 8 verification on candidates only.
+
+    The signature is one ``aggregate``/``zip_with`` codegen expression
+    per row (pipeline/dedup.py:simhash64) — no explode, no Python; the
+    oracle recomputes the identical md5-derived bits in SQL.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    sh = d.select("doc_id", D.word_shingles("text", 3).alias("shingles"))
+    bits = sh.select("doc_id", D.simhash64(F.col("shingles")).alias("bv"))
+    banded = bits.select("doc_id", D.simhash_chunks(F.col("bv"), 8).alias("band_keys"))
+    pairs = D.candidate_pairs(banded, "doc_id")
+    b1 = bits.select(F.col("doc_id").alias("id1"), F.col("bv").alias("bv1"))
+    b2 = bits.select(F.col("doc_id").alias("id2"), F.col("bv").alias("bv2"))
+    return (
+        pairs.join(b1, "id1")
+        .join(b2, "id2")
+        .withColumn(
+            "hamming",
+            F.size(
+                F.filter(
+                    F.zip_with("bv1", "bv2", lambda x, y: (x != y).cast("int")),
+                    lambda v: v == 1,
+                )
+            ).cast("long"),
+        )
+        .filter(F.col("hamming") <= 8)
+        .select("id1", "id2", "hamming")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, lang, n_chars // 100 AS lenb,
+    list_distinct(list_transform(range(1, length(text) - 2),
+                  i -> text[i:i+3])) AS grams
+  FROM documents
+),
+cand AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, a.grams AS g1, b.grams AS g2
+  FROM g a JOIN g b
+    ON a.lang = b.lang AND a.lenb = b.lenb AND a.doc_id < b.doc_id
+)
+SELECT id1, id2,
+       round(len(list_intersect(g1, g2))::DOUBLE
+             / len(list_distinct(list_concat(g1, g2))), 4) AS jaccard
+FROM cand
+WHERE len(list_intersect(g1, g2))::DOUBLE
+      / len(list_distinct(list_concat(g1, g2))) >= 0.7
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 4-gram Jaccard near-dup with blocking:
+    candidates share (lang, length-bucket) — the classic cheap blocking
+    key that bounds the pair count — then exact set Jaccard ≥ 0.7.
+
+    Scale: the blocking join shuffles on (lang, bucket); within-block
+    pairing is quadratic ONLY in block size, which the bucket width
+    controls.  (LSH variants above are the unbounded-corpus path.)
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 3),
+            lambda i: F.substring(F.col("text"), i, 4),
+        )
+    )
+    g = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("lenb"),
+        grams.alias("grams"),
+    )
+    a = g.select(
+        F.col("doc_id").alias("id1"),
+        F.col("lang").alias("lang"),
+        F.col("lenb").alias("lenb"),
+        F.col("grams").alias("g1"),
+    )
+    b = g.select(
+        F.col("doc_id").alias("id2"),
+        F.col("lang").alias("lang"),
+        F.col("lenb").alias("lenb"),
+        F.col("grams").alias("g2"),
+    )
+    jac = F.size(F.array_intersect("g1", "g2")) / F.size(F.array_union("g1", "g2"))
+    return (
+        a.join(b, ["lang", "lenb"])
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
+    )

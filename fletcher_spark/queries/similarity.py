@@ -1,1 +1,245 @@
-"""(populated in later milestones)"""
+"""Similarity-search queries over ``embeddings`` (LLM-pipeline
+extensions): brute-force cosine top-k baseline, sign-LSH bucketed ANN,
+and a label-list IVF probe — all with full DuckDB oracles (vector math
+is double-cast left-folds, bit-identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fletcher_spark.io import load_tables
+from fletcher_spark.pipeline import similarity as SIM
+from fletcher_spark.queries.registry import query
+
+_DIM = 64
+#: 4 LSH tables x 4 hyperplanes (multi-table sign LSH; see
+#: pipeline/similarity.py:lsh_table_keys for the recall math)
+_N_PLANES = 16
+_PLANES_PER_TABLE = 4
+_PLANES = SIM.hyperplane_signs(_N_PLANES, _DIM)
+
+# -- DuckDB fragments ------------------------------------------------------
+
+_DOT = "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+def _duck_plane(row: list[int]) -> str:
+    return "([" + ", ".join(f"{float(w)}" for w in row) + "]::DOUBLE[])"
+
+
+def _duck_table_key(vexpr: str, t: int) -> str:
+    rows = _PLANES[t * _PLANES_PER_TABLE : (t + 1) * _PLANES_PER_TABLE]
+    cases = [
+        f"CASE WHEN {_DOT.format(a=vexpr, b=_duck_plane(row))} >= 0 THEN '1' ELSE '0' END"
+        for row in rows
+    ]
+    return " || ".join(cases)
+
+
+_BRUTE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+v AS (
+  SELECT vec_id AS neighbor_id, list_transform(embedding, x -> x::DOUBLE) AS nv
+  FROM embeddings
+),
+s AS (
+  SELECT query_id, neighbor_id, {_duck_cos("qv", "nv")} AS cos
+  FROM q, v WHERE neighbor_id != query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM s
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos, rk FROM r WHERE rk <= 5
+"""
+
+
+@query("ann_cosine_topk", oracle=_BRUTE_ORACLE)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5: broadcast nested-loop over the sharded
+    vector table (pipeline/similarity.py:brute_force_topk).  THE exact
+    baseline every ANN variant is measured against; O(|Q|·N) dot
+    products, each a single codegen ``aggregate``/``zip_with`` — no
+    Python, no explode."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    out = SIM.brute_force_topk(e, queries, 5)
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+_N_TABLES = _N_PLANES // _PLANES_PER_TABLE
+
+_LSH_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, ev,
+         {", ".join(f"{_duck_table_key('ev', t)} AS t{t}" for t in range(_N_TABLES))}
+  FROM v
+),
+bx AS (
+  {" UNION ALL ".join(f"SELECT vec_id, {t} AS band, t{t} AS key, ev FROM b" for t in range(_N_TABLES))}
+),
+q AS (SELECT vec_id AS query_id, band, key, ev AS qv FROM bx WHERE vec_id % 50 = 0),
+cand AS (
+  SELECT DISTINCT q.query_id, bx.vec_id AS neighbor_id
+  FROM q JOIN bx ON q.band = bx.band AND q.key = bx.key AND bx.vec_id != q.query_id
+),
+s AS (
+  SELECT c.query_id, c.neighbor_id, {_duck_cos("qv.ev", "nv.ev")} AS cos
+  FROM cand c JOIN v qv ON qv.vec_id = c.query_id JOIN v nv ON nv.vec_id = c.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM s
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos, rk FROM r WHERE rk <= 3
+"""
+
+
+@query("ann_lsh_bucketed", oracle=_LSH_ORACLE)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH ANN: 4 tables × 4 deterministic ±1
+    hyperplanes; a vector pair is a candidate iff it shares a 4-bit key
+    in ANY table; exact cosine + top-3 on candidates only.
+
+    Scale: explode is ×4 (one row per table), the candidate join is
+    keyed on (table, key) — shuffle O(4N), per-query candidate set
+    ≈ 4·N/16 worst case, never the all-pairs product.  Recall-vs-exact
+    is asserted in tests/test_pipeline.py (recall lever = more tables).
+    """
+    e = load_tables(spark, sf_dir)["embeddings"]
+    b = e.select(
+        "vec_id",
+        F.col("embedding").alias("ev"),
+        SIM.lsh_table_keys(F.col("embedding"), _PLANES, _PLANES_PER_TABLE).alias("tkeys"),
+    )
+    ex = b.select("vec_id", "ev", F.explode("tkeys").alias("bk")).select(
+        "vec_id", "ev", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    q = ex.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"), "band", "key"
+    )
+    cand = (
+        ex.join(F.broadcast(q), ["band", "key"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    vq = b.select(F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"))
+    vn = b.select(F.col("vec_id").alias("neighbor_id"), F.col("ev").alias("nv"))
+    scored = (
+        cand.join(F.broadcast(vq), "query_id")
+        .join(vn, "neighbor_id")
+        .withColumn("cos", SIM.cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
+    )
+
+
+_IVF_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS ev
+  FROM embeddings
+),
+cdim AS (
+  SELECT label, i, avg(ev[i]) AS cv
+  FROM v, range(1, 65) t(i)
+  GROUP BY label, i
+),
+cent AS (SELECT label, list(cv ORDER BY i) AS cv FROM cdim GROUP BY label),
+q AS (SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id % 50 = 0),
+qc AS (
+  SELECT query_id, qv, label, {_duck_cos("qv", "cv")} AS ccos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_duck_cos("qv", "cv")} DESC, label) AS crk
+  FROM q, cent
+),
+probe AS (SELECT query_id, qv, label FROM qc WHERE crk <= 2),
+s AS (
+  SELECT p.query_id, v.vec_id AS neighbor_id, {_duck_cos("p.qv", "v.ev")} AS cos
+  FROM probe p JOIN v ON v.label = p.label AND v.vec_id != p.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM s
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos, rk FROM r WHERE rk <= 3
+"""
+
+
+@query("ann_ivf_probe", oracle=_IVF_ORACLE)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = per-``label`` centroids (the
+    dataset's cluster structure stands in for k-means lists), probe the
+    2 nearest lists per query, exact cosine within probed lists only.
+
+    Scale: centroids are a tiny aggregate (lists × dim) broadcast to
+    every executor; the candidate join is keyed on list id, so each
+    query scans ≈ 2/n_lists of the corpus.  Centroid averaging uses
+    posexplode + (label, pos) grouping — a map-side-combined aggregate,
+    never a per-vector Python loop.
+    """
+    e = load_tables(spark, sf_dir)["embeddings"]
+    v = e.select("vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("ev"))
+
+    # centroids: explode to (label, pos, val); partial+final avg; re-pack
+    cdim = (
+        v.select("label", F.posexplode("ev").alias("i", "val"))
+        .groupBy("label", "i")
+        .agg(F.avg("val").alias("cv"))
+    )
+    cent = cdim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "cv"))), lambda s: s["cv"]
+        ).alias("cv")
+    )
+
+    q = v.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+    )
+    qc = q.crossJoin(F.broadcast(cent)).withColumn("ccos", SIM.cosine(F.col("qv"), F.col("cv")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("label"))
+    probe = (
+        qc.withColumn("crk", F.row_number().over(wq))
+        .filter(F.col("crk") <= 2)
+        .select("query_id", "qv", "label")
+    )
+
+    scored = (
+        v.join(F.broadcast(probe), "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", SIM.cosine(F.col("qv"), F.col("ev")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 6).alias("cos"),
+            "rk",
+        )
+    )
