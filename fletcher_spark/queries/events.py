@@ -1,1 +1,99 @@
-"""(populated in later milestones)"""
+"""Event-time window queries over ``events`` (SURVEY.md §2.8 streaming
+slice).  The window logic lives in fletcher_spark/streaming/windows.py
+and is shared verbatim by the Structured Streaming pipelines
+(tests/test_streaming.py proves batch/stream parity); these batch
+entries give it a DuckDB oracle.
+
+``events.ts`` is stored as timestamp[ns]; io.load_tables surfaces it as
+a µs TIMESTAMP (same truncation DuckDB's reader applies), so window
+boundaries agree across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fletcher_spark.functions.timeutil import epoch_seconds
+from fletcher_spark.io import load_tables
+from fletcher_spark.queries.registry import query
+from fletcher_spark.streaming import windows as W
+
+
+@query(
+    "events_window_tumbling",
+    oracle="""
+SELECT
+  epoch(time_bucket(INTERVAL '10 minutes', ts))::BIGINT AS w_start_s,
+  event_type,
+  count(*) AS n,
+  round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time windows, count + mean per
+    (window, event_type) — streaming/windows.py:tumbling_agg run in
+    batch mode.  One shuffle on (window, key), map-side combined."""
+    ev = load_tables(spark, sf_dir)["events"]
+    out = W.tumbling_agg(ev, "ts", "10 minutes", "event_type")
+    return out.select(
+        epoch_seconds("w_start").alias("w_start_s"), "event_type", "n", "avg_value"
+    )
+
+
+@query(
+    "events_window_sliding",
+    oracle="""
+WITH x AS (
+  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS w_start,
+         event_id
+  FROM events
+)
+SELECT epoch(w_start)::BIGINT AS w_start_s, count(*) AS n
+FROM x GROUP BY 1
+""",
+)
+def events_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min, slide 5): every event lands in 2
+    windows; Spark expands them at the scan (no self-join) —
+    streaming/windows.py:sliding_agg.  The oracle reproduces the
+    expansion with an explicit 2-bucket unnest."""
+    ev = load_tables(spark, sf_dir)["events"]
+    out = W.sliding_agg(ev, "ts", "10 minutes", "5 minutes")
+    return out.select(epoch_seconds("w_start").alias("w_start_s"), "n")
+
+
+@query(
+    "events_session_window",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o
+)
+SELECT epoch_us(min(ts)) // 1000000 AS s_start_s, user_id, count(*) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap-merged session windows (30 min) per user —
+    ``F.session_window``, the streaming-stateful analog of the
+    sessionize operator; the oracle re-derives sessions with the
+    lag/flag/cumsum construction.  Shuffles once on user_id."""
+    ev = load_tables(spark, sf_dir)["events"]
+    out = W.session_agg(ev, "ts", "30 minutes", "user_id")
+    return out.select(
+        epoch_seconds("s_start").alias("s_start_s"), "user_id", "n_events"
+    )

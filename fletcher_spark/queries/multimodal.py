@@ -1,0 +1,135 @@
+"""Multimodal + list-column queries (LLM-pipeline extensions + the
+reference's list-compute surface).
+
+``mm_binary_features`` treats ``documents.text`` encoded to UTF-8 bytes
+as the opaque binary payload (the container has no image/audio fixtures;
+the binary-column plumbing is what's under test).  ``mm_decode_stub``
+exercises the Arrow-batched ``mapInPandas`` decode path with the
+deterministic fake decoder (pipeline/multimodal.py) — rows-only by
+design, pinned by tests/test_multimodal.py.
+
+``list_take_ops`` is the take-on-lists analog
+(/root/reference/fletcher/_algorithms.py:342-387 ``take_on_pyarrow_list``
+— a CSR gather kernel): element access, slicing, index-array gather,
+and fold reductions over ``array<float>`` — all Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fletcher_spark.io import load_tables
+from fletcher_spark.pipeline import multimodal as MM
+from fletcher_spark.queries.registry import query
+
+
+@query(
+    "mm_binary_features",
+    oracle="""
+SELECT
+  doc_id,
+  strlen(text)::BIGINT                 AS n_bytes,
+  md5(text)                            AS digest,
+  CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_chunks
+FROM documents
+""",
+)
+def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side binary metadata (length/digest/chunk count) over an
+    opaque payload column — the decode-free tier of the multimodal
+    stack; md5(utf8 bytes) is engine-identical so the oracle checks
+    values, not just shape."""
+    d = load_tables(spark, sf_dir)["documents"]
+    payload = F.encode("text", "UTF-8")
+    feats = MM.binary_features(payload)
+    return d.select(
+        "doc_id",
+        feats["n_bytes"].alias("n_bytes"),
+        feats["digest"].alias("digest"),
+        feats["n_chunks"].alias("n_chunks"),
+    )
+
+
+@query("mm_decode_stub")  # rows-only: decoder output has no SQL analog
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode path: binary payload → (width, height,
+    n_bytes, 16-dim feature vector) via ``mapInPandas`` with the
+    deterministic fake decoder (STUB: a real PIL/ffmpeg decoder drops
+    into the same batch loop; pipeline/multimodal.py:decode_images).
+    Determinism/schema/partitioning pinned in tests/test_multimodal.py."""
+    d = load_tables(spark, sf_dir)["documents"]
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out = MM.decode_images(payloads, "doc_id", "payload")
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.round(F.element_at("feat", 1), 6).alias("feat0"),
+        F.round(F.element_at("feat", 16), 6).alias("feat15"),
+    )
+
+
+@query(
+    "list_take_ops",
+    oracle="""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev FROM embeddings)
+SELECT
+  vec_id,
+  CAST(len(ev) AS INT)                          AS dim,
+  round(ev[1], 6)                               AS first_el,
+  round(ev[64], 6)                              AS last_el,
+  round(list_reduce(list_slice(ev, 1, 4), (a,b) -> a+b), 6)  AS head4_sum,
+  round(list_reduce(list_transform([2,4,8,16,32], i -> ev[i]), (a,b) -> a+b), 6) AS gather_sum,
+  round(sqrt(list_reduce(list_transform(ev, x -> x*x), (a,b) -> a+b)), 6) AS l2,
+  CAST(len(list_filter(ev, x -> x > 0)) AS INT) AS n_pos
+FROM v
+""",
+)
+def list_take_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """take-on-lists + list compute (reference CSR gather kernel,
+    fletcher/_algorithms.py:342-387): element access, slice, gather by
+    index array (``transform`` over literal indices — the take), fold
+    reductions, predicate counts.  All map-only codegen; the gather is
+    O(|indices|) per row exactly like the reference's offset rebuild."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    ev = F.transform("embedding", lambda x: x.cast("double"))
+    v = e.select("vec_id", ev.alias("ev"))
+    idx = F.array(*[F.lit(i) for i in (2, 4, 8, 16, 32)])
+    gathered = F.transform(idx, lambda i: F.element_at("ev", i))
+    return v.select(
+        "vec_id",
+        F.size("ev").alias("dim"),
+        F.round(F.element_at("ev", 1), 6).alias("first_el"),
+        F.round(F.element_at("ev", 64), 6).alias("last_el"),
+        F.round(
+            F.aggregate(F.slice("ev", 1, 4), F.lit(0.0), lambda a, b: a + b), 6
+        ).alias("head4_sum"),
+        F.round(
+            F.aggregate(gathered, F.lit(0.0), lambda a, b: a + b), 6
+        ).alias("gather_sum"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("ev", lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+                )
+            ),
+            6,
+        ).alias("l2"),
+        F.size(F.filter("ev", lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@query(
+    "scalar_get_head",
+    oracle="""
+SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey LIMIT 3
+""",
+)
+def scalar_get_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scalar get / head sampling (reference ``__getitem__`` int path,
+    fletcher/base.py:1081-1091): ordered limit — Spark plans it as
+    TakeOrderedAndProject, the distributed analog of positional head."""
+    r = load_tables(spark, sf_dir)["region"]
+    return r.select("r_regionkey", "r_name").orderBy("r_regionkey").limit(3)

@@ -53,4 +53,5 @@ def load_all() -> None:
         dedup,
         similarity,
         events,
+        multimodal,
     )

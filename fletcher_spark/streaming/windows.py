@@ -1,0 +1,86 @@
+"""Event-time windowing (SURVEY.md §2.8 gap: the reference has no
+streaming at all — Spark Structured Streaming supplies it).
+
+The transformation functions here are **source-agnostic**: they take
+any DataFrame (batch or streaming) with an event-time column and apply
+the identical window logic, so the batch oracle queries in
+queries/events.py and the streaming pipelines in tests/test_streaming.py
+share one code path — the Structured Streaming guarantee that a
+streaming query is semantically a repeated batch query, made literal.
+
+Scale: windowed aggregation shuffles on (window, keys); with a
+watermark the state store retains only windows newer than the horizon,
+so state is bounded regardless of stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "10 minutes",
+    key: str | None = "event_type",
+) -> DataFrame:
+    """Tumbling event-time window: count + mean per (window, key).
+
+    Batch and streaming take the same plan shape (partial aggregate →
+    shuffle on window+key → final); in streaming the shuffle feeds the
+    state store instead.
+    """
+    keys = [F.window(ts_col, duration).alias("w")] + ([F.col(key)] if key else [])
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            *([key] if key else []),
+            "n",
+            "avg_value",
+        )
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "10 minutes",
+    slide: str = "5 minutes",
+) -> DataFrame:
+    """Sliding window: each event lands in duration/slide windows; Spark
+    expands windows at the scan (no self-join)."""
+    return (
+        df.groupBy(F.window(ts_col, duration, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    key: str = "user_id",
+) -> DataFrame:
+    """Native session windows (gap-merged): per-key sessions close after
+    ``gap`` of silence.  The batch analog of the sessionize operator
+    (fletcher_spark/operators/relational.py:sessionize) — in streaming,
+    ``session_window`` + watermark maintains open sessions as state."""
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("s_start"),
+            key,
+            "n_events",
+        )
+    )
+
+
+def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "1 hour") -> DataFrame:
+    """Late-data horizon for the streaming variants: state older than
+    max(event_time) - delay is evictable; later rows are dropped."""
+    return df.withWatermark(ts_col, delay)

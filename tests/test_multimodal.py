@@ -1,0 +1,54 @@
+"""Multimodal decode-path tests: the mapInPandas plumbing is real even
+though the decoder is stubbed — schema stability, null payloads,
+determinism across partitionings, and batch-shape behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fletcher_spark.pipeline import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def payloads(spark):
+    rows = [
+        (1, b"hello world"),
+        (2, b"\x00\x01\x02\xff" * 100),
+        (3, None),
+        (4, b""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_decode_schema_and_nulls(payloads):
+    out = MM.decode_images(payloads)
+    assert out.schema.simpleString() == (
+        "struct<doc_id:bigint,width:int,height:int,n_bytes:bigint,feat:array<double>>"
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[3]["width"] is None and rows[3]["feat"] is None
+    assert rows[1]["n_bytes"] == 11
+    assert len(rows[1]["feat"]) == MM._N_FEAT
+    assert 64 <= rows[1]["width"] <= 255
+
+
+def test_decode_deterministic_across_partitioning(payloads):
+    one = {r["doc_id"]: tuple(r) for r in MM.decode_images(payloads.coalesce(1)).collect()}
+    many = {r["doc_id"]: tuple(r) for r in MM.decode_images(payloads.repartition(4)).collect()}
+    assert one == many
+
+
+def test_fake_decode_histogram_normalized():
+    w, h, feat = MM._fake_decode(b"abcdef" * 10)
+    assert abs(sum(feat) - 1.0) < 1e-9
+    assert 64 <= w <= 255 and 64 <= h <= 255
+
+
+def test_binary_features_jvm_side(payloads):
+    feats = MM.binary_features("payload")
+    out = payloads.select("doc_id", *[v.alias(k) for k, v in feats.items()]).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[1]["n_bytes"] == 11
+    assert rows[2]["n_chunks"] == 7  # 400 bytes / 64
+    assert rows[3]["digest"] is None

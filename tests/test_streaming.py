@@ -1,0 +1,53 @@
+"""Structured Streaming parity: the window transformations in
+fletcher_spark/streaming/windows.py produce IDENTICAL results when fed
+from ``readStream`` (availableNow trigger, complete/update modes) as
+from the batch reader — the Structured Streaming contract, asserted.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fletcher_spark.io import load_tables
+from fletcher_spark.sources.stream import stream_events
+from fletcher_spark.streaming import windows as W
+from tests.conftest import SF_DIR
+
+
+def _run_stream(sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()])
+
+
+@pytest.mark.parametrize(
+    "name,fn",
+    [
+        ("tumbling", lambda df: W.tumbling_agg(df, "ts", "10 minutes", "event_type")),
+        ("sliding", lambda df: W.sliding_agg(df, "ts", "10 minutes", "5 minutes")),
+        ("sessions", lambda df: W.session_agg(df, "ts", "30 minutes", "user_id")),
+    ],
+)
+def test_stream_matches_batch(spark, name, fn):
+    batch = fn(load_tables(spark, SF_DIR)["events"])
+    expected = _rows(batch)
+
+    stream = fn(W.with_watermark(stream_events(spark, SF_DIR), "ts", "10 days"))
+    qname = f"stream_{name}"
+    q = _run_stream(stream, qname)
+    try:
+        got = _rows(spark.sql(f"SELECT * FROM {qname}"))
+    finally:
+        q.stop()
+    assert got == expected
+    assert len(got) > 0
