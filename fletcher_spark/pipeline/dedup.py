@@ -55,28 +55,44 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, shingled).otherwise(F.array(c)))
 
 
-def _h(seed: int, s: Column) -> Column:
-    """The cross-engine hash family: md5 of ``seed:value`` (hex string).
-    Min over a shingle set under lexicographic order is the MinHash."""
-    return F.md5(F.concat(F.lit(f"{seed}:"), s))
+#: modulus for the two-base-hash MinHash family (large prime < 2^61;
+#: v1 + j*v2 stays < 2^63 for v1, v2 < 2^56 and j ≤ ~60)
+_MINHASH_P = 2305843009213693951
 
 
 def minhash_signature(shingles: Column, n_hashes: int = 12) -> Column:
-    """MinHash signature: ``array_min`` of each hash family member over
-    the shingle set — an ``n_hashes``-element array<string>.
+    """MinHash signature via the two-base-hash family:
+    ``h_j(s) = (v1 + j*v2) mod p`` with v1/v2 = two 56-bit halves of
+    one md5 — an ``n_hashes``-element array<long>.
 
-    One pass per hash over an in-memory array; no shuffle, no UDF.
-    P[minhash_i(A) == minhash_i(B)] = J(A, B), the standard estimator.
+    ONE md5 per shingle (not per hash): the md5 is materialized into a
+    struct array first because Catalyst does not CSE inside
+    higher-order-function lambdas — deriving all hashes from the struct
+    makes the signature ~n_hashes× cheaper than an md5-per-family-member
+    formulation.  Map-only, no shuffle, no UDF.
+    P[minhash_j(A) == minhash_j(B)] = J(A, B), the standard estimator.
     """
+    halves = F.transform(
+        shingles,
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long").alias("v1"),
+            F.conv(F.substring(F.md5(s), 15, 14), 16, 10).cast("long").alias("v2"),
+        ),
+    )
     return F.array(
-        *[F.array_min(F.transform(shingles, lambda s, j=j: _h(j, s))) for j in range(n_hashes)]
+        *[
+            F.array_min(
+                F.transform(halves, lambda h, j=j: (h["v1"] + j * h["v2"]) % _MINHASH_P)
+            )
+            for j in range(n_hashes)
+        ]
     )
 
 
 def lsh_band_keys(sig: Column, bands: int = 4, rows: int = 3) -> Column:
     """Banded LSH keys: split the signature into ``bands`` groups of
     ``rows`` and hash each group — array of ``(band int, key string)``
-    structs where key = md5 of the band's rows.
+    structs where key = md5 of the band's '|'-joined rows.
 
     Two docs are candidates iff they share a key in ≥1 band:
     P[candidate] = 1 - (1 - J^rows)^bands — the (4,3) default passes
@@ -87,12 +103,84 @@ def lsh_band_keys(sig: Column, bands: int = 4, rows: int = 3) -> Column:
             F.struct(
                 F.lit(b).alias("band"),
                 F.md5(
-                    F.concat_ws("|", *[F.element_at(sig, b * rows + r + 1) for r in range(rows)])
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at(sig, b * rows + r + 1).cast("string")
+                            for r in range(rows)
+                        ],
+                    )
                 ).alias("key"),
             )
             for b in range(bands)
         ]
     )
+
+
+def _halves_cols(shingle: Column) -> tuple[Column, Column]:
+    """Two 56-bit integer hashes from one md5 of a shingle (codegen;
+    the md5 is CSE'd across the two conv calls inside a Project)."""
+    h = F.md5(shingle)
+    v1 = F.conv(F.substring(h, 1, 14), 16, 10).cast("long")
+    v2 = F.conv(F.substring(h, 15, 14), 16, 10).cast("long")
+    return v1, v2
+
+
+def minhash_signature_df(
+    df: DataFrame, id_col: str = "doc_id", shingle_col: str = "shingles", n_hashes: int = 12
+) -> DataFrame:
+    """MinHash as explode → codegen hash projection → grouped min.
+
+    The whole-stage-codegen formulation of :func:`minhash_signature`
+    (higher-order functions are CodegenFallback — interpreted — so the
+    in-array version pays ~10× per element).  The shuffle this
+    introduces is tiny: partial aggregation combines map-side, so only
+    |docs| × n_hashes longs cross the wire.  Output: (id, sig).
+    """
+    ex = df.select(id_col, F.explode(shingle_col).alias("t"))
+    v1, v2 = _halves_cols(F.col("t"))
+    hashed = ex.select(
+        id_col, *[((v1 + j * v2) % _MINHASH_P).alias(f"h{j}") for j in range(n_hashes)]
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{j}").alias(f"h{j}") for j in range(n_hashes)]
+    )
+    return agg.select(
+        id_col, F.array(*[F.col(f"h{j}") for j in range(n_hashes)]).alias("sig")
+    )
+
+
+def simhash_df(
+    df: DataFrame, id_col: str = "doc_id", shingle_col: str = "shingles"
+) -> DataFrame:
+    """SimHash as explode → 64 codegen bit projections → 64 grouped
+    sums → sign.  Same codegen-vs-interpreted rationale as
+    :func:`minhash_signature_df`; the shuffle after map-side combine is
+    |docs| × 64 ints.  Output: (id, bv array<long> of 64 bits).
+    """
+    ex = df.select(id_col, F.explode(shingle_col).alias("t"))
+    h = F.md5("t")
+    # materialize the halves in their own projection: they are re-read
+    # 32× each by the bit columns, and CollapseProject keeps non-cheap
+    # multi-referenced aliases as a separate stage (no md5 re-eval)
+    halves = ex.select(
+        id_col,
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("w1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("w2"),
+    )
+    bit_cols = []
+    for i in range(64):
+        v, k = (F.col("w1"), 31 - i) if i < 32 else (F.col("w2"), 63 - i)
+        bit_cols.append((((v / F.lit(float(2**k))).cast("long") % 2) * 2 - 1).alias(f"b{i}"))
+    contrib = halves.select(id_col, *bit_cols)
+    summed = contrib.groupBy(id_col).agg(
+        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(64)]
+    )
+    sign = [
+        F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        for i in range(64)
+    ]
+    return summed.select(id_col, F.array(*sign).alias("bv"))
 
 
 def candidate_pairs(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -154,25 +242,21 @@ def verify_jaccard(
 # --------------------------------------------------------------------------
 
 
-def _md5_bits64(tok: Column) -> Column:
-    """First 64 bits of md5(token) as an array of 64 ±1 contributions.
-
-    Hex → two 32-bit halves via ``conv`` (codegen); bit ``i`` extracted
-    arithmetically (``div 2^k % 2``) because ``shiftright`` needs a
-    literal shift amount.
-    """
-    h = F.md5(tok)
-    v1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-    v2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+def _bits_from_halves(h: Column) -> Column:
+    """±1 contributions for the 64 bits of a (v1, v2) 32-bit-halves
+    struct (MSB-first).  Bit ``i`` is extracted arithmetically
+    (``div 2^k % 2``) because ``shiftright`` needs a literal shift
+    amount; the divisors come from a literal array so the inner lambda
+    is two integer ops + a lookup."""
+    div = F.array(*[F.lit(2 ** (31 - k)) for k in range(32)])
 
     def bit(v: Column, i: Column) -> Column:
-        # i in [0,31], MSB-first: (v div 2^(31-i)) % 2
-        return (v / F.pow(F.lit(2.0), 31 - i)).cast("long") % 2
+        return (v / F.element_at(div, i + 1)).cast("long") % 2
 
     return F.transform(
         F.sequence(F.lit(0), F.lit(63)),
         lambda i: (
-            F.when(i < 32, bit(v1, i)).otherwise(bit(v2, i - 32)) * 2 - 1
+            F.when(i < 32, bit(h["v1"], i)).otherwise(bit(h["v2"], i - 32)) * 2 - 1
         ).cast("long"),
     )
 
@@ -181,13 +265,25 @@ def simhash64(tokens: Column) -> Column:
     """64-bit SimHash over a token array as an array<long> of 64 bits
     (MSB-first, 1 where the summed ±1 contributions are positive).
 
-    ``aggregate`` + ``zip_with`` keeps the whole reduction inside one
-    codegen stage per row — no explode, no shuffle, no Python.
+    The md5 of each token is materialized ONCE into a (v1, v2)
+    halves-struct array before bit expansion — Catalyst does not CSE
+    inside higher-order-function lambdas, so inlining the md5 into the
+    per-bit lambda would recompute it 64× per token (measured ~20×
+    slower at sf0.1).  ``aggregate`` + ``zip_with`` then keeps the whole
+    reduction inside one codegen stage per row — no explode, no
+    shuffle, no Python.
     """
-    summed = F.aggregate(
+    halves = F.transform(
         F.array_distinct(tokens),
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("v1"),
+            F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("v2"),
+        ),
+    )
+    summed = F.aggregate(
+        halves,
         F.expr("array_repeat(0L, 64)"),
-        lambda acc, t: F.zip_with(acc, _md5_bits64(t), lambda x, y: x + y),
+        lambda acc, h: F.zip_with(acc, _bits_from_halves(h), lambda x, y: x + y),
     )
     return F.transform(summed, lambda s: F.when(s > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
 

