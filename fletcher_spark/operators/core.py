@@ -71,12 +71,23 @@ def set_where(df: DataFrame, col: str, cond: Column, value) -> DataFrame:
     return df.withColumn(col, F.when(cond, F.lit(value)).otherwise(F.col(col)))
 
 
+#: key lists at or below this size go through a literal IN predicate,
+#: which Catalyst pushes into the parquet scan (PushedFilters: In(...))
+#: — the scan prunes row groups instead of reading the whole table.
+ISIN_PUSHDOWN_MAX = 1000
+
+
 def take_by_key(df: DataFrame, key: str, keys: Sequence) -> DataFrame:
     """Keyed gather — the distributed replacement for positional ``take``.
 
-    The key list is broadcast (it is user-supplied and small), so the
-    big side never shuffles; semi-join keeps exactly the wanted rows.
+    Small key lists become a literal ``isin`` filter so the predicate
+    reaches the parquet reader (row-group pruning via min/max stats —
+    at 100× scale the difference between scanning 6 keys and scanning
+    the table).  Larger lists fall back to a broadcast semi-join, which
+    still never shuffles the big side but cannot prune the scan.
     """
+    if len(keys) <= ISIN_PUSHDOWN_MAX:
+        return df.filter(F.col(key).isin(list(keys)))
     spark = df.sparkSession
     keys_df = spark.createDataFrame([(k,) for k in keys], [key])
     return df.join(F.broadcast(keys_df), key, "left_semi")

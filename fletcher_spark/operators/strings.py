@@ -578,3 +578,22 @@ def istitle(col: Column | str) -> Column:
     Python ``istitle`` (consecutive uppercase rejected, e.g. 'WORLD')."""
     c = _c(col)
     return c.rlike(r"^[^\p{L}]*\p{Lu}\p{Ll}*(?:[^\p{L}]+\p{Lu}\p{Ll}*)*[^\p{L}]*$")
+
+
+def split(col: Column | str, sep: str, maxsplit: int = -1) -> Column:
+    """Python ``str.split(sep, maxsplit)`` → array<string> (split from
+    the LEFT; remainder stays joined in the last element)."""
+    return F.split(_c(col), "\\Q" + sep + "\\E", maxsplit + 1 if maxsplit >= 0 else -1)
+
+
+def rsplit(col: Column | str, sep: str, maxsplit: int = -1) -> Column:
+    """Python ``str.rsplit`` via the reverse trick: reverse the string,
+    left-split on the reversed separator with the same limit, then
+    reverse both the array order and each element — pure Catalyst
+    (pandas fallback tier in the reference,
+    /root/reference/tests/test_text.py:693)."""
+    if maxsplit < 0:
+        return split(col, sep, -1)
+    rev = F.reverse(_c(col))
+    parts = F.split(rev, "\\Q" + sep[::-1] + "\\E", maxsplit + 1)
+    return F.reverse(F.transform(parts, F.reverse))

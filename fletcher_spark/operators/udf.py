@@ -124,3 +124,55 @@ def swapcase(col: Column) -> Column:
     """Full-Unicode swapcase; the JVM tier (operators/strings.py) is
     ASCII-only via translate."""
     return apply_unary_str(str.swapcase, "string")(col)
+
+
+# --------------------------------------------------------------------------
+# UDAF / UDTF surface (SURVEY.md §2.7 host-provided row)
+# --------------------------------------------------------------------------
+
+
+def grouped_agg(func: Callable[[pd.Series], object], output_type: str = "double"):
+    """Arrow-vectorized user aggregate (pandas_udf GROUPED_AGG): the
+    whole group's column arrives as one pd.Series per partition-group.
+
+    The reference has no UDAF surface (SURVEY.md §2.7 host row) — Spark
+    supplies partial aggregation + shuffle; the Python function only
+    sees final per-group batches.
+    """
+    return pandas_udf(func, output_type, "grouped_agg")  # type: ignore[call-overload]
+
+
+def geometric_mean(col: Column) -> Column:
+    """Demo UDAF: per-group geometric mean (SQL-checkable as
+    exp(avg(ln(x))), which the oracle uses)."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def _geomean(v: pd.Series) -> float:
+        v = v.dropna()
+        if len(v) == 0:
+            return None
+        return float(np.exp(np.log(v.astype("float64")).mean()))
+
+    # pandas_udf with a scalar return type infers GROUPED_AGG from the
+    # function signature (Series -> scalar)
+    return _geomean(col)
+
+
+def make_split_words_udtf(spark):
+    """Demo Python UDTF (Spark 4): one output row per whitespace token
+    with its index — the table-function shape (posexplode equivalent,
+    used where per-row fan-out needs imperative Python).  Registered as
+    ``split_words`` for SQL use; tests/test_udf.py pins behavior."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx: int, word: string")
+    class SplitWords:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, w in enumerate(text.split()):
+                yield i, w
+
+    spark.udtf.register("split_words", SplitWords)
+    return SplitWords

@@ -441,3 +441,28 @@ def slice_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     out = C.slice_rows(docs, [F.asc("doc_id")], 50, 150)
     return out.select("doc_id", "source")
+
+
+@query(
+    "udf_grouped_geomean",
+    oracle="""
+SELECT l_returnflag,
+       round(exp(avg(ln(l_quantity))), 4) AS geo_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def udf_grouped_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF surface (SURVEY.md §2.7 host row): per-group geometric mean
+    as an Arrow GROUPED_AGG pandas_udf (operators/udf.py:geometric_mean).
+    Spark shuffles on the group key and hands each group's column to
+    Python as one Arrow batch; the oracle checks the same statistic via
+    exp(avg(ln(x))).  Python tier by design — the SQL identity is the
+    fast path when exactness suffices."""
+    from fletcher_spark.operators import udf as U
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(U.geometric_mean(F.col("l_quantity")), 4).alias("geo_qty"))
+    )

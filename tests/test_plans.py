@@ -1,0 +1,109 @@
+"""Plan-shape assertions: the properties that make queries survive a
+100× scale-up, checked against the optimized/physical plans so a
+regression (lost pushdown, lost broadcast, surprise global sort,
+accidental cartesian) fails CI — not just a slow bench.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fletcher_spark.queries import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def plan(spark, name: str) -> str:
+    df = registry.QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized(spark, name: str) -> str:
+    df = registry.QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_take_by_key_pushes_in_filter(spark):
+    """The literal key list must reach the parquet reader as a pushed
+    IN filter (row-group pruning), not a join."""
+    p = plan(spark, "take_by_key")
+    assert "PushedFilters: [In(doc_id" in p, p
+
+
+def test_tpch_q1_pushes_shipdate_filter(spark):
+    p = plan(spark, "q1_pricing_summary")
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1][:200], p
+
+
+def test_q3_broadcasts_customer_dim(spark):
+    """q3 filters customer to one segment — must broadcast it, never
+    shuffle lineitem on the dim key."""
+    p = plan(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_q3_top_k_not_global_sort(spark):
+    p = plan(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_map_only_queries_have_no_exchange(spark):
+    """Pure column-compute queries are scan→project; any Exchange is a
+    planning regression (these run at 100 TB as embarrassingly-parallel
+    maps)."""
+    for name in (
+        "arith_null_propagation",
+        "comparison_ops",
+        "cast_astype",
+        "str_predicates",
+        "str_slice_substr",
+        "text_stats",
+        "mm_binary_features",
+        "list_take_ops",
+    ):
+        p = plan(spark, name)
+        assert "Exchange" not in p, f"{name} plans a shuffle:\n{p}"
+
+
+def test_string_queries_read_only_needed_columns(spark):
+    """Column pruning: a 2-column projection must not scan 5 columns."""
+    p = plan(spark, "str_predicates")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p, p
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """LSH/blocking designs exist precisely to avoid all-pairs; a
+    CartesianProduct in any dedup plan is a design regression.
+    (ann brute-force is the documented exception: broadcast NL join.)"""
+    for name in ("dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_ngram_jaccard"):
+        p = plan(spark, name)
+        assert "CartesianProduct" not in p, f"{name}:\n{p}"
+
+
+def test_ann_brute_force_is_broadcast_nested_loop(spark):
+    p = plan(spark, "ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_factorize_stays_jvm_side(spark):
+    """The round-1 regression: factorize must not plan a Python RDD hop
+    (no BatchEvalPython / no rdd scan) and must broadcast the dict."""
+    p = plan(spark, "factorize_dense_codes")
+    assert "BatchEvalPython" not in p and "ExistingRDD" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_full_table_outputs_have_no_global_sort(spark):
+    """Round-1 advice item: verification-only global sorts are gone."""
+    for name in ("arith_null_propagation", "comparison_ops", "cast_astype",
+                 "window_lag_lead", "fillna_ffill_bfill", "sessionize_events"):
+        p = plan(spark, name)
+        assert "rangepartitioning" not in p.lower(), f"{name} global-sorts:\n{p}"
+
+
+def test_events_windows_aggregate_before_shuffle(spark):
+    """Map-side combine: the window aggregate must plan partial+final
+    HashAggregate around the exchange."""
+    p = plan(spark, "events_window_tumbling")
+    assert p.count("HashAggregate") >= 2, p

@@ -291,3 +291,9 @@ def test_cat_null_propagation(spark):
 
 def test_length(sdf):
     check(sdf, S.length("s"), len)
+
+def test_split_rsplit(sdf):
+    check(sdf, S.split("s", " ", 1), lambda s: s.split(" ", 1))
+    check(sdf, S.rsplit("s", " ", 1), lambda s: s.rsplit(" ", 1))
+    check(sdf, S.rsplit("s", "a", 2), lambda s: s.rsplit("a", 2))
+    check(sdf, S.split("s", "b"), lambda s: s.split("b"))

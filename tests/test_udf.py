@@ -61,3 +61,29 @@ def test_apply_binary_str_null_merge(spark):
     )
     out = run(df.coalesce(1), U.prefix_length(F.col("a"), F.col("b")))
     assert out == [2, None, None, 0]
+
+
+def test_grouped_agg_geomean(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 8.0), ("b", 3.0), ("b", None)], ["k", "v"]
+    )
+    from pyspark.sql import functions as F2
+
+    out = {
+        r["k"]: r["g"]
+        for r in df.groupBy("k").agg(U.geometric_mean(F2.col("v")).alias("g")).collect()
+    }
+    assert abs(out["a"] - 4.0) < 1e-9
+    assert abs(out["b"] - 3.0) < 1e-9
+
+
+def test_udtf_split_words(spark):
+    U.make_split_words_udtf(spark)
+    rows = spark.sql(
+        "SELECT * FROM split_words('hello spark world')"
+    ).collect()
+    assert [(r["idx"], r["word"]) for r in rows] == [
+        (0, "hello"), (1, "spark"), (2, "world"),
+    ]
