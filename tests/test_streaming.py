@@ -51,3 +51,37 @@ def test_stream_matches_batch(spark, name, fn):
         q.stop()
     assert got == expected
     assert len(got) > 0
+
+
+def test_stateful_profile_matches_batch(spark):
+    """applyInPandasWithState running profile: after consuming the whole
+    stream (availableNow), per-user state must equal the batch
+    groupBy aggregate."""
+    from pyspark.sql import functions as F
+
+    from fletcher_spark.streaming.stateful import running_user_profile
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    expected = _rows(
+        ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 4).alias("total_value"),
+            F.max("ts_us").alias("last_ts_us"),
+        )
+    )
+
+    stream = running_user_profile(stream_events(spark, SF_DIR))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stateful_profile")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = _rows(spark.sql("SELECT * FROM stateful_profile"))
+    finally:
+        q.stop()
+    assert got == expected
+    assert len(got) > 0
