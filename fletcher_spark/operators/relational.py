@@ -87,18 +87,22 @@ def asof_join(
     shuffle on ``by``; no range join, no cross product.  This is the
     plan that survives 100×: cost is a sort within each key group.
 
-    ``right_cols`` maps right column → output alias.
+    ``right_cols`` maps right column → output alias.  ``tolerance``
+    (same units as ``ts``) nulls matches older than ``left.ts -
+    tolerance`` — pandas ``merge_asof(tolerance=...)`` semantics —
+    implemented by also carrying the matched right timestamp through
+    the window and masking stale matches afterward (no extra shuffle).
     """
-    if tolerance is not None:
-        raise NotImplementedError("tolerance pruning lands with the streaming variant")
     lcols = left.columns
     l_tag = left.withColumn("__is_left", F.lit(1))
     for rc, alias in right_cols.items():
         l_tag = l_tag.withColumn(f"__r_{alias}", F.lit(None).cast(right.schema[rc].dataType))
+    l_tag = l_tag.withColumn("__r_ts", F.lit(None).cast(right.schema[ts].dataType))
     r_tag = right.select(
         F.col(by),
         F.col(ts),
         F.lit(0).alias("__is_left"),
+        F.col(ts).alias("__r_ts"),
         *[F.col(rc).alias(f"__r_{alias}") for rc, alias in right_cols.items()],
     )
     for c in lcols:
@@ -114,9 +118,13 @@ def asof_join(
     out = unioned
     for rc, alias in right_cols.items():
         out = out.withColumn(alias, F.last(f"__r_{alias}", ignorenulls=True).over(w))
-    return out.filter(F.col("__is_left") == 1).select(
-        *lcols, *[F.col(a) for a in right_cols.values()]
-    )
+    out = out.withColumn("__m_ts", F.last("__r_ts", ignorenulls=True).over(w))
+    out = out.filter(F.col("__is_left") == 1)
+    if tolerance is not None:
+        stale = F.col("__m_ts") < (F.col(ts) - tolerance)
+        for alias in right_cols.values():
+            out = out.withColumn(alias, F.when(~stale, F.col(alias)))
+    return out.select(*lcols, *[F.col(a) for a in right_cols.values()])
 
 
 def sessionize(

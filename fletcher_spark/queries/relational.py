@@ -369,3 +369,42 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.withColumn("session_id", F.sum(new_s).over(w_cum).cast("long")).select(
         "event_id", "user_id", "session_id"
     )
+
+
+@query(
+    "asof_join_tolerance",
+    oracle="""
+SELECT
+  e1.event_id,
+  e1.user_id,
+  (SELECT max(epoch_us(e2.ts)) FROM events e2
+   WHERE e2.user_id = e1.user_id
+     AND e2.event_type = 'click'
+     AND e2.ts <= e1.ts
+     AND e2.ts >= e1.ts - INTERVAL '15 minutes') AS recent_click_us
+FROM events e1
+WHERE e1.event_type = 'purchase'
+""",
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with tolerance (pandas merge_asof(tolerance=...)):
+    matches older than 15 minutes are nulled.  Same union+window plan as
+    the unbounded variant — the tolerance is a post-window mask, not an
+    extra shuffle (operators/relational.py:asof_join)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", F.col("ts_us").alias("click_ts_us")
+    )
+    out = R.asof_join(
+        purchases,
+        clicks,
+        ts="ts_us",
+        by="user_id",
+        right_cols={"click_ts_us": "recent_click_us"},
+        tolerance=F.lit(15 * 60 * 1_000_000),
+    )
+    return out.select("event_id", "user_id", "recent_click_us")

@@ -152,3 +152,33 @@ def test_median_approx_close(spark):
         A.median("x").alias("m"), A.median_approx("x").alias("a")
     ).collect()[0]
     assert abs(exact - approx) <= 1.0
+
+
+def test_salted_aggregation_matches_direct(spark):
+    """Skew-salted two-phase aggregates must equal their direct forms."""
+    from fletcher_spark.io import load_tables
+    from fletcher_spark.operators import skew
+    from tests.conftest import SF_DIR
+
+    ev = load_tables(spark, SF_DIR)["events"].select("user_id", "event_type")
+
+    direct_counts = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted_counts = {
+        r["user_id"]: r["n"] for r in skew.salted_count(ev, "user_id").collect()
+    }
+    assert salted_counts == direct_counts
+
+    direct_distinct = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("n"))
+        .collect()
+    }
+    salted_distinct = {
+        r["user_id"]: r["n_distinct"]
+        for r in skew.salted_distinct_count(ev, "user_id", "event_type").collect()
+    }
+    assert salted_distinct == direct_distinct
