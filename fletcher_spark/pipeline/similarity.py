@@ -123,16 +123,23 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
+    # norms once per vector (array folds are interpreted — folding a·a
+    # and b·b per PAIR would triple the hot-loop cost); cosine per pair
+    # is then a single dot + one division
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qnorm"),
     )
     v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        l2_norm(F.col(vec_col)).alias("nnorm"),
     )
     scored = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
+        .withColumn("cos", dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (

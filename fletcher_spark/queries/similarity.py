@@ -142,12 +142,20 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    vq = b.select(F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"))
-    vn = b.select(F.col("vec_id").alias("neighbor_id"), F.col("ev").alias("nv"))
+    vq = b.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ev").alias("qv"),
+        SIM.l2_norm(F.col("ev")).alias("qn"),
+    )
+    vn = b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("ev").alias("nv"),
+        SIM.l2_norm(F.col("ev")).alias("nn"),
+    )
     scored = (
         cand.join(F.broadcast(vq), "query_id")
         .join(vn, "neighbor_id")
-        .withColumn("cos", SIM.cosine(F.col("qv"), F.col("nv")))
+        .withColumn("cos", SIM.dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -227,10 +235,12 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "qv", "label")
     )
 
+    vn = v.withColumn("nn", SIM.l2_norm(F.col("ev")))
+    probe_n = probe.withColumn("qn", SIM.l2_norm(F.col("qv")))
     scored = (
-        v.join(F.broadcast(probe), "label")
+        vn.join(F.broadcast(probe_n), "label")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", SIM.cosine(F.col("qv"), F.col("ev")))
+        .withColumn("cos", SIM.dot(F.col("qv"), F.col("ev")) / (F.col("qn") * F.col("nn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
