@@ -447,3 +447,39 @@ def udf_wrap_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         U.normalize(F.col("lang"), "NFC").alias("lang_nfc"),
         U.casefold(F.col("source")).alias("src_cf"),
     )
+
+
+@query(
+    "str_rsplit_translate",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, text, source,
+         length(text) - strpos(reverse(text), ' ') + 1 AS lastsp
+  FROM documents
+)
+SELECT
+  doc_id,
+  text[1:lastsp - 1]                       AS rsplit_head,
+  text[lastsp + 1:]                        AS rsplit_tail,
+  translate(text[1:40], 'aeiou', 'AEIOU')  AS translated,
+  translate(source, 'src', '')             AS deleted,
+  repeat(source, 3)                        AS rep3
+FROM t
+""",
+)
+def str_rsplit_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rsplit (maxsplit=1, reverse+split-limit trick — pandas fallback
+    tier, /root/reference/tests/test_text.py:693), translate with both
+    mapping and deletion (fletcher string_mixin translate row), repeat.
+    The oracle derives rsplit positions from the last-space reverse
+    scan — same construction, independent engine."""
+    d = load_tables(spark, sf_dir)["documents"]
+    parts = S.rsplit("text", " ", 1)
+    return d.select(
+        "doc_id",
+        F.element_at(parts, 1).alias("rsplit_head"),
+        F.element_at(parts, 2).alias("rsplit_tail"),
+        S.translate(S.slice_codepoints("text", 0, 40), {"a": "A", "e": "E", "i": "I", "o": "O", "u": "U"}).alias("translated"),
+        S.translate("source", {"s": None, "r": None, "c": None}).alias("deleted"),
+        S.repeat("source", 3).alias("rep3"),
+    )
