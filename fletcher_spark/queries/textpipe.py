@@ -165,3 +165,132 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp_short")
     )
+
+
+@query(
+    "pipeline_curate_corpus",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, text, lang, string_split_regex(text, '\\s+') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, text, lang, toks,
+    (least(len(toks) / 50.0, 1.0)
+     + len(list_distinct(toks))::DOUBLE / len(toks)
+     + least(len(list_filter(toks, x -> list_contains(['the','a','of','and'], x)))::DOUBLE
+             / len(toks) * 5, 1.0)
+     + CASE WHEN list_reduce(list_transform(toks, x -> length(x)::BIGINT), (a,b)->a+b)::DOUBLE
+                 / len(toks) BETWEEN 3 AND 8 THEN 1.0 ELSE 0.0 END) / 4 AS quality
+  FROM t
+),
+kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+-- exact dedup on the canonical-form fingerprint, keep-min
+fp AS (
+  SELECT *, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+  FROM kept
+),
+keepers AS (
+  SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp
+),
+exact_kept AS (
+  SELECT f.* FROM fp f JOIN keepers k ON f.fp = k.fp AND f.doc_id = k.keep_id
+),
+-- near-dup removal: drop the higher doc_id of every minhash-LSH pair
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) >= 3
+      THEN list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [array_to_string(toks, ' ')] END) AS s
+  FROM exact_kept
+),
+hv AS (
+  SELECT doc_id, s,
+         list_transform(s, x -> ('0x' || substr(md5(x), 1, 14))::BIGINT) AS v1,
+         list_transform(s, x -> ('0x' || substr(md5(x), 15, 14))::BIGINT) AS v2
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, s, [
+    {minhashes}
+  ] AS sg
+  FROM hv
+),
+bands AS (
+  SELECT doc_id, b.band AS band,
+         md5(sg[b.band*3+1]::VARCHAR || '|' || sg[b.band*3+2]::VARCHAR || '|' || sg[b.band*3+3]::VARCHAR) AS key
+  FROM sig, (SELECT unnest([0,1,2,3]) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+  FROM bands a
+  JOIN bands b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+),
+near_dupes AS (
+  SELECT DISTINCT id2 AS doc_id
+  FROM cand
+  JOIN sh s1 ON s1.doc_id = id1
+  JOIN sh s2 ON s2.doc_id = id2
+  WHERE len(list_intersect(s1.s, s2.s))::DOUBLE
+        / len(list_distinct(list_concat(s1.s, s2.s))) >= 0.5
+)
+SELECT e.doc_id, e.lang, round(e.quality, 4) AS quality, e.fp
+FROM exact_kept e
+LEFT JOIN near_dupes nd ON e.doc_id = nd.doc_id
+WHERE nd.doc_id IS NULL
+""".format(
+        minhashes=",\n    ".join(
+            "list_min(list_transform(range(1, len(s) + 1), "
+            f"i -> (v1[i] + {j} * v2[i]) % 2305843009213693951))"
+            for j in range(12)
+        )
+    ),
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE composed Catalyst plan — the
+    flagship LLM-data query: quality filter (≥0.5) → exact dedup on the
+    canonical fingerprint (keep-min) → MinHash-LSH near-dup removal
+    (drop the higher doc_id of each verified J≥0.5 pair) → curated
+    (doc_id, lang, quality, fingerprint).
+
+    Composes pipeline/textpipe.py and pipeline/dedup.py unchanged —
+    each stage is a DataFrame-in/DataFrame-out transformation, so the
+    optimizer sees the whole pipeline (quality filter pushes below
+    shingling; only survivors are sketched).  Shuffles: fingerprint
+    group, minhash aggregate, band bucket join, anti join — each keyed,
+    each map-side combined where algebraic.
+    """
+    from fletcher_spark.pipeline import dedup as D
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = T.tokens("text")
+
+    kept = d.select(
+        "doc_id", "text", "lang", T.quality_score("text").alias("quality")
+    ).filter(F.col("quality") >= 0.5)
+
+    fp = kept.withColumn("fp", T.fingerprint(T.tokens("text")))
+    keepers = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id")).alias("k")
+    fpa = fp.alias("f")
+    exact_kept = fpa.join(
+        keepers,
+        (F.col("f.fp") == F.col("k.fp")) & (F.col("f.doc_id") == F.col("k.keep_id")),
+    ).select(
+        F.col("f.doc_id").alias("doc_id"),
+        F.col("f.text").alias("text"),
+        F.col("f.lang").alias("lang"),
+        F.col("f.quality").alias("quality"),
+        F.col("f.fp").alias("fp"),
+    )
+
+    sh = exact_kept.select("doc_id", D.word_shingles("text", 3).alias("shingles"))
+    sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
+    banded = sig.select("doc_id", D.lsh_band_keys(F.col("sig"), 4, 3).alias("band_keys"))
+    pairs = D.candidate_pairs(banded, "doc_id")
+    near = D.verify_jaccard(pairs, sh, "doc_id", "shingles", 0.5)
+    dupes = near.select(F.col("id2").alias("doc_id")).distinct()
+
+    return exact_kept.join(dupes, "doc_id", "left_anti").select(
+        "doc_id", "lang", F.round("quality", 4).alias("quality"), "fp"
+    )

@@ -85,3 +85,29 @@ def test_stateful_profile_matches_batch(spark):
         q.stop()
     assert got == expected
     assert len(got) > 0
+
+
+def test_streaming_exact_dedup(spark):
+    """Streaming exact dedup: dropDuplicatesWithinWatermark on a key
+    derived from the payload — the streaming twin of dedup_exact.
+    availableNow over a bounded source must keep exactly one row per
+    key (state bounded by the watermark horizon at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    ev = stream_events(spark, SF_DIR)
+    keyed = ev.withColumn("k", F.col("user_id") % 50)
+    deduped = W.with_watermark(keyed, "ts", "10 days").dropDuplicatesWithinWatermark(["k"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        rows = spark.sql("SELECT k, count(*) n FROM stream_dedup GROUP BY k").collect()
+    finally:
+        q.stop()
+    assert len(rows) > 0
+    assert all(r["n"] == 1 for r in rows)
