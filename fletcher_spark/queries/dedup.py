@@ -263,3 +263,80 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.7)
         .select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def _build_emb_cos_oracle() -> str:
+    """Shares the similarity module's LSH oracle fragments so the
+    Spark plan and the SQL replay use identical hyperplanes."""
+    from fletcher_spark.queries.similarity import _N_TABLES, _duck_cos, _duck_table_key
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, ev,
+         {", ".join(f"{_duck_table_key('ev', t)} AS t{t}" for t in range(_N_TABLES))}
+  FROM v
+),
+bx AS (
+  {" UNION ALL ".join(f"SELECT vec_id, {t} AS band, t{t} AS key FROM b" for t in range(_N_TABLES))}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+  FROM bx a JOIN bx c ON a.band = c.band AND a.key = c.key AND a.vec_id < c.vec_id
+),
+s AS (
+  SELECT id1, id2, {_duck_cos("x.ev", "y.ev")} AS cos
+  FROM cand JOIN v x ON x.vec_id = id1 JOIN v y ON y.vec_id = id2
+)
+SELECT id1, id2, round(cos, 6) AS cos FROM s WHERE cos >= 0.35
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_build_emb_cos_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: semantic duplicate pairs (cos ≥ 0.35
+    — calibrated to this near-uniform corpus; real embedding spaces use
+    ~0.9) found via the SAME multi-table sign-LSH candidate machinery
+    as the ANN queries — candidates only, never all-pairs, then exact
+    cosine verification.  Completes the dedup family: exact, MinHash,
+    SimHash, n-gram Jaccard, embedding-cosine."""
+    from fletcher_spark.pipeline import similarity as SIM
+    from fletcher_spark.queries.similarity import _PLANES, _PLANES_PER_TABLE
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    b = e.select(
+        "vec_id",
+        F.col("embedding").alias("ev"),
+        SIM.lsh_table_keys(F.col("embedding"), _PLANES, _PLANES_PER_TABLE).alias("tkeys"),
+    )
+    ex = b.select("vec_id", F.explode("tkeys").alias("bk")).select(
+        "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = ex.alias("a")
+    c = ex.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.key") == F.col("c.key"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id1"), F.col("c.vec_id").alias("id2"))
+        .distinct()
+    )
+    v1 = b.select(
+        F.col("vec_id").alias("id1"), F.col("ev").alias("e1"), SIM.l2_norm(F.col("ev")).alias("n1")
+    )
+    v2 = b.select(
+        F.col("vec_id").alias("id2"), F.col("ev").alias("e2"), SIM.l2_norm(F.col("ev")).alias("n2")
+    )
+    return (
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn("cos", SIM.dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")))
+        .filter(F.col("cos") >= 0.35)
+        .select("id1", "id2", F.round("cos", 6).alias("cos"))
+    )

@@ -107,3 +107,21 @@ def test_events_windows_aggregate_before_shuffle(spark):
     HashAggregate around the exchange."""
     p = plan(spark, "events_window_tumbling")
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_partitioned_write_prunes_reads(spark, tmp_path):
+    """Hive-partitioned sinks (io.write_parquet partition_by) must yield
+    PartitionFilters at read time — at 100 TB the difference between
+    listing one directory and scanning the table."""
+    from fletcher_spark.io import load_tables, write_parquet
+
+    ev = load_tables(spark, SF_DIR)["events"].select("event_id", "event_type", "value")
+    path = str(tmp_path / "events_by_type")
+    write_parquet(ev, path, partition_by=["event_type"])
+
+    from pyspark.sql import functions as F
+
+    rd = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    p = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in p and "event_type" in p.split("PartitionFilters")[1][:120], p
+    assert rd.count() > 0
