@@ -171,7 +171,10 @@ def simhash_df(
     bit_cols = []
     for i in range(64):
         v, k = (F.col("w1"), 31 - i) if i < 32 else (F.col("w2"), 63 - i)
-        bit_cols.append((((v / F.lit(float(2**k))).cast("long") % 2) * 2 - 1).alias(f"b{i}"))
+        # literal shift amounts → shiftright/AND stay pure integer ops
+        bit_cols.append(
+            ((F.shiftright(v, k).bitwiseAND(F.lit(1))) * 2 - 1).cast("long").alias(f"b{i}")
+        )
     contrib = halves.select(id_col, *bit_cols)
     summed = contrib.groupBy(id_col).agg(
         *[F.sum(f"b{i}").alias(f"b{i}") for i in range(64)]

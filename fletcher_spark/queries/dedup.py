@@ -108,7 +108,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists (pipeline/dedup.py:candidate_pairs).
     """
     d = load_tables(spark, sf_dir)["documents"]
-    sh = d.select("doc_id", D.word_shingles("text", 3).alias("shingles"))
+    # shingles feed both the signature and the verify join; the diamond
+    # would otherwise recompute the shingling sub-DAG per consumer
+    sh = d.select("doc_id", D.word_shingles("text", 3).alias("shingles")).persist()
     sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
     banded = sig.select("doc_id", D.lsh_band_keys(F.col("sig"), 4, 3).alias("band_keys"))
     pairs = D.candidate_pairs(banded, "doc_id")
@@ -170,7 +172,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_tables(spark, sf_dir)["documents"]
     sh = d.select("doc_id", D.word_shingles("text", 3).alias("shingles"))
-    bits = D.simhash_df(sh, "doc_id", "shingles")
+    # the signature table (|docs| x 64 longs) fans out to banding and
+    # BOTH sides of the pair join — persist it or the explode+64-sum
+    # sub-DAG compiles and runs three times (measured 3x wall)
+    bits = D.simhash_df(sh, "doc_id", "shingles").persist()
     banded = bits.select("doc_id", D.simhash_chunks(F.col("bv"), 8).alias("band_keys"))
     pairs = D.candidate_pairs(banded, "doc_id")
     b1 = bits.select(F.col("doc_id").alias("id1"), F.col("bv").alias("bv1"))

@@ -97,3 +97,44 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         epoch_seconds("s_start").alias("s_start_s"), "user_id", "n_events"
     )
+
+
+@query(
+    "events_json_props",
+    oracle="""
+SELECT
+  event_type,
+  count(*) AS n,
+  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+  max(CAST(json_extract_string(props, '$.k') AS BIGINT))           AS max_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+GROUP BY event_type
+""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column compute: parse the JSON ``props`` payload
+    with a typed schema (``from_json`` — JVM Jackson parser, codegen
+    downstream), filter on the extracted field, aggregate per type.
+    The schema-on-read path every event pipeline needs; the reference
+    has no JSON support (Spark-first addition).
+
+    Scale: parsing happens in the scan stage; the extracted column is
+    then an ordinary int (filter → partial+final agg).  A malformed row
+    yields NULL (PERMISSIVE mode), not a job failure.
+    """
+    from pyspark.sql import types as sqlt
+
+    ev = load_tables(spark, sf_dir)["events"]
+    schema = sqlt.StructType([sqlt.StructField("k", sqlt.LongType())])
+    k = F.from_json(F.col("props"), schema)["k"]
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
