@@ -177,8 +177,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
 FROM lineitem
-WHERE l_shipdate >= DATE '1994-01-01'
-  AND l_shipdate < DATE '1995-01-01'
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """,
@@ -193,8 +193,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"]
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("date"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -217,8 +217,8 @@ FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 JOIN nation   ON c_nationkey = n_nationkey
-WHERE o_orderdate >= DATE '1993-10-01'
-  AND o_orderdate < DATE '1994-01-01'
+WHERE o_orderdate >= DATE '1996-10-01'
+  AND o_orderdate < DATE '1997-01-01'
   AND l_returnflag = 'R'
 GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey
@@ -232,8 +232,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject."""
     t = load_tables(spark, sf_dir)
     orders = t["orders"].filter(
-        (F.col("o_orderdate") >= F.lit("1993-10-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1994-01-01").cast("date"))
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
     )
     li = t["lineitem"].filter(F.col("l_returnflag") == "R")
     return (
