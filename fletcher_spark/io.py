@@ -68,6 +68,25 @@ def to_arrow(df: DataFrame) -> pa.Table:
     return df.toArrow()
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan up to the session's task slots —
+    ONLY when the scan yields fewer partitions than slots.
+
+    Small-input guard for compute-heavy per-row work (shingling,
+    sketches, regex batteries, vector math): a single-row-group parquet
+    file arrives as ONE partition, serializing the whole map stage on
+    one core no matter how many slots exist.  At cluster scale a table
+    has thousands of splits, the gate is false, and this is the
+    identity — no shuffle is ever added to a big scan.  When it does
+    fire, the shuffle moves exactly the rows whose per-row compute
+    dominates the move cost.
+    """
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < slots:
+        return df.repartition(slots)
+    return df
+
+
 TPCH_TABLES = (
     "region",
     "nation",

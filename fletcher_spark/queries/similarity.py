@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fletcher_spark.io import load_tables
+from fletcher_spark.io import load_tables, spread
 from fletcher_spark.pipeline import similarity as SIM
 from fletcher_spark.queries.registry import query
 
@@ -36,8 +36,15 @@ def _duck_plane(row: list[int]) -> str:
     return "([" + ", ".join(f"{float(w)}" for w in row) + "]::DOUBLE[])"
 
 
-def _duck_table_key(vexpr: str, t: int) -> str:
-    rows = _PLANES[t * _PLANES_PER_TABLE : (t + 1) * _PLANES_PER_TABLE]
+def _duck_table_key(
+    vexpr: str,
+    t: int,
+    planes: list[list[int]] | None = None,
+    planes_per_table: int | None = None,
+) -> str:
+    planes = _PLANES if planes is None else planes
+    ppt = _PLANES_PER_TABLE if planes_per_table is None else planes_per_table
+    rows = planes[t * ppt : (t + 1) * ppt]
     cases = [
         f"CASE WHEN {_DOT.format(a=vexpr, b=_duck_plane(row))} >= 0 THEN '1' ELSE '0' END"
         for row in rows
@@ -74,7 +81,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline every ANN variant is measured against; O(|Q|·N) dot
     products, each a single codegen ``aggregate``/``zip_with`` — no
     Python, no explode."""
-    e = load_tables(spark, sf_dir)["embeddings"]
+    e = spread(load_tables(spark, sf_dir)["embeddings"])
     queries = e.filter(F.col("vec_id") % 50 == 0)
     out = SIM.brute_force_topk(e, queries, 5)
     return out.withColumn("rk", F.col("rk").cast("long"))
@@ -124,7 +131,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≈ 4·N/16 worst case, never the all-pairs product.  Recall-vs-exact
     is asserted in tests/test_pipeline.py (recall lever = more tables).
     """
-    e = load_tables(spark, sf_dir)["embeddings"]
+    e = spread(load_tables(spark, sf_dir)["embeddings"])
     b = e.select(
         "vec_id",
         F.col("embedding").alias("ev"),
@@ -209,7 +216,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode + (label, pos) grouping — a map-side-combined aggregate,
     never a per-vector Python loop.
     """
-    e = load_tables(spark, sf_dir)["embeddings"]
+    e = spread(load_tables(spark, sf_dir)["embeddings"])
     v = e.select("vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("ev"))
 
     # centroids: explode to (label, pos, val); partial+final avg; re-pack

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fletcher_spark.io import load_tables
+from fletcher_spark.io import load_tables, spread
 from fletcher_spark.pipeline import textpipe as T
 from fletcher_spark.queries.registry import query
 
@@ -136,7 +136,7 @@ def text_ngrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode → partial+final count aggregate → TakeOrderedAndProject.
     The one intentional shuffle in the text pipeline, keyed on the
     n-gram (map-side combine bounds it by distinct-gram count)."""
-    d = load_tables(spark, sf_dir)["documents"]
+    d = spread(load_tables(spark, sf_dir)["documents"])
     g = d.select(F.explode(T.ngrams(T.tokens("text"), 2)).alias("bigram"))
     return (
         g.groupBy("bigram")
@@ -263,7 +263,7 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from fletcher_spark.pipeline import dedup as D
 
-    d = load_tables(spark, sf_dir)["documents"]
+    d = spread(load_tables(spark, sf_dir)["documents"])
     toks = T.tokens("text")
 
     kept = d.select(
@@ -273,6 +273,10 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = kept.withColumn("fp", T.fingerprint(T.tokens("text")))
     keepers = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id")).alias("k")
     fpa = fp.alias("f")
+    # exact_kept feeds shingling AND the final anti-join, and sh feeds
+    # the signature AND both verify sides: persist both or the
+    # quality→fingerprint→keep-min sub-DAG re-executes per consumer
+    # (~5× measured at sf0.1)
     exact_kept = fpa.join(
         keepers,
         (F.col("f.fp") == F.col("k.fp")) & (F.col("f.doc_id") == F.col("k.keep_id")),
@@ -282,9 +286,9 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.lang").alias("lang"),
         F.col("f.quality").alias("quality"),
         F.col("f.fp").alias("fp"),
-    )
+    ).persist()
 
-    sh = exact_kept.select("doc_id", D.word_shingles("text", 3).alias("shingles"))
+    sh = exact_kept.select("doc_id", D.word_shingles("text", 3).alias("shingles")).persist()
     sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
     banded = sig.select("doc_id", D.lsh_band_keys(F.col("sig"), 4, 3).alias("band_keys"))
     pairs = D.candidate_pairs(banded, "doc_id")
