@@ -35,6 +35,7 @@ __all__ = [
     "verify_jaccard",
     "simhash64",
     "simhash_chunks",
+    "simhash_chunks_packed",
 ]
 
 
@@ -193,17 +194,24 @@ def simhash_df(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(f"p{g}").alias(f"p{g}") for g in range(16)],
     )
-    sign = [
-        F.when(
-            F.shiftright(F.col(f"p{i // 4}"), 16 * (i % 4)).bitwiseAND(F.lit(0xFFFF)) * 2
-            > F.col("n"),
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-        for i in range(64)
-    ]
-    return summed.select(id_col, F.array(*sign).alias("bv"))
+
+    def bit(i: int) -> Column:
+        cnt = F.shiftright(F.col(f"p{i // 4}"), 16 * (i % 4)).bitwiseAND(F.lit(0xFFFF))
+        return F.when(cnt * 2 > F.col("n"), F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+    # one packed word: bit i of the signature sits at position 63-i, so
+    # Hamming distance downstream is bit_count(sig XOR sig') — two
+    # codegen integer ops per pair instead of a 64-element array walk
+    sig = None
+    for i in range(64):
+        term = F.shiftleft(bit(i), 63 - i)
+        sig = term if sig is None else sig + term
+    with_sig = summed.select(id_col, sig.alias("sig"))
+    # bv kept for callers that want inspectable bits; derived from sig
+    # (column pruning elides it when unused).  SQL form because the
+    # Python shiftright wrapper only takes a literal shift amount.
+    bv = F.expr("transform(sequence(0, 63), i -> bigint(shiftright(sig, 63 - i) & 1))")
+    return with_sig.select(id_col, "sig", bv.alias("bv"))
 
 
 def candidate_pairs(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -328,6 +336,26 @@ def simhash_chunks(bits: Column, n_chunks: int = 8) -> Column:
             F.struct(
                 F.lit(k).alias("band"),
                 F.array_join(F.slice(bits, k * w + 1, w), "").alias("key"),
+            )
+            for k in range(n_chunks)
+        ]
+    )
+
+
+def simhash_chunks_packed(sig: Column, n_chunks: int = 8) -> Column:
+    """:func:`simhash_chunks` over the packed 64-bit signature: chunk k
+    is the integer ``(sig >>> (64 - (k+1)·w)) & (2^w − 1)`` — the same
+    bucket partition as the bit-string keys (identical index ranges,
+    bijective key mapping), but built from two integer ops instead of an
+    array slice + string join.  The ``& mask`` makes the arithmetic
+    shift's sign-fill irrelevant."""
+    w = 64 // n_chunks
+    mask = (1 << w) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.shiftright(sig, 64 - (k + 1) * w).bitwiseAND(F.lit(mask)).alias("key"),
             )
             for k in range(n_chunks)
         ]

@@ -165,33 +165,28 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk bucketing (pigeonhole: Hamming ≤ 7 ⇒ ≥1 shared chunk),
     Hamming ≤ 8 verification on candidates only.
 
-    The signature runs as explode → 64 codegen bit projections →
+    The signature runs as explode → packed-lane codegen projections →
     map-side-combined sums (pipeline/dedup.py:simhash_df) — the shuffle
-    is |docs|×64 ints; the oracle recomputes the identical md5-derived
-    bits in SQL.
+    is |docs|×16 longs; the oracle recomputes the identical md5-derived
+    bits in SQL.  Banding and verification both use the single packed
+    word: chunk keys are integer byte-slices and Hamming distance is
+    ``bit_count(sig XOR sig')`` — two codegen ops per candidate pair
+    (the 64-element array-walk formulation was ~50× more work per pair
+    across ~400k candidates).
     """
     d = spread(load_tables(spark, sf_dir)["documents"])
     sh = d.select("doc_id", D.word_shingles("text", 3).alias("shingles"))
-    # the signature table (|docs| x 64 longs) fans out to banding and
-    # BOTH sides of the pair join — persist it or the explode+64-sum
-    # sub-DAG compiles and runs three times (measured 3x wall)
-    bits = D.simhash_df(sh, "doc_id", "shingles").persist()
-    banded = bits.select("doc_id", D.simhash_chunks(F.col("bv"), 8).alias("band_keys"))
+    # the signature table fans out to banding and BOTH sides of the
+    # pair join — persist it or the explode+sum sub-DAG runs three times
+    bits = D.simhash_df(sh, "doc_id", "shingles").select("doc_id", "sig").persist()
+    banded = bits.select("doc_id", D.simhash_chunks_packed(F.col("sig"), 8).alias("band_keys"))
     pairs = D.candidate_pairs(banded, "doc_id")
-    b1 = bits.select(F.col("doc_id").alias("id1"), F.col("bv").alias("bv1"))
-    b2 = bits.select(F.col("doc_id").alias("id2"), F.col("bv").alias("bv2"))
+    b1 = bits.select(F.col("doc_id").alias("id1"), F.col("sig").alias("s1"))
+    b2 = bits.select(F.col("doc_id").alias("id2"), F.col("sig").alias("s2"))
     return (
         pairs.join(b1, "id1")
         .join(b2, "id2")
-        .withColumn(
-            "hamming",
-            F.size(
-                F.filter(
-                    F.zip_with("bv1", "bv2", lambda x, y: (x != y).cast("int")),
-                    lambda v: v == 1,
-                )
-            ).cast("long"),
-        )
+        .withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("long"))
         .filter(F.col("hamming") <= 8)
         .select("id1", "id2", "hamming")
     )
