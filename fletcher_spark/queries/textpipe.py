@@ -298,3 +298,139 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_kept.join(dupes, "doc_id", "left_anti").select(
         "doc_id", "lang", F.round("quality", 4).alias("quality"), "fp"
     )
+
+
+#: ASCII BPE-ish pre-tokenizer (GPT-2 shape without lookahead, so the
+#: identical pattern runs in Java regex AND DuckDB's RE2): a token is
+#: an optionally-space-prefixed letter run, digit run, or punctuation
+#: run.  Real BPE merges happen inside these pre-token boundaries, so
+#: the match count is the standard fast token-count estimate.
+_BPE_PAT = r" ?[0-9]+| ?[a-zA-Z]+| ?[^ 0-9a-zA-Z]+"
+
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+SELECT doc_id,
+  CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)        AS n_ws,
+  CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT)  AS n_bpe,
+  CAST(ceil(strlen(text) / 4.0) AS BIGINT)                     AS n_bytes4,
+  round(strlen(text)::DOUBLE
+        / len(regexp_extract_all(text, '{_BPE_PAT}')), 4)      AS chars_per_tok
+FROM documents
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways (builder brief: whitespace + BPE-ish
+    regex + bytes/4): all are scan-stage expressions — the cheap
+    pre-pass every training-data budget estimate runs before committing
+    to real tokenization.  ``regexp_count`` keeps the regex in the JVM;
+    the pattern is lookahead-free so the oracle runs it verbatim."""
+    d = load_tables(spark, sf_dir)["documents"]
+    n_bpe = F.regexp_count("text", F.lit(_BPE_PAT))
+    return d.select(
+        "doc_id",
+        F.size(T.tokens("text")).cast("long").alias("n_ws"),
+        n_bpe.cast("long").alias("n_bpe"),
+        F.ceil(F.octet_length("text") / 4.0).alias("n_bytes4"),
+        F.round(F.octet_length("text") / n_bpe, 4).alias("chars_per_tok"),
+    )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM t WHERE len(toks) >= 2
+),
+c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+p AS (SELECT doc_id, max(c) AS max_c, sum(c) AS n_bg FROM c GROUP BY doc_id),
+tg AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3
+      THEN list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [] END AS g
+  FROM t
+)
+SELECT tg.doc_id,
+  round(p.max_c::DOUBLE / p.n_bg, 4) AS top_bigram_share,
+  CASE WHEN len(tg.g) > 0
+    THEN round(1 - len(list_distinct(tg.g))::DOUBLE / len(tg.g), 4)
+    ELSE 0.0 END AS dup_trigram_frac
+FROM tg JOIN p ON tg.doc_id = p.doc_id
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: share of the doc's bigrams taken
+    by its single most-frequent bigram, and fraction of duplicated
+    trigrams.  The trigram term is a pure in-array expression; the
+    top-bigram mode needs a (doc_id, bigram) count — explode → two
+    map-side-combined aggregates keyed on the doc, so the shuffle is
+    bounded by distinct (doc, bigram) pairs and parallelism is by doc,
+    never a corpus-global structure."""
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    t = d.select("doc_id", T.tokens("text").alias("toks"))
+    bg = t.filter(F.size("toks") >= 2).select(
+        "doc_id", F.explode(T.ngrams(F.col("toks"), 2)).alias("bg")
+    )
+    per_doc = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_c"), F.sum("c").alias("n_bg"))
+    )
+    tg = T.ngrams(F.col("toks"), 3)
+    tri = t.select(
+        "doc_id",
+        F.when(
+            F.size(tg) > 0,
+            F.round(1 - F.size(F.array_distinct(tg)) / F.size(tg), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+    )
+    return (
+        tri.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("max_c") / F.col("n_bg"), 4).alias("top_bigram_share"),
+            "dup_trigram_frac",
+        )
+    )
+
+
+@query(
+    "text_vocab_idf",
+    oracle="""
+WITH t AS (SELECT doc_id, list_distinct(string_split_regex(text, '\\s+')) AS toks FROM documents),
+d AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+f AS (SELECT tok, count(*) AS df FROM d GROUP BY tok),
+n AS (SELECT count(*) AS nd FROM documents)
+SELECT tok, df, round(ln(nd::DOUBLE / df), 6) AS idf
+FROM f, n
+ORDER BY df DESC, tok
+LIMIT 20
+""",
+)
+def text_vocab_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: document frequency and IDF for the
+    20 most common tokens.  Distinct-per-doc explode → token-keyed
+    count (map-side combined, bounded by |vocab|), corpus size joined
+    in as a broadcast 1-row aggregate (no driver collect), top-k via
+    TakeOrderedAndProject.  The building block for tf-idf scoring and
+    stopword discovery over a 100 TB corpus."""
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    dtok = d.select("doc_id", F.explode(F.array_distinct(T.tokens("text"))).alias("tok"))
+    ndocs = d.agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        dtok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(ndocs))
+        .select("tok", "df", F.round(F.log(F.col("nd") / F.col("df")), 6).alias("idf"))
+        .orderBy(F.desc("df"), "tok")
+        .limit(20)
+    )
