@@ -408,3 +408,82 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance=F.lit(15 * 60 * 1_000_000),
     )
     return out.select("event_id", "user_id", "recent_click_us")
+
+
+@query(
+    "window_rank_family",
+    oracle="""
+WITH o AS (SELECT * FROM orders WHERE o_orderkey % 100 = 0)
+SELECT
+  o_orderkey,
+  o_orderpriority,
+  rank()         OVER w                       AS rk,
+  dense_rank()   OVER w                       AS drk,
+  CAST(ntile(4) OVER w AS INT)                AS quartile,
+  round(percent_rank() OVER w, 6)             AS pct_rk,
+  round(cume_dist()    OVER w, 6)             AS cume,
+  round(first_value(o_totalprice) OVER w, 4)  AS top_price,
+  round(nth_value(o_totalprice, 2) OVER w, 4) AS second_price
+FROM o
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window family (rank / dense_rank / ntile /
+    percent_rank / cume_dist / first_value / nth_value) over one shared
+    (partition, order) spec — Spark groups them into Window operators
+    by frame, but the shared partitioning + ordering means ONE shuffle
+    and ONE sort feed all seven columns: adding a rank column to an
+    existing windowed plan is free at scale.  Deterministic tiebreak on
+    the key column (unique ordering, so RANGE-frame peer groups are
+    single rows) makes every value cross-engine stable."""
+    o = load_tables(spark, sf_dir)["orders"].filter(F.col("o_orderkey") % 100 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rk"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.first_value("o_totalprice").over(w), 4).alias("top_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 4).alias("second_price"),
+    )
+
+
+@query(
+    "grouping_sets_flag_status",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  round(sum(l_quantity), 4) AS sum_qty,
+  count(*)                  AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+)
+def grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube —
+    reference hosts delegate this to pandas; here it is one Expand +
+    hash-aggregate plan, i.e. each input row is replicated once per
+    set BEFORE the partial aggregate, so the shuffle stays
+    |groups|-bounded).  SQL form: the DataFrame API gained
+    groupingSets only in 4.x and the SQL text is engine-portable."""
+    t = load_tables(spark, sf_dir)
+    t["lineitem"].createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          round(sum(l_quantity), 4) AS sum_qty,
+          count(*)                  AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )

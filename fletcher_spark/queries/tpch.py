@@ -250,3 +250,88 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+SELECT
+  round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+        / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a fact⋈dim join.
+    The month filter is pushed to the lineitem scan; the CASE folds
+    into the partial aggregate, so the join output never materializes
+    a wide row.  part is hint-broadcast: it is narrow and month-filter
+    joins touch a bounded slice — but unlike nation/region it grows
+    with sf, so at extreme scale drop the hint and let AQE decide
+    (same reasoning that removed the q5 customer hint in round 1)."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("date"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_filters",
+    oracle="""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE
+  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+     AND l_quantity >= 1 AND l_quantity <= 20)
+  OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30
+     AND l_quantity >= 10 AND l_quantity <= 30)
+  OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+     AND l_quantity >= 20 AND l_quantity <= 40)
+""",
+)
+def q19_disjunctive_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides
+    (adapted to this schema's columns — no p_container here).  Catalyst
+    derives single-side implications from the disjunction (l_quantity
+    ∈ [1,40] pushes to the lineitem scan, p_size/p_brand bounds to the
+    part scan) BEFORE the join — the classic constraint-propagation
+    test; the residual OR evaluates post-join in codegen."""
+    t = load_tables(spark, sf_dir)
+    li, p = t["lineitem"], t["part"]
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        )
+    )
