@@ -335,3 +335,163 @@ def q19_disjunctive_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         )
     )
+
+
+def _subquery_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register `<table>_sq` temp views for the SQL-form subquery shapes.
+
+    The decorrelation family (Q4/Q17/Q18/Q22) is expressed as SQL text:
+    EXISTS / IN / correlated-scalar subqueries have no first-class
+    DataFrame form, and the point of these queries is that Catalyst's
+    RewriteCorrelatedScalarSubquery / RewritePredicateSubquery turn
+    them into ordinary (semi/anti/aggregate) joins — the same SQL text
+    runs on DuckDB as the oracle.
+    """
+    tables = load_tables(spark, sf_dir)
+    for name in names:
+        tables[name].createOrReplaceTempView(name + "_sq")
+
+
+@query(
+    "q4_order_priority_exists",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS (adapted: this schema has no
+    l_commitdate/l_receiptdate, so the inner predicate is a returned
+    flag).  Catalyst's RewritePredicateSubquery turns the EXISTS into a
+    LEFT SEMI join on l_orderkey; the quarter filter pushes to the
+    orders scan, so the semi-join probe side is already pruned — at
+    100 TB the shuffle is bounded by one quarter of orders, and the
+    lineitem build side carries only (l_orderkey) after column pruning.
+    Reference hosts this via pandas merge (SURVEY §2.8)."""
+    _subquery_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders_sq
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem_sq
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated scalar-aggregate subquery.  Catalyst
+    decorrelates into a per-partkey Aggregate joined back on the
+    correlation key — ONE shuffle of lineitem on l_partkey computes
+    every per-part average (partial aggregates map-side), instead of
+    the naive per-outer-row rescan; the Brand filter broadcasts from
+    part and prunes before the expensive join at scale."""
+    _subquery_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem_sq l
+        JOIN part_sq p ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#3'
+          AND l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem_sq l2
+                                  WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE)   AS o_odate,
+       round(o_totalprice, 4)      AS o_price,
+       round(sum(l_quantity), 4)   AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 190)
+GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: IN over a grouped-HAVING subquery.  The inner
+    aggregate reduces lineitem to a small qualifying-key set BEFORE
+    any join (map-side partial sums, HAVING filters post-aggregate),
+    so the IN becomes a semi-join against ~0.1% of keys; at 100 TB
+    AQE will broadcast that key set and the 3-way join never shuffles
+    orders on anything but its natural key.  Top-k via
+    TakeOrderedAndProject, never a global sort."""
+    _subquery_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT c_name, c_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE)   AS o_odate,
+               round(o_totalprice, 4)      AS o_price,
+               round(sum(l_quantity), 4)   AS total_qty
+        FROM customer_sq
+        JOIN orders_sq   ON c_custkey = o_custkey
+        JOIN lineitem_sq ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem_sq
+                             GROUP BY l_orderkey HAVING sum(l_quantity) > 190)
+        GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+        """
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 4) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY c_mktsegment
+""",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: no c_phone column, so the cohort key
+    is c_mktsegment and "no recent orders" replaces "never ordered" —
+    every synthetic customer has orders).  Two decorrelations in one
+    plan: the uncorrelated scalar AVG becomes a single-row broadcast
+    (one reduction pass, reused for every row), and NOT EXISTS becomes
+    a LEFT ANTI join whose build side is date-pruned at the orders
+    scan.  customer is scanned once for the main branch and once for
+    the average — at 100 TB both are column-pruned to one float."""
+    _subquery_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 4) AS totacctbal
+        FROM customer_sq c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_sq WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders_sq o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+        GROUP BY c_mktsegment
+        """
+    )
