@@ -466,3 +466,79 @@ def udf_grouped_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(F.round(U.geometric_mean(F.col("l_quantity")), 4).alias("geo_qty"))
     )
+
+
+@query(
+    "decimal_exact_money",
+    oracle="""
+SELECT
+  l_returnflag,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(1 - l_discount AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS sum_disc,
+  CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS min_price,
+  CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalType exact arithmetic + reductions (SURVEY §1.2: the
+    reference admits decimal columns as numeric for arithmetic and
+    reductions, fletcher/base.py:131-136).  Unlike float64, decimal
+    sums are exact and associativity-safe, so partial aggregation
+    across 1000 executors produces bit-identical results regardless of
+    partitioning — the property that matters for money at 100 TB.
+    Both engines CAST the final sums to fixed (18,s) so precision
+    widening rules (Spark caps at 38) never leak into the contract."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(12,4)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).cast("decimal(18,2)").alias("sum_price"),
+        F.sum(price * disc).cast("decimal(18,4)").alias("sum_disc"),
+        F.min(price).cast("decimal(18,2)").alias("min_price"),
+        F.max(price).cast("decimal(18,2)").alias("max_price"),
+    )
+
+
+@query(
+    "date_arith_extract",
+    oracle="""
+SELECT
+  o_orderkey,
+  CAST(o_orderdate AS DATE)                                  AS odate,
+  CAST(extract(year  FROM o_orderdate) AS INT)               AS yr,
+  CAST(extract(month FROM o_orderdate) AS INT)               AS mo,
+  CAST(extract(day   FROM o_orderdate) AS INT)               AS dom,
+  CAST(extract(quarter FROM o_orderdate) AS INT)             AS qtr,
+  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+  CAST(o_orderdate AS DATE) + 30                             AS plus_30d,
+  CAST(date_trunc('month', o_orderdate) AS DATE)             AS month_start,
+  last_day(CAST(o_orderdate AS DATE))                        AS month_end
+FROM orders
+WHERE o_orderkey % 100 = 0
+""",
+)
+def date_arith_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal compute over date32/timestamp columns (SURVEY §1.2:
+    date32/date64 → DateType; duration arithmetic surfaces here as
+    day-granularity integers, the cross-engine-stable encoding).
+    Every function is a codegen'd JVM intrinsic on the int32 days
+    representation — no timezone dependence (TIMESTAMP_NTZ source),
+    no Python.  The %-filter is pushed down only as a scan-level
+    residual, but column pruning still reduces the read to 2 columns."""
+    o = load_tables(spark, sf_dir)["orders"].filter(F.col("o_orderkey") % 100 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("odate"),
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("qtr"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_add(d, 30).alias("plus_30d"),
+        F.trunc(d, "month").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+    )
