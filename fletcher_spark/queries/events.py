@@ -138,3 +138,51 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@query(
+    "events_click_attribution",
+    oracle="""
+SELECT
+  v.event_id                      AS view_id,
+  c.event_id                      AS click_id,
+  v.user_id                       AS user_id,
+  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL '15 minutes'
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+""",
+)
+def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (time-bounded) join: every view paired with same-user
+    clicks within the following 15 minutes — the attribution shape.
+    Runs through streaming/windows.py:interval_join, the SAME function
+    the stream-stream join uses (watermarked parity asserted in
+    tests/test_streaming.py); here in batch mode with a DuckDB oracle.
+
+    Scale: both sides shuffle once on user_id; the time bounds are a
+    per-key residual, and in streaming they also bound the join state
+    (evict at watermark + 15 min)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        F.col("ts_us").alias("v_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("ts_us").alias("c_us"),
+    )
+    out = W.interval_join(views, clicks, "user_id", "v_ts", "c_ts", "15 minutes")
+    return out.select(
+        "view_id",
+        "click_id",
+        "user_id",
+        (F.col("c_us") - F.col("v_us")).alias("gap_us"),
+    )

@@ -84,3 +84,31 @@ def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "1 hour") -> 
     """Late-data horizon for the streaming variants: state older than
     max(event_time) - delay is evictable; later rows are dropped."""
     return df.withWatermark(ts_col, delay)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_delay: str = "15 minutes",
+) -> DataFrame:
+    """Stream-stream interval (time-bounded) join: each left row pairs
+    with right rows for the same key whose timestamp falls in
+    [left_ts, left_ts + max_delay] — the click-attribution shape.
+
+    Works identically on batch and streaming inputs (same plan algebra);
+    in streaming BOTH sides must carry watermarks, and because the join
+    condition bounds right_ts in both directions relative to left_ts,
+    the state store can evict rows older than watermark + max_delay —
+    state stays O(key-rate × max_delay) regardless of stream length.
+    Batch at 100 TB: one shuffle on the key for both sides, the range
+    predicate evaluates as a post-join residual within each key group.
+    """
+    return left.join(
+        right,
+        (left[key] == right[key])
+        & (right[right_ts] >= left[left_ts])
+        & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {max_delay}")),
+    ).drop(right[key])

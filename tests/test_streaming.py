@@ -111,3 +111,60 @@ def test_streaming_exact_dedup(spark):
         q.stop()
     assert len(rows) > 0
     assert all(r["n"] == 1 for r in rows)
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Stream-stream interval join (click attribution): watermarked
+    view/click streams joined within a 15-minute bound must produce
+    exactly the batch interval_join rows.  The two-sided time bound is
+    what lets the state store evict (watermark + delay) — asserted
+    semantically here, state-size reasoning documented in
+    streaming/windows.py:interval_join."""
+    from pyspark.sql import functions as F
+
+    def split_sides(df):
+        views = df.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("v_ts"),
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        return views, clicks
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    bv, bc = split_sides(ev)
+    joined_batch = bv.join(
+        bc,
+        (bv["user_id"] == bc["c_user"])
+        & (bc["c_ts"] >= bv["v_ts"])
+        & (bc["c_ts"] <= bv["v_ts"] + F.expr("INTERVAL 15 minutes")),
+    ).select("view_id", "click_id", "user_id")
+    expected = _rows(joined_batch)
+
+    sv, sc = split_sides(stream_events(spark, SF_DIR))
+    sv = W.with_watermark(sv, "v_ts", "10 days")
+    sc = W.with_watermark(sc, "c_ts", "10 days")
+    joined = sv.join(
+        sc,
+        (sv["user_id"] == sc["c_user"])
+        & (sc["c_ts"] >= sv["v_ts"])
+        & (sc["c_ts"] <= sv["v_ts"] + F.expr("INTERVAL 15 minutes")),
+    ).select("view_id", "click_id", "user_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("stream_attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = _rows(spark.sql("SELECT view_id, click_id, user_id FROM stream_attrib"))
+    finally:
+        q.stop()
+    assert got == expected
+    assert len(got) > 0
