@@ -176,3 +176,32 @@ def make_split_words_udtf(spark):
 
     spark.udtf.register("split_words", SplitWords)
     return SplitWords
+
+
+def grouped_map_zscore(df, group_col: str, value_col: str):
+    """Grouped-map ``applyInPandas``: each group arrives as ONE pandas
+    DataFrame (Arrow batches, cogrouped by the shuffle), the kernel
+    returns a transformed frame — the §2.7 shape for per-group logic
+    that needs the whole group materialized (sklearn-style fit per
+    group, resampling, ...).
+
+    Used sparingly at scale: a group must fit in one executor's memory
+    (unlike GROUPED_AGG, which streams), so key cardinality and skew
+    decide viability — salt or pre-aggregate when a group can exceed
+    ~100 MB.  Demonstrated with z-score normalization, whose oracle is
+    pure SQL (value - avg) / stddev_samp OVER (PARTITION BY group).
+    """
+    out_schema = f"{group_col} string, {value_col} double, z double"
+
+    def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf[value_col].mean()
+        sd = pdf[value_col].std(ddof=1)
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col],
+                value_col: pdf[value_col],
+                "z": (pdf[value_col] - mu) / sd,
+            }
+        )
+
+    return df.select(group_col, value_col).groupBy(group_col).applyInPandas(_z, out_schema)

@@ -542,3 +542,31 @@ def date_arith_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trunc(d, "month").alias("month_start"),
         F.last_day(d).alias("month_end"),
     )
+
+
+@query(
+    "udf_grouped_map_zscore",
+    oracle="""
+WITH s AS (SELECT l_returnflag AS grp, l_quantity AS val
+           FROM lineitem WHERE l_orderkey % 50 = 0)
+SELECT grp, val,
+       round((val - avg(val) OVER w) / stddev_samp(val) OVER w, 6) AS z
+FROM s
+WINDOW w AS (PARTITION BY grp)
+""",
+)
+def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_MAP applyInPandas (§2.7): per-group z-score where the
+    Python kernel sees each group as one pandas DataFrame — the
+    escape hatch for per-group logic that needs the group materialized
+    (the reference's whole-column kernels never get this; pandas hosts
+    it for them).  The oracle is the pure-SQL window formulation,
+    proving the Arrow round-trip preserves values bit-for-bit at 6dp.
+    Scale note in operators/udf.py:grouped_map_zscore (group-fits-in-
+    memory constraint; prefer GROUPED_AGG / window SQL when possible)."""
+    from fletcher_spark.operators import udf as U
+
+    li = load_tables(spark, sf_dir)["lineitem"].filter(F.col("l_orderkey") % 50 == 0)
+    li = li.select(F.col("l_returnflag").alias("grp"), F.col("l_quantity").alias("val"))
+    out = U.grouped_map_zscore(li, "grp", "val")
+    return out.select("grp", "val", F.round("z", 6).alias("z"))
