@@ -91,3 +91,93 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload
             )
 
     return df.mapInPandas(batches, DECODE_SCHEMA)
+
+
+#: schema of the sampled-frame output (one row per kept frame)
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes long, frame_digest string"
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    frame_size: int = 256,
+    every_n: int = 3,
+) -> DataFrame:
+    """Frame sampling over a binary video column: split the payload
+    into fixed-size frames, keep every ``every_n``-th — the 1→N
+    expanding ``mapInPandas`` shape a real video pipeline uses
+    (ffmpeg keyframe extraction drops into the same batch loop; the
+    byte-slice framing is the STUB decoder).
+
+    Scale: expansion happens inside the executor pass — the binary
+    payload is read once per partition and never shuffled; downstream
+    sees only (id, idx, digest)-width rows.  Frame payloads would be
+    written straight to a sink from the same pass, not carried through
+    the plan.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sizes, digests = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                n_frames = (len(payload) + frame_size - 1) // frame_size
+                for k in range(0, n_frames, every_n):
+                    frame = payload[k * frame_size : (k + 1) * frame_size]
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    sizes.append(len(frame))
+                    digests.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_bytes": sizes,
+                    "frame_digest": digests,
+                }
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+#: schema of the resize output
+RESIZE_SCHEMA = "doc_id long, width int, height int, scale double, feat array<double>"
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Resize step of the image pipeline (STUB: a real
+    ``PIL.Image.resize`` drops into the per-item call).  The fake
+    derives source dims exactly like ``decode_images`` and emits the
+    scale factor plus the (scale-invariant) histogram features, so
+    decode→resize compose deterministically and the composed schema,
+    batch shape, and null handling are real."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                if payload is None:
+                    rows.append((doc_id, None, None, None, None))
+                    continue
+                payload = bytes(payload)
+                if _HAVE_DECODER:
+                    raise NotImplementedError(
+                        "real image resize: plug PIL.Image.open(...).resize here"
+                    )
+                w, h, feat = _fake_decode(payload)
+                scale = min(target_w / w, target_h / h)
+                rows.append((doc_id, target_w, target_h, round(scale, 6), feat))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "scale", "feat"]
+            )
+
+    return df.mapInPandas(batches, RESIZE_SCHEMA)

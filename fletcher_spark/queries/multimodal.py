@@ -133,3 +133,35 @@ def scalar_get_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, the distributed analog of positional head."""
     r = load_tables(spark, sf_dir)["region"]
     return r.select("r_regionkey", "r_name").orderBy("r_regionkey").limit(3)
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+WITH u AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(strlen(text) / 256.0) AS BIGINT))) AS i
+  FROM documents
+)
+SELECT
+  doc_id,
+  CAST(i AS INT)                                 AS frame_idx,
+  strlen(substr(text, i * 256 + 1, 256))::BIGINT AS frame_bytes,
+  md5(substr(text, i * 256 + 1, 256))            AS frame_digest
+FROM u
+WHERE i % 3 = 0
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video-pipeline shape): binary payload → every
+    3rd 256-byte frame as (idx, size, digest) rows via the 1→N
+    expanding ``mapInPandas`` (pipeline/multimodal.py:sample_frames;
+    a real ffmpeg keyframe extractor drops into the same loop).
+
+    The corpus is pure ASCII (strlen == length for every row), so the
+    byte-slice framing is exactly SQL ``substr`` and the oracle
+    value-checks every frame digest cross-engine — the stub is fake,
+    the plumbing and the check are not."""
+    d = load_tables(spark, sf_dir)["documents"]
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return MM.sample_frames(payloads, "doc_id", "payload", 256, 3)

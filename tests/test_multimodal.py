@@ -52,3 +52,44 @@ def test_binary_features_jvm_side(payloads):
     assert rows[1]["n_bytes"] == 11
     assert rows[2]["n_chunks"] == 7  # 400 bytes / 64
     assert rows[3]["digest"] is None
+
+
+def test_sample_frames_expansion_and_digests(payloads):
+    """1→N frame expansion: frame count, sampling stride, and digests
+    must match a direct Python computation of the same byte slices."""
+    import hashlib
+
+    out = MM.sample_frames(payloads, frame_size=4, every_n=2)
+    assert out.schema.simpleString() == (
+        "struct<doc_id:bigint,frame_idx:int,frame_bytes:bigint,frame_digest:string>"
+    )
+    got = {(r["doc_id"], r["frame_idx"]): r for r in out.collect()}
+    src = {r["doc_id"]: r["payload"] for r in payloads.collect()}
+    expected_keys = set()
+    for doc_id, payload in src.items():
+        if payload is None:
+            continue
+        payload = bytes(payload)
+        n = (len(payload) + 3) // 4
+        for k in range(0, n, 2):
+            expected_keys.add((doc_id, k))
+            frame = payload[k * 4 : (k + 1) * 4]
+            row = got[(doc_id, k)]
+            assert row["frame_bytes"] == len(frame)
+            assert row["frame_digest"] == hashlib.md5(frame).hexdigest()
+    assert set(got) == expected_keys
+
+
+def test_resize_composes_with_decode(payloads):
+    """Resize stub: target dims fixed, scale = min(t/w, t/h) of the
+    decode dims, features unchanged (scale-invariant histogram)."""
+    dec = {r["doc_id"]: r for r in MM.decode_images(payloads).collect()}
+    out = {r["doc_id"]: r for r in MM.resize_images(payloads, 64, 64).collect()}
+    for doc_id, r in out.items():
+        d = dec[doc_id]
+        if d["width"] is None:
+            assert r["width"] is None and r["scale"] is None
+            continue
+        assert (r["width"], r["height"]) == (64, 64)
+        assert abs(r["scale"] - round(min(64 / d["width"], 64 / d["height"]), 6)) < 1e-9
+        assert r["feat"] == d["feat"]
