@@ -260,3 +260,39 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev FROM embeddings
+),
+s AS (
+  SELECT vec_id, ev, list_max(list_transform(ev, x -> abs(x))) AS maxabs FROM v
+)
+SELECT vec_id,
+       round(maxabs, 6) AS scale,
+       list_transform(ev, x -> CAST(round(127.0 * x / maxabs) AS INT)) AS qvec
+FROM s
+""",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization with per-vector max-abs scale — the
+    storage/serving compression step of an embedding pipeline (4×
+    smaller than float32; dequantize ≈ qvec·maxabs/127).  Pure
+    element-wise Catalyst: transform + array_max per row, no shuffle,
+    no Python — at 100 TB this is a map-only pass that writes straight
+    back to parquet.  Oracle replays identical double-math in DuckDB
+    (both engines round half-away-from-zero)."""
+    e = spread(load_tables(spark, sf_dir)["embeddings"])
+    ev = F.transform("embedding", lambda x: x.cast("double"))
+    v = e.select("vec_id", ev.alias("ev"))
+    s = v.withColumn("maxabs", F.array_max(F.transform("ev", F.abs)))
+    return s.select(
+        "vec_id",
+        F.round("maxabs", 6).alias("scale"),
+        F.transform(
+            "ev", lambda x: F.round(F.lit(127.0) * x / F.col("maxabs")).cast("int")
+        ).alias("qvec"),
+    )
