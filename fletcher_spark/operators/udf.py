@@ -205,3 +205,39 @@ def grouped_map_zscore(df, group_col: str, value_col: str):
         )
 
     return df.select(group_col, value_col).groupBy(group_col).applyInPandas(_z, out_schema)
+
+
+def arrow_map_utf8_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """``mapInArrow``: the zero-copy tier below pandas_udf — batches
+    arrive as ``pyarrow.RecordBatch`` and the kernel runs
+    ``pyarrow.compute`` (C++) over the raw Arrow buffers, with no
+    pandas materialization.  This is the closest Spark analog to the
+    reference's buffer-level kernels (fletcher/algorithms/string.py
+    operates on the same three Arrow buffers pc does), so it is the
+    right tier for custom Arrow-native kernels (numba over
+    buffer views, tokenizers with Arrow bindings, ...).
+
+    Demonstrated with pc.utf8_length / binary byte length — chosen
+    BECAUSE builtin SQL expresses them too, giving the tier a
+    value-level oracle; a real deployment would put here only what
+    the JVM cannot do.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batches(it):
+        for batch in it:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            txt = batch.column(batch.schema.get_field_index(text_col))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pc.utf8_length(txt).cast(pa.int64()),
+                    pc.binary_length(txt).cast(pa.int64()),
+                ],
+                ["doc_id", "n_chars", "n_bytes"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        batches, "doc_id long, n_chars long, n_bytes long"
+    )

@@ -570,3 +570,50 @@ def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = li.select(F.col("l_returnflag").alias("grp"), F.col("l_quantity").alias("val"))
     out = U.grouped_map_zscore(li, "grp", "val")
     return out.select("grp", "val", F.round("z", 6).alias("z"))
+
+
+@query(
+    "reductions_mode_percentile",
+    oracle="""
+SELECT
+  mode(l_quantity)                                               AS mode_qty,
+  round(quantile_cont(l_quantity, 0.25), 4)                      AS p25,
+  round(quantile_cont(l_quantity, 0.50), 4)                      AS p50,
+  round(quantile_cont(l_quantity, 0.75), 4)                      AS p75
+FROM lineitem
+""",
+)
+def reductions_mode_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-statistic reductions beyond median: mode + interpolated
+    (continuous) and discrete percentiles.  The corpus has a unique
+    mode, so the value is engine-deterministic (ties are not — a
+    production mode() needs an explicit tiebreak policy).  Exact
+    percentiles buffer per group like exact median; the documented
+    100 TB path is approx_percentile (same sketch family as
+    median_approx in operators/agg.py)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.agg(
+        F.mode("l_quantity").alias("mode_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@query(
+    "udf_arrow_batch_stats",
+    oracle="""
+SELECT doc_id, length(text)::BIGINT AS n_chars, strlen(text)::BIGINT AS n_bytes
+FROM documents
+""",
+)
+def udf_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` tier (§2.7): pyarrow.compute over raw Arrow
+    RecordBatches — no pandas, no per-row Python; the buffer-level
+    analog of the reference's numba kernels
+    (operators/udf.py:arrow_map_utf8_stats).  Oracle = the builtin SQL
+    for the same stats, value-checking the Arrow round-trip."""
+    from fletcher_spark.operators import udf as U
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return U.arrow_map_utf8_stats(d, "doc_id", "text")

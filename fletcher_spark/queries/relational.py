@@ -487,3 +487,135 @@ def grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+@query(
+    "pivot_status_priority",
+    oracle="""
+SELECT
+  o_orderstatus,
+  count(*) FILTER (o_orderpriority = '1-URGENT')        AS urgent,
+  count(*) FILTER (o_orderpriority = '2-HIGH')          AS high,
+  count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS medium,
+  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS unspecified,
+  count(*) FILTER (o_orderpriority = '5-LOW')           AS low,
+  round(sum(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 4) AS urgent_total
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide reshape): order counts per status × priority.
+    The values list is EXPLICIT — with it, Spark pivots in a single
+    partial+final aggregate pass (each value becomes a conditional
+    aggregate column, exactly the oracle's FILTER form); without it,
+    Spark must first run a distinct scan to discover values — never do
+    that at 100 TB.  The reference delegates reshape to pandas; here
+    the wide row never materializes pre-aggregation."""
+    o = load_tables(spark, sf_dir)["orders"]
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", pri)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )
+    return wide.select(
+        "o_orderstatus",
+        F.col("`1-URGENT_n`").alias("urgent"),
+        F.col("`2-HIGH_n`").alias("high"),
+        F.col("`3-MEDIUM_n`").alias("medium"),
+        F.col("`4-NOT SPECIFIED_n`").alias("unspecified"),
+        F.col("`5-LOW_n`").alias("low"),
+        F.col("`1-URGENT_total`").alias("urgent_total"),
+    )
+
+
+@query(
+    "unpivot_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, round(val, 4) AS val
+FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+  FROM lineitem WHERE l_orderkey % 500 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+  FROM lineitem WHERE l_orderkey % 500 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount
+  FROM lineitem WHERE l_orderkey % 500 = 0
+) u
+""",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long reshape): three measure columns become
+    (measure, value) rows via the native ``unpivot`` operator — one
+    Expand node (each input row replicated once per measure INSIDE the
+    scan stage, no union of three scans, no shuffle at all).  The
+    oracle's UNION ALL formulation is what melt replaces: Spark reads
+    the table once, not three times."""
+    li = load_tables(spark, sf_dir)["lineitem"].filter(F.col("l_orderkey") % 500 == 0)
+    out = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
+    mapping = {"l_quantity": "quantity", "l_extendedprice": "price", "l_discount": "discount"}
+    m = F.col("measure")
+    for k, v in mapping.items():
+        m = F.when(F.col("measure") == k, v).otherwise(m)
+    return out.select(
+        "l_orderkey", "l_linenumber", m.alias("measure"), F.round("val", 4).alias("val")
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d
+  FROM orders WHERE o_custkey % 20 = 0
+)
+SELECT o_custkey, o_orderkey, d,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY d
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS sum_30d,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY d
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)     AS n_30d,
+       round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)   AS avg_last3
+FROM o
+""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-RANGE window frames (30-day rolling revenue) next to a
+    bounded ROWS frame (last-3 moving average) — the two frame kinds
+    behind every rolling-metric pipeline.  RANGE frames include value
+    peers (same-day orders) so they are order-stable without a
+    tiebreak; the ROWS frame needs the explicit key tiebreak.  Both
+    share one (partition, sort) pass per ordering — a second shuffle
+    never happens for the extra frame.  Days are int32 offsets from a
+    fixed epoch: RANGE over ints is engine-portable (interval-typed
+    RANGE is not)."""
+    o = load_tables(spark, sf_dir)["orders"].filter(F.col("o_custkey") % 20 == 0)
+    d = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+    o = o.select("o_custkey", "o_orderkey", "o_totalprice", d.alias("d"))
+    w_range = (
+        Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-30, Window.currentRow)
+    )
+    w_rows = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "d",
+        F.round(F.sum("o_totalprice").over(w_range), 4).alias("sum_30d"),
+        F.count(F.lit(1)).over(w_range).alias("n_30d"),
+        F.round(F.avg("o_totalprice").over(w_rows), 4).alias("avg_last3"),
+    )
