@@ -34,7 +34,13 @@ def main() -> None:
         t0 = time.perf_counter()
         df = registry.QUERIES[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
-        return time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        # queries persist() intermediates they fan out over; drop them so
+        # 90+ sequential queries don't accumulate executor-memory pressure
+        # (per-query timings stay honest — no cross-query cache reuse
+        # exists, each call builds fresh DataFrames)
+        spark.catalog.clearCache()
+        return elapsed
 
     # Warm-up: JVM JIT + codegen + parquet footer caching.
     run("q1_pricing_summary")
