@@ -241,3 +241,39 @@ def arrow_map_utf8_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     return df.select(id_col, text_col).mapInArrow(
         batches, "doc_id long, n_chars long, n_bytes long"
     )
+
+
+def cogroup_order_stats(orders, lineitem):
+    """Cogrouped ``applyInPandas``: two DataFrames grouped on the same
+    key arrive as a pandas-frame PAIR per key — the §2.7 shape for
+    custom joins/merges that need both sides materialized (as-of merges
+    with interpolation, per-entity reconciliation, ...).
+
+    Scale: both sides shuffle once on the key (same exchange layout as
+    a join); each key's pair must fit in worker memory.  Demonstrated
+    with per-order fulfillment stats whose oracle is a LEFT JOIN +
+    GROUP BY, proving the cogroup path agrees with the relational one.
+    """
+
+    def stats(key, opdf: pd.DataFrame, lpdf: pd.DataFrame):
+        if opdf.empty:
+            return pd.DataFrame(
+                columns=["o_orderkey", "n_items", "price_gap"]
+            ).astype({"o_orderkey": "int64", "n_items": "int64"})
+        total = float(opdf["o_totalprice"].iloc[0])
+        if lpdf.empty:
+            gap = None
+            n = 0
+        else:
+            rev = (lpdf["l_extendedprice"] * (1.0 - lpdf["l_discount"])).sum()
+            gap = round(total - float(rev), 4)
+            n = len(lpdf)
+        return pd.DataFrame(
+            {"o_orderkey": [key[0]], "n_items": [n], "price_gap": [gap]}
+        )
+
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(lineitem.groupBy("l_orderkey"))
+        .applyInPandas(stats, "o_orderkey long, n_items long, price_gap double")
+    )

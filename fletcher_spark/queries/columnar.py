@@ -617,3 +617,30 @@ def udf_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir)["documents"]
     return U.arrow_map_utf8_stats(d, "doc_id", "text")
+
+
+@query(
+    "udf_cogroup_fulfillment",
+    oracle="""
+SELECT o.o_orderkey,
+       count(l.l_orderkey)                                          AS n_items,
+       round(o.o_totalprice - sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS price_gap
+FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey % 200 = 0
+GROUP BY o.o_orderkey, o.o_totalprice
+""",
+)
+def udf_cogroup_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (§2.7): orders ⊕ lineitem grouped on the
+    order key, per-key Python kernel computing fulfillment stats; the
+    LEFT JOIN + GROUP BY oracle proves cogroup ≡ relational join here
+    (operators/udf.py:cogroup_order_stats — use the relational form
+    unless the kernel genuinely needs both frames materialized)."""
+    from fletcher_spark.operators import udf as U
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") % 200 == 0).select("o_orderkey", "o_totalprice")
+    li = t["lineitem"].filter(F.col("l_orderkey") % 200 == 0).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return U.cogroup_order_stats(o, li)
