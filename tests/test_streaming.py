@@ -168,3 +168,33 @@ def test_stream_stream_interval_join_matches_batch(spark):
         q.stop()
     assert got == expected
     assert len(got) > 0
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    """foreachBatch: the production sink escape hatch (per-microbatch
+    batch-DataFrame writes with the checkpoint guaranteeing each batch
+    id is delivered once per successful run) — here aggregating each
+    micro-batch and landing it as parquet."""
+    from pyspark.sql import functions as F
+
+    ev = stream_events(spark, SF_DIR)
+    out = str(tmp_path / "sink")
+
+    def write_batch(bdf, bid: int):
+        (bdf.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{out}/batch={bid}"))
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    back = spark.read.parquet(out)
+    total = sum(r["n"] for r in back.collect())
+    assert total == load_tables(spark, SF_DIR)["events"].count()
