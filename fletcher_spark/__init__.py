@@ -25,7 +25,15 @@ though tests run on local[32]:
 
 from fletcher_spark.session import get_spark
 from fletcher_spark.io import read_parquet, from_arrow, to_arrow
+from fletcher_spark.accessor import fr_str
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "read_parquet", "from_arrow", "to_arrow", "__version__"]
+__all__ = [
+    "get_spark",
+    "read_parquet",
+    "from_arrow",
+    "to_arrow",
+    "fr_str",
+    "__version__",
+]
