@@ -24,7 +24,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 _WORDS = [
@@ -91,7 +96,42 @@ class CorpusDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return CorpusReader(self.options)
 
+    def simpleStreamReader(self, schema: StructType):
+        return CorpusStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration of the corpus source on a session."""
     spark.dataSource.register(CorpusDataSource)
+
+
+class CorpusStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same deterministic corpus: each
+    batch advances the doc_id offset by ``batch_size`` until ``n_docs``
+    is exhausted.  Offsets are plain dicts checkpointed by the engine —
+    restart resumes exactly (same rows for an offset range, because
+    generation is offset-pure).
+
+    Scale note: SimpleDataSourceStreamReader reads on the driver —
+    right for control-plane-size streams (this generator, change logs).
+    A data-plane custom stream implements ``DataSourceStreamReader``
+    with ``partitions()`` so batches fan out to executors, exactly like
+    the batch reader above.
+    """
+
+    def __init__(self, options):
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.batch_size = int(options.get("batch_size", 100))
+        self.seed = options.get("seed", "corpus")
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = start["next"]
+        hi = min(lo + self.batch_size, self.n_docs)
+        rows = [_make_doc(self.seed, i) for i in range(lo, hi)]
+        return (iter(rows), {"next": hi})
+
+    def readBetweenOffsets(self, start, end):
+        return iter(_make_doc(self.seed, i) for i in range(start["next"], end["next"]))
