@@ -186,3 +186,33 @@ def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.col("c_us") - F.col("v_us")).alias("gap_us"),
     )
+
+
+@query(
+    "events_variant_props",
+    oracle="""
+SELECT
+  event_type,
+  count(*)                                   AS n,
+  round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k
+FROM events
+WHERE json_extract(props, '$.k')::BIGINT <= 20
+GROUP BY event_type
+""",
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4 VariantType: ``parse_json``
+    once into a variant, ``variant_get`` typed paths — unlike the
+    ``from_json`` path (events_json_props) no full struct schema is
+    declared or materialized, and sparse access skips undeclared
+    fields.  The modern lake pattern for heterogenous event payloads;
+    at 100 TB variant columns shred to parquet and prune like any
+    other (the filter here reaches the scan as a residual)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") <= 20)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("k"), 4).alias("avg_k"))
+    )

@@ -619,3 +619,43 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w_range).alias("n_30d"),
         F.round(F.avg("o_totalprice").over(w_rows), 4).alias("avg_last3"),
     )
+
+
+@query(
+    "lateral_top_orders",
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 4) AS o_price
+FROM customer c
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2) t ON true
+WHERE c.c_custkey % 100 = 0
+""",
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (per-row dependent subquery with its
+    own ORDER BY + LIMIT): top-2 orders per sampled customer.  Catalyst
+    plans the correlation as a LateralJoin and decorrelates the inner
+    limit to a per-key ranking — semantically the window top-k
+    (window_topk_per_group) but expressed in the relational form other
+    engines spell CROSS/OUTER APPLY; both shapes shuffle once on the
+    correlation key."""
+    t = load_tables(spark, sf_dir)
+    t["customer"].createOrReplaceTempView("customer_lat")
+    t["orders"].createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 4) AS o_price
+        FROM customer_lat c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders_lat o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2) t
+        WHERE c.c_custkey % 100 = 0
+        """
+    )
