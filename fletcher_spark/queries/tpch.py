@@ -495,3 +495,232 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bi-directional trade volume between a nation pair.
+
+    Supplier-side pruning happens BEFORE the fact shuffle: nation is
+    filtered to the two names, broadcast into supplier, and the
+    (tiny) qualifying supplier set broadcast into lineitem — so only
+    lineitem rows from the two nations' suppliers reach the
+    orders⋈lineitem shuffle.  The customer side resolves after, with
+    the pair-disjunction as a residual.  At 100 TB: one fact shuffle
+    on l_orderkey, every dimension broadcast, 2-year predicate pushed
+    to the scan."""
+    t = load_tables(spark, sf_dir)
+    names = ("NATION_1", "NATION_2")
+    n1 = (
+        t["nation"]
+        .filter(F.col("n_name").isin(*names))
+        .select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        t["nation"]
+        .filter(F.col("n_name").isin(*names))
+        .select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    )
+    supp = t["supplier"].join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("date"))
+    )
+    cust = t["customer"].join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+    pair = (
+        (F.col("supp_nation") == names[0]) & (F.col("cust_nation") == names[1])
+    ) | ((F.col("supp_nation") == names[1]) & (F.col("cust_nation") == names[0]))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum(vol), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of PROMO-part revenue into ASIA.
+
+    The deepest join tree in the suite (8 relations).  part is
+    filtered to one p_type BEFORE its broadcast (1/6 of rows), so the
+    first fact join is also the most selective; customer resolves to
+    a region via nation⋈region broadcast; the supplier nation rides
+    along only to label rows for the conditional numerator — the
+    share is a single conditional-sum / sum over the same rows, one
+    final 2-row aggregate.  At 100 TB the only shuffles are
+    lineitem⋈orders and orders⋈customer."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].filter(F.col("p_type") == "PROMO")
+    asia_nk = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    supp = t["supplier"].join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("date"))
+    )
+    cust = t["customer"].join(F.broadcast(asia_nk), F.col("c_nationkey") == F.col("c_nk"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .withColumn("volume", vol)
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(F.lit(0.0)))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of order counts per customer (adapted:
+    the o_comment NOT LIKE filter becomes an o_orderpriority exclusion
+    — same shape: a filter INSIDE the outer-join condition, so
+    customers whose orders all fail it still appear with count 0,
+    which a WHERE clause would destroy).  Two cascaded aggregations:
+    the first shuffles on c_custkey (same key as the join — AQE reuses
+    the exchange), the second groups ~tens of distinct counts, so the
+    final shuffle is trivially small at any scale."""
+    t = load_tables(spark, sf_dir)
+    joined = t["customer"].join(
+        t["orders"],
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left",
+    )
+    counts = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS s_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s_name, total_revenue
+FROM supplier s
+JOIN revenue USING (s_suppkey)
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue.
+
+    The revenue "view" is computed once and reused for both the
+    per-supplier rows and the scalar MAX — Spark caches nothing here;
+    instead the MAX side is a 1-row aggregate broadcast back as a
+    LEFT SEMI join on the (pre-rounded) revenue value, so no global
+    sort and no window over a single partition.  Rounding to 4dp
+    BEFORE the max-equality comparison keeps the float tie exact on
+    both engines.  At 100 TB: one shuffle on l_suppkey (bounded by
+    supplier count), the max join is 1 row."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("total_revenue"))
+    top = rev.join(F.broadcast(mx), "total_revenue", "leftsemi")
+    return (
+        t["supplier"]
+        .join(F.broadcast(top), "s_suppkey")
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
