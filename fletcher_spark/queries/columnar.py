@@ -644,3 +644,61 @@ def udf_cogroup_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     return U.cogroup_order_stats(o, li)
+
+
+@query(
+    "map_struct_ops",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       n_orders,
+       round(avg_price, 4) AS avg_price,
+       max_year
+FROM (
+  SELECT o_orderstatus, o_orderpriority,
+         count(*)                              AS n_orders,
+         avg(o_totalprice)                     AS avg_price,
+         CAST(max(year(o_orderdate)) AS BIGINT) AS max_year
+  FROM orders
+  GROUP BY o_orderstatus, o_orderpriority)
+""",
+)
+def map_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/struct nested-type surface (SURVEY §1.2: the reference has
+    NO map or struct support — Spark supplies them natively; this pins
+    that they actually work end to end).  Per order a nested struct is
+    built and its fields accessed by dotted path; per status the
+    per-priority stats are packed into a MapType via
+    ``map_from_entries(collect_list(struct(...)))``, carried through a
+    shuffle as one map column, then unpacked with ``explode``.  The
+    oracle is the semantically-equal flat double-aggregate — content
+    equality proves the map round-trip lost nothing.  At 100 TB maps
+    of bounded key-sets ride shuffles as single binary columns (the
+    usual feature-bundle pattern)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    info = F.struct(
+        F.col("o_totalprice").alias("price"),
+        F.struct(F.col("o_orderdate").alias("d")).alias("nested"),
+    )
+    enriched = o.withColumn("info", info)
+    per_pri = enriched.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.struct(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.avg(F.col("info.price")).alias("avg_price"),
+            F.max(F.year(F.col("info.nested.d"))).cast("long").alias("max_year"),
+        ).alias("stats")
+    )
+    packed = per_pri.groupBy("o_orderstatus").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("o_orderpriority"), F.col("stats")))
+        ).alias("by_priority")
+    )
+    unpacked = packed.select(
+        "o_orderstatus", F.explode("by_priority").alias("o_orderpriority", "stats")
+    )
+    return unpacked.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("stats.n_orders").alias("n_orders"),
+        F.round(F.col("stats.avg_price"), 4).alias("avg_price"),
+        F.col("stats.max_year").alias("max_year"),
+    )

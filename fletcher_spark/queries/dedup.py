@@ -45,8 +45,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_ORACLE = """
-WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+_MINHASH_CTES = """tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 sh AS (
   SELECT doc_id,
     list_distinct(CASE WHEN len(toks) >= 3
@@ -85,14 +84,36 @@ ver AS (
   FROM cand
   JOIN sh s1 ON s1.doc_id = id1
   JOIN sh s2 ON s2.doc_id = id2
-)
-SELECT id1, id2, round(j, 4) AS jaccard FROM ver WHERE j >= 0.5
-""".format(
+)""".format(
     minhashes=",\n    ".join(
         "list_min(list_transform(range(1, len(s) + 1), "
         f"i -> (v1[i] + {j} * v2[i]) % 2305843009213693951))"
         for j in range(12)
     )
+)
+
+_MINHASH_ORACLE = (
+    "WITH "
+    + _MINHASH_CTES
+    + """
+SELECT id1, id2, round(j, 4) AS jaccard FROM ver WHERE j >= 0.5
+"""
+)
+
+_CC_ORACLE = (
+    "WITH RECURSIVE "
+    + _MINHASH_CTES
+    + """,
+edges AS (SELECT id1 AS a, id2 AS b FROM ver WHERE j >= 0.5),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+FROM reach GROUP BY a
+"""
 )
 
 
@@ -375,3 +396,69 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= 0.35)
         .select("id1", "id2", F.round("cos", 6).alias("cos"))
     )
+
+
+@query("dedup_cc_clusters", oracle=_CC_ORACLE)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components clustering over verified near-dup pairs —
+    the step that turns pairwise MinHash hits into dedup groups (a
+    chain a~b~c must collapse to ONE representative, which pairwise
+    keep-min gets wrong).
+
+    Algorithm: hash-min label propagation.  Vertices start labeled
+    with their own id; each round every vertex takes the min label in
+    its closed neighborhood (self-loops make that one join + groupBy);
+    converged when no label changes.  Rounds are O(component
+    diameter) — near-dup clusters are shallow (diameter ≤ ~3), and at
+    100 TB each round is one shuffle keyed on doc_id over the
+    *candidate-pair* vertex set only (orders of magnitude smaller
+    than the corpus).  The driver-side loop runs distributed jobs —
+    no .collect() of data, only a changed-row count per round.  The
+    oracle replays it as a DuckDB transitive closure (WITH RECURSIVE)
+    over the identical md5-derived edge set.
+    """
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    sh = d.select("doc_id", D.word_shingles("text", 3).alias("shingles")).persist()
+    sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
+    banded = sig.select("doc_id", D.lsh_band_keys(F.col("sig"), 4, 3).alias("band_keys"))
+    pairs = D.candidate_pairs(banded, "doc_id")
+    # the symmetric closure references edges 4×; persist or the LSH
+    # verify join recomputes per union branch
+    edges = (
+        D.verify_jaccard(pairs, sh, "doc_id", "shingles", 0.5)
+        .select("id1", "id2")
+        .persist()
+    )
+
+    sym = (
+        edges.union(edges.select(F.col("id2").alias("id1"), F.col("id1").alias("id2")))
+        .union(  # self-loops: closed neighborhood ⇒ one join per round
+            edges.select("id1", F.col("id1").alias("id2"))
+            .union(edges.select(F.col("id2").alias("id1"), "id2"))
+            .distinct()
+        )
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("id1").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).persist()
+
+    # Convergence signal: hash-min labels only ever decrease, so an
+    # unchanged SUM(label) means a fixpoint — one 1-row action per
+    # round instead of a join + count of changed rows.
+    prev = None
+    for _ in range(15):  # ≥ max component diameter; breaks far earlier
+        nxt = (
+            sym.join(labels, sym["id2"] == labels["id"])
+            .groupBy(sym["id1"].alias("id"))
+            .agg(F.min("label").alias("label"))
+        ).persist()
+        cur = nxt.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = nxt
+        if cur == prev:
+            break
+        prev = cur
+
+    sh.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -434,3 +434,47 @@ def text_vocab_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "tok")
         .limit(20)
     )
+
+
+@query(
+    "split_train_holdout",
+    oracle="""
+SELECT
+  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+  count(*)                 AS n_docs,
+  round(avg(n_chars), 4)   AS avg_chars,
+  min(doc_id)              AS min_id
+FROM (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+  FROM documents)
+GROUP BY split
+""",
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by content-stable
+    hash: bucket = first-8-hex-of-md5(doc_id) mod 100.  The property a
+    training pipeline needs is that assignment survives resharding,
+    engine changes, and incremental appends — md5 of the key gives
+    bit-identical buckets in Spark and DuckDB (the oracle checks the
+    actual membership via per-split counts/min-id, not just sizes).
+    Map-only + one small aggregate; at 100 TB the split column is a
+    pure projection feeding a partitioned write, no shuffle of the
+    corpus itself."""
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("doc_id").alias("min_id"),
+        )
+    )
