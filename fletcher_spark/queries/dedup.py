@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fletcher_spark.io import load_tables, spread
+from fletcher_spark.operators import graph as G
 from fletcher_spark.pipeline import dedup as D
 from fletcher_spark.queries.registry import query
 
@@ -422,43 +423,7 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
     banded = sig.select("doc_id", D.lsh_band_keys(F.col("sig"), 4, 3).alias("band_keys"))
     pairs = D.candidate_pairs(banded, "doc_id")
-    # the symmetric closure references edges 4×; persist or the LSH
-    # verify join recomputes per union branch
-    edges = (
-        D.verify_jaccard(pairs, sh, "doc_id", "shingles", 0.5)
-        .select("id1", "id2")
-        .persist()
-    )
-
-    sym = (
-        edges.union(edges.select(F.col("id2").alias("id1"), F.col("id1").alias("id2")))
-        .union(  # self-loops: closed neighborhood ⇒ one join per round
-            edges.select("id1", F.col("id1").alias("id2"))
-            .union(edges.select(F.col("id2").alias("id1"), "id2"))
-            .distinct()
-        )
-        .persist()
-    )
-    labels = (
-        sym.select(F.col("id1").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).persist()
-
-    # Convergence signal: hash-min labels only ever decrease, so an
-    # unchanged SUM(label) means a fixpoint — one 1-row action per
-    # round instead of a join + count of changed rows.
-    prev = None
-    for _ in range(15):  # ≥ max component diameter; breaks far earlier
-        nxt = (
-            sym.join(labels, sym["id2"] == labels["id"])
-            .groupBy(sym["id1"].alias("id"))
-            .agg(F.min("label").alias("label"))
-        ).persist()
-        cur = nxt.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = nxt
-        if cur == prev:
-            break
-        prev = cur
-
+    edges = D.verify_jaccard(pairs, sh, "doc_id", "shingles", 0.5).select("id1", "id2")
+    labels = G.connected_components(edges)
     sh.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

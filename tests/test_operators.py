@@ -182,3 +182,39 @@ def test_salted_aggregation_matches_direct(spark):
         for r in skew.salted_distinct_count(ev, "user_id", "event_type").collect()
     }
     assert salted_distinct == direct_distinct
+
+
+def test_connected_components_topologies(spark):
+    """Chain, star, and singleton-pair components all collapse to the
+    min id — the case the corpus oracle can't exercise (its planted
+    near-dups are all size-2 pairs)."""
+    from fletcher_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [
+            (10, 20), (20, 30), (30, 40),  # chain 10-20-30-40
+            (100, 101), (100, 102), (100, 103),  # star centered on 100
+            (7, 8),  # plain pair
+        ],
+        "id1 long, id2 long",
+    )
+    got = {r["id"]: r["label"] for r in connected_components(edges).collect()}
+    assert got == {
+        10: 10, 20: 10, 30: 10, 40: 10,
+        100: 100, 101: 100, 102: 100, 103: 100,
+        7: 7, 8: 7,
+    }
+
+
+def test_connected_components_merge_two_chains(spark):
+    """Two chains bridged by one edge merge into a single component
+    (requires >1 propagation round: min must travel the bridge)."""
+    from fletcher_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 24), (24, 28), (9, 20)],
+        "id1 long, id2 long",
+    )
+    got = {r["id"]: r["label"] for r in connected_components(edges).collect()}
+    assert set(got.values()) == {1}
+    assert set(got) == {1, 5, 9, 20, 24, 28}
