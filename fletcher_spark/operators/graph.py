@@ -33,6 +33,12 @@ def connected_components(
     instead of a join + count of changed rows.
     """
     e = edges.select(F.col(src).alias("id1"), F.col(dst).alias("id2")).persist()
+    # Size the iteration graph to the data: the verified edge set is
+    # ≪ corpus by construction, and a fixed shuffle-partition count
+    # would give every round |parts| near-empty tasks.  ~2M edges per
+    # partition keeps rounds dense at any scale (the count() also
+    # materializes the persist exactly once).
+    parts = max(1, -(-e.count() // 2_000_000))
     sym = (
         e.union(e.select(F.col("id2").alias("id1"), F.col("id1").alias("id2")))
         .union(  # self-loops: closed neighborhood ⇒ one join per round
@@ -40,11 +46,16 @@ def connected_components(
             .union(e.select(F.col("id2").alias("id1"), "id2"))
             .distinct()
         )
+        .repartition(parts, "id2")
         .persist()
     )
     labels = (
-        sym.select(F.col("id1").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).persist()
+        sym.select(F.col("id1").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .repartition(parts, "id")
+        .persist()
+    )
 
     prev = None
     for _ in range(max_rounds):

@@ -478,3 +478,56 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_id"),
         )
     )
+
+
+@query(
+    "sample_stratified_hash",
+    oracle="""
+WITH rates AS (
+  SELECT * FROM (VALUES ('en', 250), ('zh', 600), ('es', 600),
+                        ('de', 600), ('fr', 600)) AS t(lang, permille)
+),
+kept AS (
+  SELECT d.doc_id, d.lang, d.n_chars
+  FROM documents d
+  JOIN rates r USING (lang)
+  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 25, 8))::BIGINT % 1000
+        < r.permille
+)
+SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id,
+       round(avg(n_chars), 4) AS avg_chars
+FROM kept GROUP BY lang
+""",
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified downsampling — the corpus-rebalancing
+    op (e.g. cap English at 25% while keeping low-resource languages):
+    keep a row iff hash(doc_id) mod 1000 < the stratum's permille
+    rate.  Unlike ``df.sampleBy`` (RNG per task ⇒ resample on every
+    reshard/retry) the hash predicate is a pure projection —
+    deterministic across engines, partitionings, and reruns, which is
+    what makes training corpora auditable.  The rate table is a
+    broadcast join; the filter is map-only; at 100 TB nothing
+    shuffles except the final small per-stratum audit aggregate."""
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    rates = F.broadcast(
+        d.sparkSession.createDataFrame(
+            [("en", 250), ("zh", 600), ("es", 600), ("de", 600), ("fr", 600)],
+            "lang string, permille long",
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 25, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    return (
+        d.join(rates, "lang")
+        .filter(bucket < F.col("permille"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_id"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
