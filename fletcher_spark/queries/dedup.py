@@ -427,3 +427,66 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = G.connected_components(edges)
     sh.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@query(
+    "dedup_passages_c4",
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(list_slice(t, (i-1)*10+1, i*10), ' ') AS chunk
+  FROM tok, UNNEST(range(1, CAST(ceil(len(t)/10.0) AS BIGINT)+1)) AS u(i)
+),
+keep AS (SELECT chunk, min(doc_id) AS keeper FROM chunks GROUP BY chunk),
+kept AS (
+  SELECT c.doc_id, c.chunk_idx, c.chunk
+  FROM chunks c JOIN keep k ON c.chunk = k.chunk AND c.doc_id = k.keeper
+)
+SELECT doc_id, count(*) AS n_kept,
+       string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
+FROM kept GROUP BY doc_id
+""",
+)
+def dedup_passages_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style passage-level dedup: segment every document into
+    10-token passages, drop every passage that appears earlier in the
+    corpus (keep-min doc_id), reassemble the survivors in document
+    order.  Documents that lose every passage disappear entirely —
+    sub-document dedup, the step document-level MinHash cannot do.
+
+    Shape at 100 TB: segmentation is a map-only explode (rows ×
+    ~n_tokens/10); the keep rule is one hash aggregate keyed on the
+    passage text (map-side combined; key could be md5(passage) to
+    bound shuffle width); the keeper filter is a shuffle join on the
+    same key AQE plans; reassembly groups back on doc_id with an
+    in-group array_sort — no window over a global order anywhere."""
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    t = F.split("text", " ", -1)
+    n_chunks = F.ceil(F.size(t) / F.lit(10.0)).cast("int")
+    seg = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(t, (i - 1) * 10 + 1, 10)).alias("chunk"),
+        ),
+    )
+    chunks = d.select("doc_id", F.explode(seg).alias("s")).select(
+        "doc_id", F.col("s.chunk_idx").alias("chunk_idx"), F.col("s.chunk").alias("chunk")
+    )
+    keep = chunks.groupBy("chunk").agg(F.min("doc_id").alias("keeper"))
+    kept = (
+        chunks.join(keep, "chunk")
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "chunk_idx", "chunk")
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("text_dedup"),
+    )

@@ -531,3 +531,55 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
     )
+
+
+@query(
+    "pack_training_sequences",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS offs
+  FROM t
+),
+packs AS (
+  SELECT shard, coalesce(offs, 0) // 2048 AS pack_id, n_tokens
+  FROM o
+)
+SELECT shard, pack_id, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+FROM packs GROUP BY shard, pack_id
+""",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in a stable
+    order and cut every 2048 tokens; each document's pack is
+    floor(its-start-offset / 2048).  Offsets are prefix sums of token
+    counts — windowed WITHIN a hash shard (doc_id % 8), never over a
+    global order: shards pack independently in parallel, which is how
+    a 100 TB corpus becomes training sequences without a
+    single-partition sort (each shard's window is one shuffle keyed
+    on the shard).  Output audits docs/tokens per (shard, pack)."""
+    from pyspark.sql import Window
+
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        t.withColumn("pack_id", F.floor(offs / 2048))
+        .groupBy("shard", "pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
