@@ -125,3 +125,43 @@ def test_partitioned_write_prunes_reads(spark, tmp_path):
     p = rd._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in p and "event_type" in p.split("PartitionFilters")[1][:120], p
     assert rd.count() > 0
+
+
+def test_q7_q8_dims_broadcast_single_fact_smj(spark):
+    """The deep TPC-H join trees must broadcast every dimension; the
+    only sort-merge joins allowed are fact⋈fact (lineitem⋈orders,
+    orders⋈customer).  A dim falling off the broadcast path turns a
+    map-side join into a full fact shuffle at 100 TB."""
+    for name, max_smj in (("q7_volume_shipping", 1), ("q8_market_share", 2)):
+        p = plan(spark, name)
+        assert p.count("BroadcastHashJoin") >= 3, f"{name}:\n{p}"
+        assert p.count("SortMergeJoin") <= max_smj, f"{name}:\n{p}"
+
+
+def test_q15_max_join_no_global_sort(spark):
+    """Q15's scalar-max lookup must be a broadcast join against the
+    1-row aggregate — not a window over a single partition and not a
+    global sort."""
+    p = plan(spark, "q15_top_supplier")
+    assert "BroadcastHashJoin" in p, p
+    assert "Window" not in p, p
+
+
+def test_split_and_sample_are_single_aggregate(spark):
+    """Hash-split and stratified-sample assignment is a pure
+    projection: exactly the one exchange of the final audit aggregate,
+    nothing shuffling the corpus itself."""
+    for name in ("split_train_holdout", "sample_stratified_hash"):
+        p = plan(spark, name)
+        # one hash exchange (the audit agg); broadcast exchanges and the
+        # small-file spread() round-robin are fine
+        assert p.count("Exchange hashpartitioning") <= 1, f"{name}:\n{p}"
+        assert "CartesianProduct" not in p, f"{name}:\n{p}"
+
+
+def test_passage_dedup_no_cartesian_no_global_sort(spark):
+    """Passage dedup joins on the passage key and sorts only inside
+    per-doc groups (array_sort) — no all-pairs, no global Sort."""
+    p = plan(spark, "dedup_passages_c4")
+    assert "CartesianProduct" not in p, p
+    assert "Sort [" not in p or "SortMergeJoin" in p, p
