@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fletcher_spark.io import load_tables, spread
+from fletcher_spark.operators import kmeans as KM
 from fletcher_spark.pipeline import similarity as SIM
 from fletcher_spark.queries.registry import query
 
@@ -295,4 +296,75 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             "ev", lambda x: F.round(F.lit(127.0) * x / F.col("maxabs")).cast("int")
         ).alias("qvec"),
+    )
+
+
+_L2SQ = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
+    """Unroll ``iters`` Lloyd rounds as SQL CTEs (assign → recompute),
+    mirroring operators/kmeans.py round for round."""
+    parts = [
+        "v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev"
+        " FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, ev AS cv"
+        f" FROM (SELECT vec_id, ev FROM v ORDER BY vec_id LIMIT {k}))",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        d2 = _L2SQ.format(a="v.ev", b="c.cv")
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, ev, cid, d2 FROM (
+    SELECT v.vec_id, v.ev, c.cid, {d2} AS d2,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {d2}, c.cid) AS rk
+    FROM v, {prev} c) WHERE rk = 1)"""
+        )
+        parts.append(
+            f"cd{it} AS (SELECT cid, i, avg(ev[i]) AS cv"
+            f" FROM a{it}, range(1, 65) t(i) GROUP BY cid, i)"
+        )
+        parts.append(
+            f"c{it} AS (SELECT cid, list(cv ORDER BY i) AS cv FROM cd{it} GROUP BY cid)"
+        )
+        prev = f"c{it}"
+    d2 = _L2SQ.format(a="v.ev", b="c.cv")
+    parts.append(
+        f"""af AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT v.vec_id, c.cid, {d2} AS d2,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {d2}, c.cid) AS rk
+    FROM v, {prev} c) WHERE rk = 1)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT cid, count(*) AS n_vecs, round(sum(d2), 4) AS inertia"
+        + "\nFROM af GROUP BY cid"
+    )
+
+
+@query("ann_kmeans_train", oracle=_kmeans_oracle())
+def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF coarse quantizer: 2 Lloyd rounds of k-means (k=4,
+    deterministic lowest-id init) over the embedding column, reporting
+    per-cluster size and inertia of the final assignment.
+
+    A FIXED round count unrolls into one lazy Catalyst DAG — zero
+    driver actions (see operators/kmeans.py); the oracle replays the
+    identical rounds as SQL CTEs.  At 100 TB each round is a k-row
+    broadcast per vector plus a (cid, dim)-keyed average: the vectors
+    shuffle only for the per-vector argmin window."""
+    e = spread(load_tables(spark, sf_dir)["embeddings"])
+    v = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("ev")
+    ).persist()
+    assign = KM.lloyd(v, "vec_id", "ev", 4, 2)
+    return assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("d2"), 4).alias("inertia"),
     )
