@@ -87,6 +87,40 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Normalize the ``events`` table to one timestamp convention.
+
+    Output columns (append-only, schema-adaptive):
+
+    * ``ts``    — ``TimestampType`` at µs precision (UTC session tz)
+    * ``ts_us`` — ``bigint`` epoch microseconds (== DuckDB ``epoch_us(ts)``;
+      the cross-engine comparison currency, since DuckDB's parquet reader
+      also lands on µs)
+    * ``ts_ns`` — ``bigint`` epoch nanoseconds
+
+    Handles both storage layouts the harness has shipped: ``timestamp[us]``
+    (read as TIMESTAMP or TIMESTAMP_NTZ) and legacy ``timestamp[ns]``
+    surfaced as a raw long via ``spark.sql.legacy.parquet.nanosAsLong``.
+    Pure projections — no shuffle, stays inside the scan's codegen stage.
+    """
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):  # legacy nanos-as-long layout
+        return (
+            df.withColumn("ts_ns", F.col("ts"))
+            .withColumn("ts_us", F.expr("ts div 1000"))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+    # timestamp[us] layout (TIMESTAMP or TIMESTAMP_NTZ; session tz is UTC,
+    # so the NTZ→TZ cast is value-identity)
+    return (
+        df.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("ts_us", F.unix_micros(F.col("ts")))
+        .withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
+    )
+
+
 TPCH_TABLES = (
     "region",
     "nation",
@@ -105,11 +139,9 @@ class Tables:
     """Lazy name→DataFrame mapping over the test star schema.
 
     Lazy so a query touching one table never plans scans of the other
-    nine.  ``events.ts`` is stored as timestamp[ns], which Spark's
-    vectorized parquet reader rejects; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long that
-    we convert to a µs ``TimestampType`` (kept as ``ts``; the raw nanos
-    stay available as ``ts_ns``).
+    nine.  ``events.ts`` is normalized via :func:`normalize_events`
+    (adds ``ts_us``/``ts_ns`` bigints next to a µs ``TimestampType``
+    ``ts``, whatever the on-disk layout).
     """
 
     def __init__(self, spark: SparkSession, sf_dir: str):
@@ -121,16 +153,7 @@ class Tables:
         if name not in self._cache:
             df = self._spark.read.parquet(f"{self._sf_dir}/{name}.parquet")
             if name == "events":
-                from pyspark.sql import functions as F
-
-                # µs is the common precision: DuckDB's parquet reader
-                # truncates ns→µs, so all cross-engine comparisons use
-                # ts_us (== DuckDB epoch_us(ts)).  Raw nanos kept as ts_ns.
-                df = (
-                    df.withColumn("ts_ns", F.col("ts"))
-                    .withColumn("ts_us", F.expr("ts div 1000"))
-                    .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-                )
+                df = normalize_events(df)
             self._cache[name] = df
         return self._cache[name]
 

@@ -10,7 +10,6 @@ row — asserted in tests/test_streaming.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 def stream_parquet(
@@ -29,13 +28,9 @@ def stream_parquet(
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``io.load_tables(...)['events']``: same
     ns→µs timestamp normalization, same column set."""
-    from fletcher_spark.io import load_tables
+    from fletcher_spark.io import load_tables, normalize_events
 
-    batch = load_tables(spark, sf_dir)  # applies runtime confs
-    schema = batch._spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    load_tables(spark, sf_dir)  # applies runtime confs
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = stream_parquet(spark, sf_dir, schema, glob="events.parquet")
-    return (
-        raw.withColumn("ts_ns", F.col("ts"))
-        .withColumn("ts_us", F.expr("ts div 1000"))
-        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-    )
+    return normalize_events(raw)
