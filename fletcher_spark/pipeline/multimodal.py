@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -43,16 +44,17 @@ def binary_features(bin_col: Column | str) -> dict[str, Column]:
 
 def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     """Deterministic stand-in for an image decoder: dimensions from the
-    md5 digest, features = normalized 16-bucket byte histogram.
-    STUB — replace with PIL decode when available."""
+    md5 digest, features = normalized 16-bucket byte histogram
+    (numpy-vectorized — the per-item cost model of a real decoder
+    without a per-byte Python loop).  STUB — replace with PIL decode
+    when available."""
     digest = hashlib.md5(payload).digest()
     width = 64 + digest[0] % 192
     height = 64 + digest[1] % 192
-    hist = [0] * _N_FEAT
-    for b in payload:
-        hist[b % _N_FEAT] += 1
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr & (_N_FEAT - 1), minlength=_N_FEAT)
     total = max(len(payload), 1)
-    return width, height, [h / total for h in hist]
+    return width, height, (hist / total).tolist()
 
 
 try:  # pragma: no cover - real decoder path (not in this container)

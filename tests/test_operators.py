@@ -184,10 +184,13 @@ def test_salted_aggregation_matches_direct(spark):
     assert salted_distinct == direct_distinct
 
 
-def test_connected_components_topologies(spark):
+@pytest.mark.parametrize("limit", [4_000_000, 0], ids=["local-uf", "distributed"])
+def test_connected_components_topologies(spark, limit):
     """Chain, star, and singleton-pair components all collapse to the
     min id — the case the corpus oracle can't exercise (its planted
-    near-dups are all size-2 pairs)."""
+    near-dups are all size-2 pairs).  Both execution paths (driver
+    union-find under the size gate; iterative hash-min above it) must
+    agree exactly."""
     from fletcher_spark.operators.graph import connected_components
 
     edges = spark.createDataFrame(
@@ -198,7 +201,10 @@ def test_connected_components_topologies(spark):
         ],
         "id1 long, id2 long",
     )
-    got = {r["id"]: r["label"] for r in connected_components(edges).collect()}
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(edges, local_edge_limit=limit).collect()
+    }
     assert got == {
         10: 10, 20: 10, 30: 10, 40: 10,
         100: 100, 101: 100, 102: 100, 103: 100,
@@ -206,7 +212,8 @@ def test_connected_components_topologies(spark):
     }
 
 
-def test_connected_components_merge_two_chains(spark):
+@pytest.mark.parametrize("limit", [4_000_000, 0], ids=["local-uf", "distributed"])
+def test_connected_components_merge_two_chains(spark, limit):
     """Two chains bridged by one edge merge into a single component
     (requires >1 propagation round: min must travel the bridge)."""
     from fletcher_spark.operators.graph import connected_components
@@ -215,6 +222,9 @@ def test_connected_components_merge_two_chains(spark):
         [(1, 5), (5, 9), (20, 24), (24, 28), (9, 20)],
         "id1 long, id2 long",
     )
-    got = {r["id"]: r["label"] for r in connected_components(edges).collect()}
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(edges, local_edge_limit=limit).collect()
+    }
     assert set(got.values()) == {1}
     assert set(got) == {1, 5, 9, 20, 24, 28}
