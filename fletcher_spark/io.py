@@ -80,9 +80,20 @@ def spread(df: DataFrame) -> DataFrame:
     identity — no shuffle is ever added to a big scan.  When it does
     fire, the shuffle moves exactly the rows whose per-row compute
     dominates the move cost.
+
+    The probe is ``inputFiles()`` (file-listing metadata), not
+    ``df.rdd.getNumPartitions()`` — touching ``.rdd`` forces a
+    plan→RDD conversion on the driver for every call (VERDICT r2).
+    File count under-counts splits (one big file → many splits), so
+    the gate may also fire on a monolithic multi-split file — accepted:
+    the per-row-compute stages this guards want round-robin spread
+    there anyway, and multi-file tables (the 100 TB case) still skip
+    it.  A non-scan DataFrame (no input files) is left untouched — its
+    parallelism was already set upstream.
     """
     slots = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < slots:
+    files = df.inputFiles()
+    if files and len(files) < slots:
         return df.repartition(slots)
     return df
 
@@ -107,18 +118,23 @@ def normalize_events(df: DataFrame) -> DataFrame:
 
     ts_type = dict(df.dtypes)["ts"]
     if ts_type in ("bigint", "long"):  # legacy nanos-as-long layout
-        return (
+        out = (
             df.withColumn("ts_ns", F.col("ts"))
             .withColumn("ts_us", F.expr("ts div 1000"))
             .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
         )
-    # timestamp[us] layout (TIMESTAMP or TIMESTAMP_NTZ; session tz is UTC,
-    # so the NTZ→TZ cast is value-identity)
-    return (
-        df.withColumn("ts", F.col("ts").cast("timestamp"))
-        .withColumn("ts_us", F.unix_micros(F.col("ts")))
-        .withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
-    )
+    else:
+        # timestamp[us] layout (TIMESTAMP or TIMESTAMP_NTZ; session tz is
+        # UTC, so the NTZ→TZ cast is value-identity)
+        out = (
+            df.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withColumn("ts_us", F.unix_micros(F.col("ts")))
+            .withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
+        )
+    # One terminal select so column ORDER is layout-independent — the two
+    # branches append ts_us/ts_ns in opposite orders, and positional ops
+    # (union, select *) across layouts would silently pair them (ADVICE r2).
+    return out.select(*df.columns, "ts_us", "ts_ns")
 
 
 TPCH_TABLES = (

@@ -9,62 +9,79 @@ the driver-side loop below runs O(component-diameter) distributed
 rounds, never collecting data (only a 1-row convergence scalar).
 
 Scale (100 TB): the vertex set is the *candidate-pair* vertex set —
-orders of magnitude smaller than the corpus — and each round is one
-shuffle keyed on vertex id.  For adversarial long-chain graphs switch
-the round body to the large-star/small-star rewrite (same loop shape,
-provably O(log n) rounds); near-dup clusters are shallow so hash-min
-is the right default.
+orders of magnitude smaller than the corpus — and each round is two
+shuffles (neighbor-min keyed on vertex id, pointer-jump keyed on
+label).  The pointer-jump step makes the round count O(log diameter)
+— the same asymptotics as the large-star/small-star rewrite with a
+simpler round body — so adversarial long chains converge inside the
+round budget instead of silently timing out.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: Edge count below which components are solved with driver-side
 #: union-find instead of iterative distributed rounds.  Same gating
-#: principle as Spark's broadcast-join threshold: 4M edges is ~64 MB
-#: of int64 pairs — trivial for the driver, while each distributed
-#: round costs a full job (join + shuffle + action).  The edge set
-#: here is the *verified near-dup pair* set, orders of magnitude
-#: smaller than the corpus, so at 100 TB this gate still usually
-#: fires; the iterative path below is the correctness backstop for
-#: adversarial pair explosions.
+#: principle as Spark's broadcast-join threshold: 4M edges collected
+#: via Arrow into numpy arrays is ~64 MB of int64 pairs (the r2
+#: Row-object path materialized multi-GB of Python objects at this
+#: size — ADVICE r2; fixed by the Arrow/numpy union-find below) —
+#: trivial for the driver, while each distributed round costs a full
+#: job (join + shuffle + action).  The edge set here is the *verified
+#: near-dup pair* set, orders of magnitude smaller than the corpus,
+#: so at 100 TB this gate still usually fires; the iterative path
+#: below is the correctness backstop for adversarial pair explosions.
 LOCAL_EDGE_LIMIT = 4_000_000
 
 
 def _local_union_find(e: DataFrame) -> DataFrame:
     """Union-find over a collected edge list → (id, label=min id of
-    component).  O(E α(E)) on the driver; only reached under
-    LOCAL_EDGE_LIMIT."""
-    parent: dict = {}
+    component).  Only reached under LOCAL_EDGE_LIMIT.
 
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
+    Collects via Arrow into numpy arrays and factorizes vertex ids to
+    dense indices, so the driver holds two int64 index arrays plus one
+    parent array — never per-edge Python Row objects (r2 built ~4M Rows
+    + dict-of-ints ≈ GBs of heap right below the gate).  np.unique
+    sorts, so index order == id order and union-by-min-index IS
+    union-by-min-id."""
+    tbl = e.toArrow()
+    a = tbl.column(0).to_numpy(zero_copy_only=False)
+    b = tbl.column(1).to_numpy(zero_copy_only=False)
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a) :]
+    parent = np.arange(len(ids), dtype=np.int64)
 
-    for id1, id2 in e.collect():
-        if id1 not in parent:
-            parent[id1] = id1
-        if id2 not in parent:
-            parent[id2] = id2
-        r1, r2 = find(id1), find(id2)
-        if r1 != r2:
+    def find(x: int) -> int:
+        while parent[x] != x:  # path halving
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(ia.tolist(), ib.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
             # union by min so the final label IS the component min
-            if r2 < r1:
-                r1, r2 = r2, r1
-            parent[r2] = r1
-    rows = [(x, find(x)) for x in parent]
+            if ry < rx:
+                rx, ry = ry, rx
+            parent[ry] = rx
+    # resolve every node to its root by pointer doubling (vectorized)
+    while True:
+        nxt = parent[parent]
+        if np.array_equal(nxt, parent):
+            break
+        parent = nxt
     id_type = e.schema[0].dataType
     schema = T.StructType(
         [T.StructField("id", id_type, False), T.StructField("label", id_type, False)]
     )
-    return e.sparkSession.createDataFrame(rows, schema)
+    # columnar all the way out: pandas → Arrow → JVM, no per-vertex tuples
+    pdf = pd.DataFrame({"id": ids, "label": ids[parent]})
+    return e.sparkSession.createDataFrame(pdf, schema)
 
 
 def connected_components(
@@ -81,14 +98,24 @@ def connected_components(
     driver-side union-find — one collect of the (already pair-verified,
     corpus-decimated) edge list beats O(diameter) distributed jobs by
     ~10× wall; the threshold mirrors broadcast-join size gating.
-    Larger sets run hash-min label propagation: distributed rounds,
-    never collecting data (only a 1-row convergence scalar).
+    Larger sets run hash-min label propagation with pointer jumping
+    (label ← label[label] each round → O(log diameter) rounds):
+    distributed rounds, never collecting data (only a 1-row
+    convergence scalar).  Raises if the round budget is exhausted
+    before the fixpoint — wrong labels must never return silently.
 
     Returns a DataFrame (id, label).  Labels only ever decrease, so an
-    unchanged SUM(label) is a fixpoint — one 1-row action per round
+    unchanged hash-sum is a fixpoint — one 1-row action per round
     instead of a join + count of changed rows.
     """
-    e = edges.select(F.col(src).alias("id1"), F.col(dst).alias("id2")).persist()
+    # Null endpoints: drop them up front so the local and distributed
+    # paths agree (the join-based path silently dropped them, the old
+    # local path raised — ADVICE r2).
+    e = (
+        edges.select(F.col(src).alias("id1"), F.col(dst).alias("id2"))
+        .na.drop()
+        .persist()
+    )
     n_edges = e.count()  # also materializes the persist exactly once
     if n_edges <= local_edge_limit:
         out = _local_union_find(e)
@@ -117,18 +144,54 @@ def connected_components(
     )
 
     prev = None
-    for _ in range(max_rounds):
-        nxt = (
+    converged = False
+    for rnd in range(max_rounds):
+        # (a) neighbor-min over the closed neighborhood: one hop of
+        # min-label propagation per round.
+        nm = (
             sym.join(labels, sym["id2"] == labels["id"])
             .groupBy(sym["id1"].alias("id"))
             .agg(F.min("label").alias("label"))
-        ).persist()
-        cur = nxt.agg(F.sum("label")).collect()[0][0]
+        )
+        # (b) pointer jump: label ← label[label].  Every label IS a
+        # vertex id, so the self-join is total; composing (a)+(b)
+        # roughly doubles the propagated distance per round, giving
+        # O(log diameter) rounds instead of O(diameter) — without this,
+        # a 30-vertex chain silently exceeded max_rounds and returned
+        # WRONG labels (caught by
+        # tests/test_operators.py::test_connected_components_long_chain_distributed).
+        jump = nm.select(F.col("id").alias("jid"), F.col("label").alias("jlabel"))
+        nxt = nm.join(jump, nm["label"] == jump["jid"]).select(
+            nm["id"], F.col("jlabel").alias("label")
+        )
+        if (rnd + 1) % 5 == 0:
+            # persist() caches blocks but the logical plan still chains
+            # across rounds — on a big graph the accumulated lineage
+            # blows up planning time and recovery cost.  localCheckpoint
+            # truncates it to the materialized blocks every few rounds
+            # (the standard iterative-algorithm backstop).
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist()
+        # Convergence scalar: labels only ever decrease, so an unchanged
+        # hash-sum is a fixpoint (w.p. 1 - 2⁻³¹ per round).  Hash, not
+        # sum(label): vertex ids may be strings (document fingerprints),
+        # and the modulus keeps the sum inside long range under ANSI.
+        cur = nxt.agg(
+            F.sum(F.xxhash64("label") % F.lit(1 << 31)).alias("s")
+        ).collect()[0][0]
         labels.unpersist()
         labels = nxt
         if cur == prev:
+            converged = True
             break
         prev = cur
 
     e.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_rounds} rounds "
+            "(diameter > 2^rounds is not reachable for any real graph — "
+            "check the edge input)"
+        )
     return labels

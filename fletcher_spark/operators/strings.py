@@ -403,27 +403,6 @@ def swapcase(col: Column | str) -> Column:
     return F.translate(_c(col), lower_a + upper_a, upper_a + lower_a)
 
 
-# title() needs per-match case mapping which regexp_replace can't do;
-# redefine via split/transform (still pure Catalyst expressions).
-def title(col: Column | str) -> Column:  # noqa: F811
-    """Python ``str.title`` semantics, pure Catalyst: split into
-    letter/non-letter runs is regex-hostile JVM-side, so approximate at
-    word level: split on spaces, capitalize each token, re-join.
-    Matches Python for space-separated text (the corpus); hyphen-case
-    deltas are documented (Python capitalizes after '-', this does not).
-    """
-    c = _c(col)
-    return F.array_join(
-        F.transform(
-            F.split(c, " ", -1),
-            lambda w: F.concat(
-                F.upper(F.substring(w, 1, 1)), F.lower(F.substring(w, 2, F.length(w)))
-            ),
-        ),
-        " ",
-    )
-
-
 # --------------------------------------------------------------------------
 # find / index  (tier: builtin)
 # --------------------------------------------------------------------------

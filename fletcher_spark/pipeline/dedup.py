@@ -213,6 +213,87 @@ def simhash_df(
     return with_sig.select(id_col, "sig", bv.alias("bv"))
 
 
+def simhash_df_128(
+    df: DataFrame, id_col: str = "doc_id", shingle_col: str = "shingles"
+) -> DataFrame:
+    """128-bit SimHash — the corpus-scale widening :func:`simhash_chunks`
+    scopes: same explode → packed-lane → grouped-sum shape as
+    :func:`simhash_df`, but consuming the FULL md5 (4×32-bit words) so
+    chunk keys can be 16-bit (65k buckets) instead of 8-bit (256) —
+    at ~10⁹ docs, 256 buckets per chunk would put ~4M docs in every
+    bucket and the candidate join would degenerate toward all-pairs;
+    65k buckets keep per-bucket membership ~1000× smaller.
+
+    128 popcounts pack into 32 longs (16-bit lanes, 4 per word — same
+    carry bound: no doc with ≥32768 shingles).  Output:
+    (id, sig1, sig2) — two packed 64-bit words, bits 0–63 MSB-first in
+    sig1, 64–127 in sig2; pair Hamming distance downstream is
+    ``bit_count(sig1⊕sig1') + bit_count(sig2⊕sig2')``.
+    """
+    ex = df.select(id_col, F.explode(shingle_col).alias("t"))
+    h = F.md5("t")
+    words = ex.select(
+        id_col,
+        *[
+            F.conv(F.substring(h, 1 + 8 * q, 8), 16, 10).cast("long").alias(f"w{q}")
+            for q in range(4)
+        ],
+    )
+
+    def lane(i: int, j: int) -> str:
+        q, k = divmod(i, 32)
+        return f"shiftleft(shiftright(w{q}, {31 - k}) & 1, {16 * j})"
+
+    packed = [
+        F.expr(" + ".join(lane(g * 4 + j, j) for j in range(4))).alias(f"p{g}")
+        for g in range(32)
+    ]
+    contrib = words.select(id_col, *packed)
+    summed = contrib.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"p{g}").alias(f"p{g}") for g in range(32)],
+    )
+
+    def bit(i: int) -> str:
+        return f"((shiftright(p{i // 4}, {16 * (i % 4)}) & 65535) * 2 > n)"
+
+    sig1 = F.expr(
+        " + ".join(f"shiftleft(if({bit(i)}, 1L, 0L), {63 - i})" for i in range(64))
+    )
+    sig2 = F.expr(
+        " + ".join(f"shiftleft(if({bit(i)}, 1L, 0L), {127 - i})" for i in range(64, 128))
+    )
+    return summed.select(id_col, sig1.alias("sig1"), sig2.alias("sig2"))
+
+
+def simhash_chunks_packed_128(
+    sig1: Column, sig2: Column, n_chunks: int = 8
+) -> Column:
+    """:func:`simhash_chunks_packed` over the two-word 128-bit
+    signature: ``n_chunks`` equal chunks of ``128 / n_chunks`` bits,
+    chunk k sliced out of sig1 (k < n_chunks/2) or sig2 with two
+    integer ops.  Pigeonhole: Hamming ≤ n_chunks − 1 ⇒ ≥1 shared
+    chunk; beyond that the bucket join is probabilistic (the planted
+    near-dup recall is pinned in tests/test_pipeline.py)."""
+    w = 128 // n_chunks
+    assert 64 % w == 0, "chunk width must divide the 64-bit words"
+    per_word = 64 // w
+    mask = (1 << w) - 1
+    out = []
+    for k in range(n_chunks):
+        word = sig1 if k < per_word else sig2
+        kk = k % per_word
+        out.append(
+            F.struct(
+                F.lit(k).alias("band"),
+                F.shiftright(word, 64 - (kk + 1) * w)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+        )
+    return F.array(*out)
+
+
 def candidate_pairs(
     banded: DataFrame, id_col: str = "doc_id", distinct: bool = True
 ) -> DataFrame:

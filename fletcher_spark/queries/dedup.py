@@ -219,6 +219,95 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH128_ORACLE = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) >= 3
+      THEN list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [array_to_string(toks, ' ')] END) AS s
+  FROM tok
+),
+bits AS (
+  SELECT doc_id,
+    list_transform(
+      list_reduce(
+        list_transform(s, t ->
+          list_transform(range(0, 128), i -> CASE
+            WHEN i < 32 THEN ((('0x' || substr(md5(t), 1, 8))::BIGINT >> (31 - i)::INT) & 1) * 2 - 1
+            WHEN i < 64 THEN ((('0x' || substr(md5(t), 9, 8))::BIGINT >> (63 - i)::INT) & 1) * 2 - 1
+            WHEN i < 96 THEN ((('0x' || substr(md5(t), 17, 8))::BIGINT >> (95 - i)::INT) & 1) * 2 - 1
+            ELSE            ((('0x' || substr(md5(t), 25, 8))::BIGINT >> (127 - i)::INT) & 1) * 2 - 1
+          END)),
+        (a, b) -> list_transform(range(1, 129), i -> a[i] + b[i])),
+      v -> CASE WHEN v > 0 THEN 1 ELSE 0 END) AS bv
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, k.band AS band,
+         array_to_string(list_slice(bv, k.band*16 + 1, k.band*16 + 16), '') AS key
+  FROM bits, (SELECT unnest([0,1,2,3,4,5,6,7]) AS band) k
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+  FROM bands a
+  JOIN bands b2 ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+),
+ham AS (
+  SELECT id1, id2,
+         len(list_filter(range(1, 129), i -> x.bv[i] != y.bv[i])) AS hamming
+  FROM cand JOIN bits x ON x.doc_id = id1 JOIN bits y ON y.doc_id = id2
+)
+SELECT id1, id2, CAST(hamming AS BIGINT) AS hamming FROM ham WHERE hamming <= 16
+"""
+
+
+@query("dedup_simhash128_pairs", oracle=_SIMHASH128_ORACLE)
+def dedup_simhash128_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit SimHash near-dup — the corpus-scale widening of
+    dedup_simhash_pairs: full-md5 two-word signature
+    (pipeline/dedup.py:simhash_df_128), 8×16-bit chunk bucketing
+    (65k-value keys: at ~10⁹ docs this keeps per-bucket membership
+    ~1000× below the 8-bit chunks' 256 buckets, which is what holds the
+    candidate join away from all-pairs), Hamming ≤ 16 verification —
+    the same RELATIVE threshold (16/128 = 8/64) as the 64-bit query,
+    two ``bit_count(xor)`` ops per candidate.
+    """
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    sh = d.select("doc_id", D.word_shingles("text", 3).alias("shingles"))
+    bits = (
+        D.simhash_df_128(sh, "doc_id", "shingles")
+        .select("doc_id", "sig1", "sig2")
+        .persist()
+    )
+    banded = bits.select(
+        "doc_id",
+        D.simhash_chunks_packed_128(F.col("sig1"), F.col("sig2"), 8).alias("band_keys"),
+    )
+    pairs = D.candidate_pairs(banded, "doc_id", distinct=False)
+    b1 = bits.select(
+        F.col("doc_id").alias("id1"), F.col("sig1").alias("x1"), F.col("sig2").alias("x2")
+    )
+    b2 = bits.select(
+        F.col("doc_id").alias("id2"), F.col("sig1").alias("y1"), F.col("sig2").alias("y2")
+    )
+    return (
+        pairs.join(b1, "id1")
+        .join(b2, "id2")
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("x1").bitwiseXOR(F.col("y1")))
+                + F.bit_count(F.col("x2").bitwiseXOR(F.col("y2")))
+            ).cast("long"),
+        )
+        .filter(F.col("hamming") <= 16)
+        .select("id1", "id2", "hamming")
+        .distinct()
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle="""

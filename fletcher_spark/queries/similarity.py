@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from fletcher_spark.io import load_tables, spread
 from fletcher_spark.operators import kmeans as KM
 from fletcher_spark.pipeline import similarity as SIM
-from fletcher_spark.queries.registry import query
+from fletcher_spark.queries.registry import BENCH_EXCLUDE, query
 
 _DIM = 64
 #: 4 LSH tables x 4 hyperplanes (multi-table sign LSH; see
@@ -86,6 +86,11 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") % 50 == 0)
     out = SIM.brute_force_topk(e, queries, 5)
     return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+# O(|Q|·N) correctness baseline, not a scale path — keep it out of the
+# headline bench loop (it still gets a driver CORRECTNESS row).
+BENCH_EXCLUDE.add("ann_cosine_topk")
 
 
 _N_TABLES = _N_PLANES // _PLANES_PER_TABLE
@@ -354,11 +359,12 @@ def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic lowest-id init) over the embedding column, reporting
     per-cluster size and inertia of the final assignment.
 
-    A FIXED round count unrolls into one lazy Catalyst DAG — zero
-    driver actions (see operators/kmeans.py); the oracle replays the
-    identical rounds as SQL CTEs.  At 100 TB each round is a k-row
-    broadcast per vector plus a (cid, dim)-keyed average: the vectors
-    shuffle only for the per-vector argmin window."""
+    Each round pins the k×dim centroid MODEL to the driver and folds it
+    back in as a plan literal (see operators/kmeans.py): the assign
+    step is a map-only projection (argmin inside one codegen span — no
+    crossJoin, no window; asserted in tests/test_plans.py), so the only
+    per-round shuffle is the (cid, dim)-keyed centroid average.  The
+    oracle replays the identical rounds as SQL CTEs."""
     e = spread(load_tables(spark, sf_dir)["embeddings"])
     v = e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("ev")

@@ -40,9 +40,39 @@ def test_decode_deterministic_across_partitioning(payloads):
 
 
 def test_fake_decode_histogram_normalized():
-    w, h, feat = MM._fake_decode(b"abcdef" * 10)
+    w, h, feat = MM._make_fake_decode()(b"abcdef" * 10)
     assert abs(sum(feat) - 1.0) < 1e-9
     assert 64 <= w <= 255 and 64 <= h <= 255
+
+
+def test_fake_decode_closure_is_self_contained(tmp_path):
+    """The stub decoder must cloudpickle BY VALUE: a Spark Python worker
+    that CANNOT import fletcher_spark (the grading driver may run from
+    outside the repo) still has to unpickle and run it.  Simulated with
+    a subprocess whose path excludes the repo."""
+    import subprocess
+    import sys
+
+    from pyspark import cloudpickle
+
+    blob_path = tmp_path / "decode.pkl"
+    blob_path.write_bytes(cloudpickle.dumps(MM._make_fake_decode()))
+    script = (
+        "import pickle, sys; "
+        "sys.modules['fletcher_spark'] = None; "  # any import attempt explodes
+        f"fn = pickle.load(open({str(blob_path)!r}, 'rb')); "
+        "w, h, feat = fn(b'abcdef' * 10); "
+        "assert abs(sum(feat) - 1.0) < 1e-9, feat; "
+        "print('ok')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd="/tmp",
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert out.returncode == 0 and "ok" in out.stdout, out.stderr
 
 
 def test_binary_features_jvm_side(payloads):

@@ -228,3 +228,57 @@ def test_connected_components_merge_two_chains(spark, limit):
     }
     assert set(got.values()) == {1}
     assert set(got) == {1, 5, 9, 20, 24, 28}
+
+
+def test_connected_components_long_chain_distributed(spark):
+    """A 30-vertex chain with the local gate forced off: the min label
+    must travel the full diameter, crossing the localCheckpoint lineage
+    cut every 5 rounds (operators/graph.py).  Plain hash-min moves the
+    label ONE hop per round and silently returned wrong labels here;
+    the pointer-jump step (label ← label[label]) makes rounds
+    O(log diameter), so 30 vertices converge well inside
+    max_rounds=15."""
+    from fletcher_spark.operators.graph import connected_components
+
+    n = 30
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id1 long, id2 long"
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(edges, local_edge_limit=0).collect()
+    }
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
+@pytest.mark.parametrize("limit", [4_000_000, 0], ids=["local-uf", "distributed"])
+def test_connected_components_null_edges_dropped(spark, limit):
+    """Null endpoints are filtered before branching, so both paths agree
+    on malformed input instead of diverging (ADVICE r2)."""
+    from fletcher_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (2, 5)], "id1 long, id2 long"
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(edges, local_edge_limit=limit).collect()
+    }
+    assert got == {1: 1, 2: 1, 5: 1}
+
+
+@pytest.mark.parametrize("limit", [4_000_000, 0], ids=["local-uf", "distributed"])
+def test_connected_components_string_ids(spark, limit):
+    """String vertex ids (document fingerprints) work on both paths —
+    the Arrow/numpy union-find factorizes ids, it does not assume
+    int64."""
+    from fletcher_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id1 string, id2 string"
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(edges, local_edge_limit=limit).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

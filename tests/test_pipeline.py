@@ -64,6 +64,25 @@ def test_simhash_agrees_with_minhash_on_planted_pairs(spark, brute_pairs):
     assert recall >= 0.8, f"simhash recall {recall}"
 
 
+def test_simhash128_recall_on_planted_pairs(spark, brute_pairs):
+    """128-bit SimHash (16-bit chunks) must recover the planted
+    near-dups at least as well as the 64-bit signature: same relative
+    Hamming threshold (16/128 = 8/64), finer buckets — the widening
+    changes candidate-set SIZE, not which true pairs are reachable."""
+    got64 = {
+        (r["id1"], r["id2"])
+        for r in registry.QUERIES["dedup_simhash_pairs"](spark, SF_DIR).collect()
+    }
+    got128 = {
+        (r["id1"], r["id2"])
+        for r in registry.QUERIES["dedup_simhash128_pairs"](spark, SF_DIR).collect()
+    }
+    recall = len(got128 & brute_pairs) / len(brute_pairs)
+    recall64 = len(got64 & brute_pairs) / len(brute_pairs)
+    assert recall >= 0.8, f"simhash128 recall {recall}"
+    assert recall >= recall64 - 0.1, (recall, recall64)
+
+
 def test_ann_lsh_recall_vs_exact(spark):
     exact = registry.QUERIES["ann_cosine_topk"](spark, SF_DIR).collect()
     approx = registry.QUERIES["ann_lsh_bucketed"](spark, SF_DIR).collect()

@@ -165,3 +165,28 @@ def test_passage_dedup_no_cartesian_no_global_sort(spark):
     p = plan(spark, "dedup_passages_c4")
     assert "CartesianProduct" not in p, p
     assert "Sort [" not in p or "SortMergeJoin" in p, p
+
+
+def test_kmeans_assign_is_map_only(spark):
+    """The Lloyd assign step folds the broadcast centroid literal inside
+    one projection — no crossJoin row expansion, no argmin window, no
+    Exchange (VERDICT r2: the old plan shuffled |v|×k rows per round)."""
+    from pyspark.sql import functions as F
+
+    from fletcher_spark.io import load_tables
+    from fletcher_spark.operators import kmeans as KM
+
+    v = load_tables(spark, SF_DIR)["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ev"),
+    )
+    cent = [(1, [0.0] * 8), (2, [1.0] * 8)]
+    p = (
+        KM.assign_nearest(v, cent, "vec_id", "ev")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    assert "Window" not in p, p
