@@ -96,3 +96,36 @@ def fingerprint(toks: Column) -> Column:
     distinct token set — the canonical-form dedup key (robust to
     shuffling/whitespace, unlike raw-text hashes)."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+
+
+#: PII battery: (name, regex, replacement tag).  Patterns are kept to
+#: the RE2 ∩ Java-regex common subset so the same literal runs in Spark
+#: (codegen regexp_replace) and the DuckDB oracle.  Redaction order
+#: matters and is fixed: emails first (their local parts may contain
+#: digit runs), then IPv4, then standalone long digit runs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("idnum", r"\d{9,}", "<NUM>"),
+]
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-pattern match counts on the ORIGINAL text (independent per
+    pattern; the fixed patterns cannot overlap-double-count: IPv4
+    octets are ≤3 digits, never a 9-digit run).  Map-only."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Chained global regexp_replace over :data:`PII_PATTERNS` — one
+    codegen projection, no Python.  Clean text passes through
+    byte-identical (pinned by the oracle md5 comparison)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c

@@ -583,3 +583,153 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("shard", "pack_id")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
     )
+
+
+@query(
+    "text_pii_redact",
+    oracle=r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)         AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '\d{9,}')) AS BIGINT)                                          AS n_idnum,
+  md5(regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        '\d{9,}', '<NUM>', 'g')) AS redacted_md5
+FROM documents
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — the compliance pass every training corpus runs:
+    count and redact emails / IPv4s / long id-number runs with a fixed
+    regex battery (pipeline/textpipe.py:PII_PATTERNS, the RE2∩Java
+    common subset so the identical literals run in the oracle).
+
+    Map-only scan→project, one codegen regexp chain — at 100 TB this
+    is embarrassingly parallel and I/O-bound.  The synthetic corpus is
+    PII-free, which the md5-of-redacted-text comparison turns into a
+    real assertion: the battery must pass clean text through
+    BYTE-IDENTICAL (false positives on clean text are corpus damage —
+    the costlier failure mode at scale).  Planted-PII semantics are
+    pinned in tests/test_textpipe_pii.py.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    counts = T.pii_counts("text")
+    return d.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["idnum"].alias("n_idnum"),
+        F.md5(T.redact_pii("text")).alias("redacted_md5"),
+    )
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 6),
+                       i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS grams
+  FROM tok WHERE len(toks) >= 8
+),
+bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id, grams FROM g WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM train) t
+  JOIN bench USING (gram)
+  GROUP BY t.doc_id
+)
+SELECT train.doc_id,
+       CAST(len(train.grams) AS BIGINT)      AS n_grams,
+       CAST(COALESCE(hits.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(COALESCE(hits.n_overlap, 0)::DOUBLE / len(train.grams), 4) AS contamination
+FROM train LEFT JOIN hits USING (doc_id)
+""",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check — the decontamination op every
+    training pipeline runs before release: per training document, the
+    fraction of its word 8-grams that also occur in the held-out
+    benchmark set (here: doc_id % 97 == 0 stands in for the eval
+    suite).
+
+    Scale: the benchmark side is eval-suite-sized (thousands of docs,
+    not billions), so its distinct-gram set is BROADCAST; the training
+    side is explode → broadcast-hash semi-ish join → partial-agg count
+    — the corpus is read once, map-only except the per-doc count.  A
+    real pipeline feeds the output straight into a `contamination <
+    threshold` filter.
+    """
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    g = d.select(
+        "doc_id",
+        F.array_distinct(T.ngrams(T.tokens("text"), 8)).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    bench = (
+        g.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train = g.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        train.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        train.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_grams"), 4
+            ).alias("contamination"),
+        )
+    )
+
+
+@query(
+    "corpus_mix_plan",
+    oracle="""
+WITH per AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, n_tokens,
+       round(min(n_tokens) OVER ()::DOUBLE / n_tokens, 4) AS sample_rate
+FROM per
+""",
+)
+def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix budgeting: per-language token totals and the
+    sampling rate that equalizes the mix to the smallest language's
+    token budget — the data-mixing planning step of a multilingual
+    pretraining run.
+
+    Scale: one partial+final hash-agg over |langs| keys (map-side
+    combine reduces the shuffle to k rows per partition); the window
+    runs over the k aggregated rows, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir)["documents"]
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(T.tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.min("n_tokens").over(w) / F.col("n_tokens"), 4).alias("sample_rate"),
+    )

@@ -61,9 +61,19 @@ def test_map_only_queries_have_no_exchange(spark):
         "text_stats",
         "mm_binary_features",
         "list_take_ops",
+        "text_pii_redact",
     ):
         p = plan(spark, name)
         assert "Exchange" not in p, f"{name} plans a shuffle:\n{p}"
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The eval-suite gram set must broadcast (it is eval-sized, the
+    corpus is not) — a shuffle join here would reshuffle the whole
+    training corpus on the gram key."""
+    p = plan(spark, "contamination_ngram_overlap")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
 
 
 def test_string_queries_read_only_needed_columns(spark):
