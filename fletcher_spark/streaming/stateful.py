@@ -19,6 +19,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts_us long"
@@ -55,4 +56,72 @@ def running_user_profile(events: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_first_seen(
+    df: DataFrame,
+    key_col: str = "fp",
+    payload_cols: tuple[str, ...] = ("doc_id",),
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming exact dedup on the Spark 4 ``transformWithStateInPandas``
+    API: emit each key's FIRST row only, remembering seen keys in a
+    per-key ``ValueState`` — optionally with a TTL so state self-expires
+    (the feature the older ``applyInPandasWithState`` path cannot
+    express; with a TTL this is "dedup within the last N hours", the
+    production corpus-ingest shape where unbounded seen-sets are not an
+    option).
+
+    Scale: state is keyed by the dedup fingerprint and lives in the
+    executor state store (same shuffle as a groupBy on the key); TTL
+    bounds its size.  Emits at most one row per key ever (append mode).
+
+    The processor class is defined INSIDE this function so cloudpickle
+    serializes it by value — Spark Python workers never need
+    fletcher_spark importable (same constraint as
+    pipeline/multimodal.py:_make_fake_decode).
+
+    Runtime requirements: the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` package (the API's Python driver worker speaks
+    protobuf to the state server; part of standard pyspark extra
+    deps).  tests/test_streaming.py gates on the latter.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_cols = [key_col, *payload_cols]
+    out_schema = ", ".join(f"{c} string" for c in out_cols)
+
+    class FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState("seen", "seen boolean", ttl_ms)
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._seen.exists():
+                return
+            self._seen.update((True,))
+            first = None
+            for pdf in rows:
+                if len(pdf):
+                    first = pdf.iloc[[0]][out_cols].astype(str)
+                    break
+            if first is not None:
+                yield first
+
+        def close(self) -> None:
+            pass
+
+    return (
+        df.select([F.col(c).cast("string") for c in out_cols])
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=FirstSeen(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="None",
+        )
     )

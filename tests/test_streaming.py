@@ -113,6 +113,59 @@ def test_streaming_exact_dedup(spark):
     assert all(r["n"] == 1 for r in rows)
 
 
+def test_transform_with_state_first_seen(spark):
+    """transformWithStateInPandas dedup (Spark 4 arbitrary-state API):
+    exactly one row per key over the whole stream, and the key set
+    equals the batch distinct — ValueState survives across
+    micro-batches.
+
+    ENV GATE: the API's Python driver worker speaks protobuf to the
+    state server; containers without google.protobuf skip (the operator
+    itself is pure PySpark and runs wherever standard pyspark deps are
+    installed)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import functions as F
+
+    from fletcher_spark.streaming.stateful import streaming_first_seen
+
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    ev = stream_events(spark, SF_DIR).withColumn(
+        "fp", (F.col("user_id") % 50).cast("string")
+    )
+    out = streaming_first_seen(ev, "fp", ("event_id",))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_first_seen")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        rows = spark.sql("SELECT fp, count(*) n FROM tws_first_seen GROUP BY fp").collect()
+    finally:
+        q.stop()
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    batch_keys = {
+        str(r[0])
+        for r in load_tables(spark, SF_DIR)["events"]
+        .select((F.col("user_id") % 50).cast("string"))
+        .distinct()
+        .collect()
+    }
+    assert {r["fp"] for r in rows} == batch_keys
+    assert all(r["n"] == 1 for r in rows)
+
+
 def test_stream_stream_interval_join_matches_batch(spark):
     """Stream-stream interval join (click attribution): watermarked
     view/click streams joined within a 15-minute bound must produce
