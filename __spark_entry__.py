@@ -69,9 +69,15 @@ def _ordered_names(reg) -> list[str]:
     their oracles are unchanged.
     """
     verified = _last_verified_round()
+    introduced = getattr(reg, "INTRODUCED_ROUND", {})
     names = list(reg.QUERIES)
     order = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (verified.get(n, -1), order[n]))
+    # never-verified first (oldest registration first), then verified
+    # oldest-verification first; registry order breaks ties
+    return sorted(
+        names,
+        key=lambda n: (verified.get(n, -1), introduced.get(n, 2), order[n]),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

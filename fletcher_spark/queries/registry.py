@@ -27,6 +27,16 @@ ORACLE: dict[str, str] = {}
 #: Names excluded from bench.py's headline loop (e.g. O(n²) verifiers
 #: that exist for correctness cross-checks, not as scale paths).
 BENCH_EXCLUDE: set[str] = set()
+#: Round a query was first registered in (default 2 — the round the
+#: registry reached full coverage).  Used by __spark_entry__ to order
+#: the driver's bounded correctness snapshot: among never-verified
+#: queries, the ones waiting longest go first.
+INTRODUCED_ROUND: dict[str, int] = {
+    "dedup_simhash128_pairs": 3,
+    "text_pii_redact": 3,
+    "contamination_ngram_overlap": 3,
+    "corpus_mix_plan": 3,
+}
 
 
 def query(name: str, oracle: str | None = None):
