@@ -1,0 +1,47 @@
+"""normalize_events layout adaptation: the harness has shipped events.ts
+as timestamp[ns]-surfaced-as-long (round 1) and timestamp[us] (round 2+);
+both layouts must yield identical columns, IN THE SAME ORDER, with
+equivalent values (the ADVICE r2 positional-pairing hazard)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fletcher_spark.io import normalize_events
+
+US = 1_700_000_000_000_000  # some epoch microseconds
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("events_layouts")
+    legacy = str(base / "legacy")
+    micro = str(base / "micro")
+    ids = pa.array([1, 2], pa.int64())
+    pq.write_table(
+        pa.table({"event_id": ids, "ts": pa.array([US * 1000, (US + 5) * 1000], pa.int64())}),
+        legacy + ".parquet",
+    )
+    pq.write_table(
+        pa.table({"event_id": ids, "ts": pa.array([US, US + 5], pa.timestamp("us"))}),
+        micro + ".parquet",
+    )
+    return legacy + ".parquet", micro + ".parquet"
+
+
+def test_normalize_events_layout_independent(spark, layouts):
+    legacy_path, micro_path = layouts
+    a = normalize_events(spark.read.parquet(legacy_path))
+    b = normalize_events(spark.read.parquet(micro_path))
+    # identical column ORDER (positional ops across layouts must pair
+    # ts_us with ts_us, never ts_ns)
+    assert a.columns == b.columns
+    assert a.columns[-2:] == ["ts_us", "ts_ns"]
+    ra = {r["event_id"]: r for r in a.collect()}
+    rb = {r["event_id"]: r for r in b.collect()}
+    for k in (1, 2):
+        assert ra[k]["ts_us"] == rb[k]["ts_us"]
+        assert ra[k]["ts_ns"] == rb[k]["ts_ns"] == ra[k]["ts_us"] * 1000
+        assert ra[k]["ts"] == rb[k]["ts"]
