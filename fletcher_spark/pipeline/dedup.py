@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "word_shingles",
+    "shingle_frame",
     "minhash_signature",
     "lsh_band_keys",
     "candidate_pairs",
@@ -42,9 +43,16 @@ __all__ = [
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct word ``k``-shingles of a whitespace-tokenized text column.
 
-    ``transform`` over an index sequence + ``slice`` — pure codegen.
-    Shorter-than-``k`` docs yield a single whole-doc shingle so they can
-    still hash (guard avoids ``sequence(1, negative)``).
+    ``transform`` over an index sequence + ``slice``.  Shorter-than-``k``
+    docs yield a single whole-doc shingle so they can still hash (guard
+    avoids ``sequence(1, negative)``).
+
+    PERF: when ``text`` is the raw string, the inlined ``split`` is
+    re-evaluated per slice inside the (interpreted) transform lambda —
+    measured 3× slower than splitting once.  Prefer
+    :func:`shingle_frame`, which materializes the token array in its
+    own projection first; this Column form is kept for composition and
+    for callers that already pass a token array.
     """
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(c, " ", -1)
@@ -54,6 +62,29 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
         lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
     return F.array_distinct(F.when(n >= k, shingled).otherwise(F.array(c)))
+
+
+def shingle_frame(
+    df: DataFrame, text_col: str = "text", k: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shingles) frame with the token split MATERIALIZED in its own
+    projection before the slice lambda touches it — the projection
+    boundary stops the interpreted transform from re-running the split
+    per shingle (3× on the 5k-doc corpus; the factor grows with doc
+    length since the re-eval is per slice position).  Same output as
+    ``select(id, word_shingles(text, k))``, pinned by the unchanged
+    oracles of every dedup query."""
+    t = df.select(id_col, F.split(F.col(text_col), " ", -1).alias("__toks"))
+    toks = F.col("__toks")
+    n = F.size(toks)
+    shingled = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    sh = F.array_distinct(
+        F.when(n >= k, shingled).otherwise(F.array(F.array_join(toks, " ")))
+    )
+    return t.select(id_col, sh.alias("shingles"))
 
 
 #: modulus for the two-base-hash MinHash family (large prime < 2^61;

@@ -132,7 +132,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_tables(spark, sf_dir)["documents"])
     # shingles feed both the signature and the verify join; the diamond
     # would otherwise recompute the shingling sub-DAG per consumer
-    sh = d.select("doc_id", D.word_shingles("text", 3).alias("shingles")).persist()
+    sh = D.shingle_frame(d, "text", 3).persist()
     sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
     banded = sig.select("doc_id", D.lsh_band_keys(F.col("sig"), 4, 3).alias("band_keys"))
     pairs = D.candidate_pairs(banded, "doc_id")
@@ -197,7 +197,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     across ~400k candidates).
     """
     d = spread(load_tables(spark, sf_dir)["documents"])
-    sh = d.select("doc_id", D.word_shingles("text", 3).alias("shingles"))
+    sh = D.shingle_frame(d, "text", 3)
     # the signature table fans out to banding and BOTH sides of the
     # pair join — persist it or the explode+sum sub-DAG runs three times
     bits = D.simhash_df(sh, "doc_id", "shingles").select("doc_id", "sig").persist()
@@ -275,7 +275,7 @@ def dedup_simhash128_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     two ``bit_count(xor)`` ops per candidate.
     """
     d = spread(load_tables(spark, sf_dir)["documents"])
-    sh = d.select("doc_id", D.word_shingles("text", 3).alias("shingles"))
+    sh = D.shingle_frame(d, "text", 3)
     bits = (
         D.simhash_df_128(sh, "doc_id", "shingles")
         .select("doc_id", "sig1", "sig2")
@@ -508,7 +508,7 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the identical md5-derived edge set.
     """
     d = spread(load_tables(spark, sf_dir)["documents"])
-    sh = d.select("doc_id", D.word_shingles("text", 3).alias("shingles")).persist()
+    sh = D.shingle_frame(d, "text", 3).persist()
     sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
     banded = sig.select("doc_id", D.lsh_band_keys(F.col("sig"), 4, 3).alias("band_keys"))
     pairs = D.candidate_pairs(banded, "doc_id")

@@ -137,7 +137,10 @@ def text_ngrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     The one intentional shuffle in the text pipeline, keyed on the
     n-gram (map-side combine bounds it by distinct-gram count)."""
     d = spread(load_tables(spark, sf_dir)["documents"])
-    g = d.select(F.explode(T.ngrams(T.tokens("text"), 2)).alias("bigram"))
+    # token split materialized before the gram lambda (see
+    # contamination_ngram_overlap for the measured re-eval cost)
+    t = d.select(T.tokens("text").alias("toks"))
+    g = t.select(F.explode(T.ngrams(F.col("toks"), 2)).alias("bigram"))
     return (
         g.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -288,7 +291,7 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.fp").alias("fp"),
     ).persist()
 
-    sh = exact_kept.select("doc_id", D.word_shingles("text", 3).alias("shingles")).persist()
+    sh = D.shingle_frame(exact_kept, "text", 3).persist()
     sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
     banded = sig.select("doc_id", D.lsh_band_keys(F.col("sig"), 4, 3).alias("band_keys"))
     pairs = D.candidate_pairs(banded, "doc_id")
@@ -665,10 +668,21 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold` filter.
     """
     d = spread(load_tables(spark, sf_dir)["documents"])
-    g = d.select(
+    # three perf rules, all measured at sf0.1: (1) materialize the token
+    # split in its own projection — inlined, the interpreted transform
+    # re-runs the regex split per gram position (4×); (2) filter on the
+    # CHEAP predicate size(toks) >= 8, not size(grams) > 0 — the latter
+    # gets predicate-pushed below the spread() Exchange and drags the
+    # whole gram construction into the serial scan stage (the pushdown
+    # backfire: same rows, 10× cost); (3) grams feed three consumers
+    # (benchmark set, overlap join, per-doc totals) — persist once
+    t = d.select("doc_id", T.tokens("text").alias("toks")).filter(
+        F.size(F.col("toks")) >= 8
+    )
+    g = t.select(
         "doc_id",
-        F.array_distinct(T.ngrams(T.tokens("text"), 8)).alias("grams"),
-    ).filter(F.size("grams") > 0)
+        F.array_distinct(T.ngrams(F.col("toks"), 8)).alias("grams"),
+    ).persist()
     bench = (
         g.filter(F.col("doc_id") % 97 == 0)
         .select(F.explode("grams").alias("gram"))

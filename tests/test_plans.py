@@ -76,6 +76,19 @@ def test_contamination_broadcasts_benchmark_side(spark):
     assert "CartesianProduct" not in p, p
 
 
+def test_contamination_gram_lambda_not_pushed_into_scan(spark):
+    """Pushdown-backfire regression: filtering on size(grams) > 0 pushed
+    the ENTIRE gram-construction lambda below the spread() Exchange into
+    the serial scan stage (measured ~10× on the query).  The filter must
+    stay on the cheap token-count predicate — no transform lambda inside
+    any scan's DataFilters."""
+    import re
+
+    p = plan(spark, "contamination_ngram_overlap")
+    for m in re.finditer(r"DataFilters: \[[^\]]*\]", p):
+        assert "transform(sequence" not in m.group(0), m.group(0)
+
+
 def test_string_queries_read_only_needed_columns(spark):
     """Column pruning: a 2-column projection must not scan 5 columns."""
     p = plan(spark, "str_predicates")
