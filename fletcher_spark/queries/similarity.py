@@ -138,11 +138,17 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     is asserted in tests/test_pipeline.py (recall lever = more tables).
     """
     e = spread(load_tables(spark, sf_dir)["embeddings"])
+    # persist the signature table: it feeds FOUR consumers (explode,
+    # query filter, both sides of the scored join) — uncached, each one
+    # re-ran the L×k plane products, and the explode's inferred
+    # size(tkeys)>0 predicate pushed the whole transform into the scan
+    # filter (the cache is both the recompute fix and the pushdown
+    # barrier; plan audit in tests/test_plans.py)
     b = e.select(
         "vec_id",
         F.col("embedding").alias("ev"),
         SIM.lsh_table_keys(F.col("embedding"), _PLANES, _PLANES_PER_TABLE).alias("tkeys"),
-    )
+    ).persist()
     ex = b.select("vec_id", "ev", F.explode("tkeys").alias("bk")).select(
         "vec_id", "ev", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
@@ -223,7 +229,12 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a per-vector Python loop.
     """
     e = spread(load_tables(spark, sf_dir)["embeddings"])
-    v = e.select("vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("ev"))
+    # persisted: v feeds the centroid aggregate, the query set, and the
+    # scored join probe — and caching keeps the posexplode's inferred
+    # size(ev)>0 filter off the scan (see ann_lsh_bucketed)
+    v = e.select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("ev")
+    ).persist()
 
     # centroids: explode to (label, pos, val); partial+final avg; re-pack
     cdim = (

@@ -89,6 +89,20 @@ def test_contamination_gram_lambda_not_pushed_into_scan(spark):
         assert "transform(sequence" not in m.group(0), m.group(0)
 
 
+def test_ann_plane_products_not_in_scan_filters(spark):
+    """Same pushdown-backfire family: the explode over LSH table keys
+    infers a size(tkeys)>0 predicate; un-persisted, it pushed the whole
+    plane-product transform into the parquet scan filter (evaluated per
+    row, serially, before the spread).  The persisted signature frame is
+    the barrier — scans must carry only cheap filters."""
+    import re
+
+    for name in ("ann_lsh_bucketed", "ann_ivf_probe"):
+        p = plan(spark, name)
+        for m in re.finditer(r"DataFilters: \[[^\]]*\]", p):
+            assert "transform(" not in m.group(0), f"{name}: {m.group(0)[:200]}"
+
+
 def test_string_queries_read_only_needed_columns(spark):
     """Column pruning: a 2-column projection must not scan 5 columns."""
     p = plan(spark, "str_predicates")
