@@ -495,17 +495,15 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain a~b~c must collapse to ONE representative, which pairwise
     keep-min gets wrong).
 
-    Algorithm: hash-min label propagation.  Vertices start labeled
-    with their own id; each round every vertex takes the min label in
-    its closed neighborhood (self-loops make that one join + groupBy);
-    converged when no label changes.  Rounds are O(component
-    diameter) — near-dup clusters are shallow (diameter ≤ ~3), and at
-    100 TB each round is one shuffle keyed on doc_id over the
-    *candidate-pair* vertex set only (orders of magnitude smaller
-    than the corpus).  The driver-side loop runs distributed jobs —
-    no .collect() of data, only a changed-row count per round.  The
-    oracle replays it as a DuckDB transitive closure (WITH RECURSIVE)
-    over the identical md5-derived edge set.
+    Algorithm: operators/graph.py:connected_components — below the
+    4M-edge gate a driver union-find over Arrow-collected numpy index
+    arrays; above it, hash-min label propagation with pointer jumping
+    (label ← label[label], O(log diameter) rounds), each round two
+    shuffles over the *candidate-pair* vertex set only (orders of
+    magnitude smaller than the corpus), convergence detected by a
+    1-row hash-sum scalar.  The oracle replays it as a DuckDB
+    transitive closure (WITH RECURSIVE) over the identical
+    md5-derived edge set.
     """
     d = spread(load_tables(spark, sf_dir)["documents"])
     sh = D.shingle_frame(d, "text", 3).persist()
