@@ -216,3 +216,121 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("k"), 4).alias("avg_k"))
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts)::BIGINT AS ts_us FROM events),
+v AS (SELECT user_id, min(ts_us) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts_us) AS t_click
+  FROM e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts_us > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts_us) AS t_purchase
+  FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts_us > c.t_click
+  GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+  SELECT 'view' AS stage, count(*)::BIGINT AS n_users, 1 AS ord FROM v
+  UNION ALL SELECT 'click_after_view', count(*)::BIGINT, 2 FROM c
+  UNION ALL SELECT 'purchase_after_click', count(*)::BIGINT, 3 FROM p
+) ORDER BY ord
+""",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): users counted at each
+    stage only if the stage event happened STRICTLY AFTER their first
+    event of the previous stage — the sequence-matching shape basic
+    per-type counts get wrong (a purchase before the first view must
+    not convert).
+
+    Scale: three stage aggregates, each one user-keyed partial+final
+    min over a type-filtered scan, chained by user-keyed joins whose
+    left side shrinks at every stage (funnel monotonicity) — no
+    per-user event collection, no window over the full stream.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    e = ev.select("user_id", "event_type", F.col("ts_us"))
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+
+    def stage(df: DataFrame, name: str, ord_: int) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.lit(ord_).alias("ord"),
+        )
+
+    return (
+        stage(v, "view", 1)
+        .unionAll(stage(c, "click_after_view", 2))
+        .unionAll(stage(p, "purchase_after_click", 3))
+        .orderBy("ord")
+        .select("stage", "n_users")
+    )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+WITH e AS (SELECT user_id, epoch_us(ts)::BIGINT // 86400000000 AS day FROM events),
+cohort AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT c.cohort_day, e.day - c.cohort_day AS day_offset, e.user_id
+  FROM e JOIN cohort c ON e.user_id = c.user_id
+  WHERE e.day - c.cohort_day <= 7
+)
+SELECT cohort_day, day_offset, count(*)::BIGINT AS n_users
+FROM activity GROUP BY cohort_day, day_offset
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    distinct active users per (cohort, day-offset) for the first week —
+    the standard engagement report.  Day buckets are integer
+    epoch-days from ``ts_us`` so both engines bucket identically.
+
+    Scale: one user-keyed aggregate for cohort assignment, one
+    user-keyed join back to the activity stream (shuffle on user_id,
+    the natural key), then a distinct + count keyed on the tiny
+    (cohort, offset) pair — the distinct is the only corpus-sized
+    shuffle and it is map-side combined.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    e = ev.select("user_id", (F.col("ts_us") / F.lit(86400000000)).cast("long").alias("day"))
+    cohort = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        e.join(cohort, "user_id")
+        .select(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .filter(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -36,6 +36,8 @@ INTRODUCED_ROUND: dict[str, int] = {
     "text_pii_redact": 3,
     "contamination_ngram_overlap": 3,
     "corpus_mix_plan": 3,
+    "events_funnel_conversion": 3,
+    "events_cohort_retention": 3,
 }
 
 
