@@ -267,6 +267,34 @@ def test_connected_components_null_edges_dropped(spark, limit):
     assert got == {1: 1, 2: 1, 5: 1}
 
 
+def test_connected_components_random_graph_paths_agree(spark):
+    """Randomized differential check: on a 2000-edge random graph with
+    many components, chains, and cycles, the distributed pointer-jump
+    path must produce EXACTLY the labels the driver union-find does —
+    the strongest equivalence evidence short of a formal proof, and the
+    kind of topology (mixed component sizes) the hand-built cases
+    can't cover."""
+    import random
+
+    from fletcher_spark.operators.graph import connected_components
+
+    rng = random.Random(20260813)
+    edges = [
+        (rng.randrange(1500), rng.randrange(1500)) for _ in range(2000)
+    ]
+    df = spark.createDataFrame(edges, "id1 long, id2 long")
+    local = {
+        r["id"]: r["label"]
+        for r in connected_components(df, local_edge_limit=10**9).collect()
+    }
+    dist = {
+        r["id"]: r["label"]
+        for r in connected_components(df, local_edge_limit=0).collect()
+    }
+    assert local == dist
+    assert len(local) > 100
+
+
 @pytest.mark.parametrize("limit", [4_000_000, 0], ids=["local-uf", "distributed"])
 def test_connected_components_string_ids(spark, limit):
     """String vertex ids (document fingerprints) work on both paths —
