@@ -577,3 +577,128 @@ def dedup_passages_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("text_dedup"),
     )
+
+
+_INCR_ORACLE = (
+    "WITH "
+    + _MINHASH_CTES
+    + """,
+batch AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+corpus AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0),
+fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(s), ' ')) AS fp
+  FROM sh
+),
+exact_dup AS (
+  SELECT b.doc_id, min(c.doc_id) AS match_id
+  FROM fp b JOIN batch USING (doc_id)
+  JOIN (SELECT fp.fp, fp.doc_id FROM fp JOIN corpus USING (doc_id)) c ON b.fp = c.fp
+  GROUP BY b.doc_id
+),
+near_cand AS (
+  SELECT bb.doc_id AS bid, cb.doc_id AS cid
+  FROM bands bb JOIN batch ON bb.doc_id = batch.doc_id
+  JOIN (SELECT bands.* FROM bands JOIN corpus ON bands.doc_id = corpus.doc_id) cb
+    ON bb.band = cb.band AND bb.key = cb.key
+),
+near_dup AS (
+  SELECT bid AS doc_id, min(cid) AS match_id
+  FROM (
+    SELECT DISTINCT bid, cid FROM near_cand
+  ) nc
+  JOIN sh s1 ON s1.doc_id = nc.bid
+  JOIN sh s2 ON s2.doc_id = nc.cid
+  WHERE len(list_intersect(s1.s, s2.s))::DOUBLE
+        / len(list_distinct(list_concat(s1.s, s2.s))) >= 0.5
+  GROUP BY bid
+)
+SELECT b.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'dup_exact'
+            WHEN n.doc_id IS NOT NULL THEN 'dup_near'
+            ELSE 'kept' END AS status,
+       COALESCE(e.match_id, n.match_id) AS match_id
+FROM batch b
+LEFT JOIN exact_dup e ON b.doc_id = e.doc_id
+LEFT JOIN near_dup n ON b.doc_id = n.doc_id
+"""
+)
+
+
+@query("dedup_incremental_batch", oracle=_INCR_ORACLE)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the production shape: a NEW BATCH
+    (doc_id % 10 == 0 stands in for today's crawl) is checked against
+    the EXISTING corpus without ever re-deduping the corpus against
+    itself.  Exact stage: fingerprint equi-join batch→corpus
+    (keep-min match).  Near stage: MinHash band keys of the batch
+    joined to corpus band keys (asymmetric candidate join), exact
+    Jaccard ≥ 0.5 on candidates.  Output: every batch doc with
+    status kept / dup_exact / dup_near and the matched corpus doc.
+
+    Scale: the batch side is a day's crawl (≪ corpus); both joins key
+    on fingerprint/band-bucket, so corpus-side work is index-lookup
+    shaped — the full-corpus self-join of dedup_minhash_lsh never
+    happens.  At 100 TB the corpus band table would be a bucketed,
+    sorted, persisted table the daily job reuses.
+    """
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    sh = D.shingle_frame(d, "text", 3).persist()
+    is_batch = F.col("doc_id") % 10 == 0
+
+    # canonical-form fingerprint (same md5-of-sorted-shingles the
+    # curation pipeline uses)
+    fp = sh.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort("shingles"), " ")).alias("fp"),
+    )
+    fpb = fp.filter(is_batch)
+    fpc = fp.filter(~is_batch)
+    exact = (
+        fpb.alias("b")
+        .join(fpc.alias("c"), F.col("b.fp") == F.col("c.fp"))
+        .groupBy(F.col("b.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("c.doc_id")).alias("match_id"))
+    )
+
+    sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
+    banded = sig.select(
+        "doc_id", F.explode(D.lsh_band_keys(F.col("sig"), 4, 3)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        banded.filter(is_batch)
+        .alias("b")
+        .join(
+            banded.filter(~is_batch).alias("c"),
+            (F.col("b.band") == F.col("c.band")) & (F.col("b.key") == F.col("c.key")),
+        )
+        .select(F.col("b.doc_id").alias("bid"), F.col("c.doc_id").alias("cid"))
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("bid"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("cid"), F.col("shingles").alias("sh2"))
+    near = (
+        cand.join(s1, "bid")
+        .join(s2, "cid")
+        .filter(
+            F.size(F.array_intersect("sh1", "sh2"))
+            / F.size(F.array_union("sh1", "sh2"))
+            >= 0.5
+        )
+        .groupBy(F.col("bid").alias("doc_id"))
+        .agg(F.min("cid").alias("match_id"))
+    )
+
+    batch = d.filter(is_batch).select("doc_id")
+    return (
+        batch.join(exact.withColumnRenamed("match_id", "m_exact"), "doc_id", "left")
+        .join(near.withColumnRenamed("match_id", "m_near"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("m_exact").isNotNull(), "dup_exact")
+            .when(F.col("m_near").isNotNull(), "dup_near")
+            .otherwise("kept")
+            .alias("status"),
+            F.coalesce("m_exact", "m_near").alias("match_id"),
+        )
+    )

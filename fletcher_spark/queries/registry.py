@@ -38,6 +38,7 @@ INTRODUCED_ROUND: dict[str, int] = {
     "corpus_mix_plan": 3,
     "events_funnel_conversion": 3,
     "events_cohort_retention": 3,
+    "dedup_incremental_batch": 3,
 }
 
 

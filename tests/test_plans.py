@@ -89,6 +89,15 @@ def test_contamination_gram_lambda_not_pushed_into_scan(spark):
         assert "transform(sequence" not in m.group(0), m.group(0)
 
 
+def test_incremental_dedup_no_cartesian(spark):
+    """Batch-vs-corpus dedup must stay bucket-keyed: the exact stage
+    joins on fingerprint, the near stage on (band, key) — never an
+    all-pairs product, and the corpus never self-joins."""
+    p = plan(spark, "dedup_incremental_batch")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
 def test_ann_plane_products_not_in_scan_filters(spark):
     """Same pushdown-backfire family: the explode over LSH table keys
     infers a size(tkeys)>0 predicate; un-persisted, it pushed the whole
