@@ -236,3 +236,16 @@ def test_kmeans_assign_is_map_only(spark):
     assert "Exchange" not in p, p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
     assert "Window" not in p, p
+
+
+def test_registry_wide_plan_invariants(spark):
+    """Every registered query plan, swept: (a) no CartesianProduct
+    anywhere — bucket keys, blocking keys, and broadcast-NL baselines
+    mean an all-pairs product is always a regression; (b) no
+    BatchEvalPython — row-at-a-time Python UDFs are banned repo-wide
+    (the Python tier is Arrow-batched: ArrowEvalPython /
+    FlatMapGroupsInPandas / MapInPandas only)."""
+    for name in registry.QUERIES:
+        p = plan(spark, name)
+        assert "CartesianProduct" not in p, f"{name} plans an all-pairs product"
+        assert "BatchEvalPython" not in p, f"{name} plans a row-at-a-time Python UDF"
