@@ -39,6 +39,7 @@ INTRODUCED_ROUND: dict[str, int] = {
     "events_funnel_conversion": 3,
     "events_cohort_retention": 3,
     "dedup_incremental_batch": 3,
+    "ann_ivf_int8_rescore": 3,
 }
 
 

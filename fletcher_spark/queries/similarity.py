@@ -385,3 +385,159 @@ def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.sum("d2"), 4).alias("inertia"),
     )
+
+
+_INT8_DOT = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> ({a}[i] * {b}[i])::BIGINT), (x, y) -> x + y)"
+)
+
+_IVF_INT8_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS ev
+  FROM embeddings
+),
+cdim AS (
+  SELECT label, i, avg(ev[i]) AS cv
+  FROM v, range(1, 65) t(i)
+  GROUP BY label, i
+),
+cent AS (SELECT label, list(cv ORDER BY i) AS cv FROM cdim GROUP BY label),
+qz AS (
+  SELECT vec_id, label, ev,
+         list_max(list_transform(ev, x -> abs(x))) AS maxabs
+  FROM v
+),
+q8 AS (
+  SELECT vec_id, label, ev,
+         list_transform(ev, x -> CAST(round(127.0 * x / maxabs) AS INT)) AS qv8
+  FROM qz
+),
+qn AS (
+  SELECT vec_id, label, ev, qv8,
+         sqrt(({_INT8_DOT.format(a="qv8", b="qv8")})::DOUBLE) AS q_norm
+  FROM q8
+),
+q AS (
+  SELECT vec_id AS query_id, ev AS qv, qv8 AS qq8, q_norm AS q_qn
+  FROM qn WHERE vec_id % 50 = 0
+),
+qc AS (
+  SELECT query_id, qv, qq8, q_qn, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_duck_cos("qv", "cv")} DESC, label) AS crk
+  FROM q, cent
+),
+probe AS (SELECT query_id, qv, qq8, q_qn, label FROM qc WHERE crk <= 2),
+s1 AS (
+  SELECT p.query_id, n.vec_id AS neighbor_id, p.qv, n.ev,
+         ({_INT8_DOT.format(a="p.qq8", b="n.qv8")})::DOUBLE
+           / (p.q_qn * n.q_norm) AS acos
+  FROM probe p JOIN qn n ON n.label = p.label AND n.vec_id != p.query_id
+),
+s1r AS (
+  SELECT query_id, neighbor_id, qv, ev,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY acos DESC, neighbor_id) AS ark
+  FROM s1
+),
+cand AS (SELECT query_id, neighbor_id, qv, ev FROM s1r WHERE ark <= 10),
+s2 AS (SELECT query_id, neighbor_id, {_duck_cos("qv", "ev")} AS cos FROM cand),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rk
+  FROM s2
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos, rk FROM r WHERE rk <= 3
+"""
+
+
+@query("ann_ivf_int8_rescore", oracle=_IVF_INT8_ORACLE)
+def ann_ivf_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage quantized ANN — the FAISS IVF+SQ8 serving pattern:
+    IVF-probe the 2 nearest lists, score candidates with INT8 integer
+    dot products (4× less memory traffic than float32; the first-pass
+    cost at 100 TB is memory-bandwidth-bound, which is exactly what
+    quantization buys down), keep top-10 per query, then RESCORE that
+    tiny candidate set with exact float cosine and emit top-3.
+
+    Stage-1 scores are exact integers divided by precomputed norms, so
+    both engines rank identically (no float-summation-order hazard);
+    the oracle replays quantization, probe, integer scoring, and
+    rescore bit-for-bit.  Scale: stage 1 touches ≈ 2/n_lists of the
+    corpus per query at a quarter of the bytes; stage 2 touches 10
+    rows per query.
+    """
+    e = spread(load_tables(spark, sf_dir)["embeddings"])
+    v = e.select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("ev")
+    ).persist()
+
+    cdim = (
+        v.select("label", F.posexplode("ev").alias("i", "val"))
+        .groupBy("label", "i")
+        .agg(F.avg("val").alias("cv"))
+    )
+    cent = cdim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "cv"))), lambda s: s["cv"]
+        ).alias("cv")
+    )
+
+    # per-vector int8 quantization + integer norm (one map-only pass)
+    maxabs = F.array_max(F.transform("ev", F.abs))
+    qv8 = F.transform(
+        "ev", lambda x: F.round(F.lit(127.0) * x / F.col("maxabs")).cast("int")
+    )
+    int_dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    qn = (
+        v.withColumn("maxabs", maxabs)
+        .withColumn("qv8", qv8)
+        .withColumn("q_norm", F.sqrt(int_dot(F.col("qv8"), F.col("qv8")).cast("double")))
+        .select("vec_id", "label", "ev", "qv8", "q_norm")
+        .persist()
+    )
+
+    q = qn.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ev").alias("qv"),
+        F.col("qv8").alias("qq8"),
+        F.col("q_norm").alias("q_qn"),
+    )
+    qc = q.crossJoin(F.broadcast(cent)).withColumn(
+        "ccos", SIM.cosine(F.col("qv"), F.col("cv"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("label"))
+    probe = (
+        qc.withColumn("crk", F.row_number().over(wq))
+        .filter(F.col("crk") <= 2)
+        .select("query_id", "qv", "qq8", "q_qn", "label")
+    )
+
+    s1 = (
+        qn.join(F.broadcast(probe), "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "acos",
+            int_dot(F.col("qq8"), F.col("qv8")).cast("double")
+            / (F.col("q_qn") * F.col("q_norm")),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.col("acos").desc(), F.col("vec_id"))
+    cand = (
+        s1.withColumn("ark", F.row_number().over(w1))
+        .filter(F.col("ark") <= 10)
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "ev")
+    )
+    s2 = cand.withColumn("cos", SIM.cosine(F.col("qv"), F.col("ev")))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        s2.withColumn("rk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
+    )

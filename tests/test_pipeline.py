@@ -83,6 +83,25 @@ def test_simhash128_recall_on_planted_pairs(spark, brute_pairs):
     assert recall >= recall64 - 0.1, (recall, recall64)
 
 
+def test_ann_int8_rescore_tracks_float_ivf(spark):
+    """The int8 first pass plus exact rescore must land (almost) the
+    same top-3 as the all-float IVF probe: quantization noise only
+    reorders candidates the rescore stage re-ranks exactly, so any gap
+    means candidates were cut too early (ark<=10 too tight) or the
+    integer scoring is wrong."""
+    f32 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in registry.QUERIES["ann_ivf_probe"](spark, SF_DIR).collect()
+    }
+    i8 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in registry.QUERIES["ann_ivf_int8_rescore"](spark, SF_DIR).collect()
+    }
+    assert len(f32) > 0
+    recall = len(i8 & f32) / len(f32)
+    assert recall >= 0.9, f"int8 rescore recall vs float IVF: {recall}"
+
+
 def test_ann_lsh_recall_vs_exact(spark):
     exact = registry.QUERIES["ann_cosine_topk"](spark, SF_DIR).collect()
     approx = registry.QUERIES["ann_lsh_bucketed"](spark, SF_DIR).collect()
