@@ -40,6 +40,8 @@ INTRODUCED_ROUND: dict[str, int] = {
     "events_cohort_retention": 3,
     "dedup_incremental_batch": 3,
     "ann_ivf_int8_rescore": 3,
+    "text_chunk_windows": 3,
+    "text_unigram_logprob": 3,
 }
 
 

@@ -747,3 +747,108 @@ def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.min("n_tokens").over(w) / F.col("n_tokens"), 4).alias("sample_rate"),
     )
+
+
+@query(
+    "text_chunk_windows",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+c AS (
+  SELECT doc_id, len(toks) AS n_toks,
+         unnest(range(0, greatest((len(toks) - 32 + 24 - 1) // 24, 0) + 1)) AS win
+  FROM t
+),
+w AS (
+  SELECT c.doc_id, c.win,
+         list_slice(t.toks, c.win * 24 + 1, c.win * 24 + 32) AS chunk_toks
+  FROM c JOIN t USING (doc_id)
+)
+SELECT doc_id,
+       CAST(win AS BIGINT)                       AS chunk_idx,
+       CAST(win * 24 AS BIGINT)                  AS tok_offset,
+       CAST(len(chunk_toks) AS BIGINT)           AS n_tokens,
+       md5(array_to_string(chunk_toks, ' '))     AS chunk_md5
+FROM w WHERE len(chunk_toks) > 0
+""",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: overlapping 32-token windows with stride 24
+    (8-token overlap), one output row per chunk carrying provenance
+    (doc_id, chunk index, token offset) and the chunk content hash.
+
+    Scale: map-only explode — windows are generated per row from the
+    materialized token array and never shuffled; at 100 TB the output
+    streams straight to the embedding stage.  Window count per doc is
+    ceil((n-size)/stride)+1, so short docs yield exactly one chunk.
+    """
+    size, stride = 32, 24
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    t = d.select("doc_id", T.tokens("text").alias("toks"))
+    n = F.size("toks")
+    n_win = F.greatest(
+        F.ceil((n - F.lit(size)) / F.lit(stride)).cast("long"), F.lit(0)
+    ) + F.lit(1)
+    wins = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_win - 1)).alias("win"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("win") * stride + 1, size)
+    return (
+        wins.select(
+            "doc_id",
+            F.col("win").cast("long").alias("chunk_idx"),
+            (F.col("win") * stride).cast("long").alias("tok_offset"),
+            chunk.alias("chunk_toks"),
+        )
+        .filter(F.size("chunk_toks") > 0)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "tok_offset",
+            F.size("chunk_toks").cast("long").alias("n_tokens"),
+            F.md5(F.array_join("chunk_toks", " ")).alias("chunk_md5"),
+        )
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+freq AS (SELECT w, count(*)::DOUBLE AS n FROM tok GROUP BY w),
+total AS (SELECT sum(n) AS z FROM freq),
+scored AS (
+  SELECT tok.doc_id, -ln(freq.n / total.z) AS nll
+  FROM tok JOIN freq USING (w), total
+)
+SELECT doc_id, round(avg(nll), 4) AS mean_nll, count(*)::BIGINT AS n_tokens
+FROM scored GROUP BY doc_id
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality proxy (CCNet-style): corpus unigram
+    frequencies → per-doc mean negative log-probability.  High mean-NLL
+    docs are off-distribution (gibberish, rare-token soup) — the
+    model-free stand-in for a perplexity filter.
+
+    Scale: one token-keyed count aggregate builds the LM (vocab-sized,
+    map-side combined); scoring joins tokens to the frequency table —
+    vocab tables up to millions of rows broadcast (AQE decides here);
+    per-doc reduction is the second aggregate.  Two shuffles total,
+    both on natural keys.
+    """
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    total = freq.agg(F.sum("n").alias("z"))
+    scored = (
+        tok.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .withColumn("nll", -F.log(F.col("n") / F.col("z")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("nll"), 4).alias("mean_nll"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
