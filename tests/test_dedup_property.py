@@ -1,0 +1,113 @@
+"""Property tests for the dedup sketch primitives — invariants that hold
+for ANY input, which the planted-pair corpus tests can't establish:
+identity (a doc always matches itself), shingle-order invariance, and
+the SimHash chunk pigeonhole guarantee."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from fletcher_spark.pipeline import dedup as D
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _doc(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return random.Random(42)
+
+
+def test_minhash_identical_docs_identical_signatures(spark, rng):
+    """J(A, A) = 1 ⟹ identical texts produce identical signatures and
+    band keys in every band — exact duplicates can never be missed by
+    banded LSH."""
+    docs = [(i, _doc(rng, 40)) for i in range(8)]
+    rows = [(i, t) for i, t in docs] + [(i + 100, t) for i, t in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = D.shingle_frame(df, "text", 3)
+    sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
+    got = {r["doc_id"]: tuple(r["sig"]) for r in sig.collect()}
+    for i, _ in docs:
+        assert got[i] == got[i + 100], f"doc {i}: identical text, different sig"
+
+
+def test_minhash_signature_invariant_to_shingle_order(spark, rng):
+    """Signatures are min-folds over the shingle SET — permuting the
+    shingle array must not change them."""
+    base = [(1, [f"{w} x y" for w in WORDS])]
+    perm = [(2, list(reversed(base[0][1])))]
+    df = spark.createDataFrame(base + perm, "doc_id long, shingles array<string>")
+    sig = D.minhash_signature_df(df, "doc_id", "shingles", 12)
+    got = {r["doc_id"]: tuple(r["sig"]) for r in sig.collect()}
+    assert got[1] == got[2]
+
+
+def test_simhash_zero_hamming_for_identical_docs(spark, rng):
+    """hamming(sig(A), sig(A)) = 0 for both widths, and identical docs
+    share EVERY chunk key — the pigeonhole guarantee's base case."""
+    docs = [(i, _doc(rng, 60)) for i in range(6)]
+    rows = [(i, t) for i, t in docs] + [(i + 100, t) for i, t in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = D.shingle_frame(df, "text", 3)
+    s64 = {r["doc_id"]: r["sig"] for r in D.simhash_df(sh).select("doc_id", "sig").collect()}
+    s128 = {
+        r["doc_id"]: (r["sig1"], r["sig2"])
+        for r in D.simhash_df_128(sh).collect()
+    }
+    for i, _ in docs:
+        assert s64[i] == s64[i + 100]
+        assert s128[i] == s128[i + 100]
+
+
+def test_simhash_chunk_pigeonhole(spark):
+    """Flipping ≤ n_chunks − 1 bits of a signature leaves ≥ 1 chunk
+    untouched, so the pair still collides in ≥ 1 bucket — exhaustively
+    checked over random flip sets for both widths."""
+    rng = random.Random(7)
+
+    def signed(u: int) -> int:
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    rows = []
+    for trial in range(40):
+        u = rng.getrandbits(64)
+        n_flips = rng.randrange(0, 8)  # ≤ 7 = n_chunks − 1
+        f = u
+        for pos in rng.sample(range(64), n_flips):
+            f ^= 1 << pos
+        rows.append((trial, signed(u), signed(f)))
+    df = spark.createDataFrame(rows, "trial long, a long, b long")
+    ka = D.simhash_chunks_packed(F.col("a"), 8)
+    kb = D.simhash_chunks_packed(F.col("b"), 8)
+    shared = df.select(
+        "trial",
+        F.size(
+            F.array_intersect(
+                F.transform(ka, lambda s: s["key"] + s["band"] * F.lit(1 << 32)),
+                F.transform(kb, lambda s: s["key"] + s["band"] * F.lit(1 << 32)),
+            )
+        ).alias("n_shared"),
+    )
+    assert all(r["n_shared"] >= 1 for r in shared.collect())
+
+
+def test_candidate_pairs_symmetric_and_deduped(spark, rng):
+    """candidate_pairs emits each unordered pair once with id1 < id2
+    regardless of how many bands collide."""
+    rows = [
+        (1, [(0, "k"), (1, "k2")]),
+        (2, [(0, "k"), (1, "k2")]),  # collides with 1 in BOTH bands
+        (3, [(0, "z"), (1, "z2")]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, band_keys array<struct<band:int,key:string>>"
+    )
+    got = [(r["id1"], r["id2"]) for r in D.candidate_pairs(df, "doc_id").collect()]
+    assert got == [(1, 2)]
