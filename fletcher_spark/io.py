@@ -98,6 +98,40 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_mb: int = 128,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into files of
+    ~``target_mb`` each and return the output file count.
+
+    The operational fix for the classic ingest pathology — thousands of
+    KB-sized files from streaming micro-batches or over-parallel writes
+    make every downstream scan pay per-file open/footer costs and break
+    split planning.  Sizing uses the dataset's actual on-disk bytes
+    (file-listing metadata, no data read), then a round-robin
+    ``repartition`` so output files are uniform.  At 100 TB this runs
+    per-partition-directory (compact yesterday's partition, not the
+    table).
+
+    Writes to ``out_path`` (callers swap directories atomically —
+    rename-based publish — rather than rewriting in place).
+    """
+    import math
+
+    sc = spark.sparkContext
+    conf = sc._jsc.hadoopConfiguration()
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
 def normalize_events(df: DataFrame) -> DataFrame:
     """Normalize the ``events`` table to one timestamp convention.
 

@@ -45,3 +45,26 @@ def test_normalize_events_layout_independent(spark, layouts):
         assert ra[k]["ts_us"] == rb[k]["ts_us"]
         assert ra[k]["ts_ns"] == rb[k]["ts_ns"] == ra[k]["ts_us"] * 1000
         assert ra[k]["ts"] == rb[k]["ts"]
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """Compaction: 64 tiny files → few target-sized files, content
+    identical (row multiset equality)."""
+    from fletcher_spark.io import compact_parquet, load_tables
+    from tests.conftest import SF_DIR
+
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    li = load_tables(spark, SF_DIR)["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    li.repartition(64).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) == 64
+
+    n = compact_parquet(spark, src, out, target_mb=128)
+    got = spark.read.parquet(out)
+    assert len(got.inputFiles()) == n
+    assert n < 64
+    a = sorted(map(tuple, li.collect()))
+    b = sorted(map(tuple, got.collect()))
+    assert a == b
