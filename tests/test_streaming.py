@@ -251,3 +251,78 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     back = spark.read.parquet(out)
     total = sum(r["n"] for r in back.collect())
     assert total == load_tables(spark, SF_DIR)["events"].count()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """REAL late-data semantics (the parity tests use a 10-day watermark
+    where nothing is ever late): three micro-batches via
+    maxFilesPerTrigger=1, a 10-minute watermark, and a row arriving in
+    batch 3 that is hours behind the stream.  It must be DROPPED — the
+    closed hour-0 window keeps the batch-1 count and is never re-opened.
+
+    The late row is sent TWO batches after the watermark-advancing
+    events: Spark applies the late filter with the watermark as of the
+    PREVIOUS trigger (the progress log's eventTime.watermark is the
+    post-batch value), so a one-batch-later arrival is still merged —
+    verified empirically before writing this test."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    H = 3_600_000_000  # one hour in microseconds
+    base = 1_700_000_000_000_000
+
+    def write(name, rows, mtime):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array([base + r for r in rows], pa.timestamp("us")),
+                    "value": pa.array([1.0] * len(rows)),
+                }
+            ),
+            str(src / name),
+        )
+        os.utime(str(src / name), (mtime, mtime))
+
+    now = time.time()
+    # batch 1: three events in hour 0, one in hour 3 (advances event time)
+    write("a.parquet", [0, H // 4, H // 2, 3 * H], now - 100)
+    # batch 2: on-time event in hour 4 (watermark 3h−10m now in force)
+    write("b.parquet", [4 * H], now - 50)
+    # batch 3: one LATE event back in hour 0 + on-time hour 5
+    write("c.parquet", [H // 3, 5 * H], now - 10)
+
+    sdf = (
+        spark.readStream.schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("long").alias("w_start_s"), "n")
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        rows = [
+            (r["w_start_s"], r["n"])
+            for r in spark.sql("SELECT * FROM late_drop").collect()
+        ]
+    finally:
+        q.stop()
+    h0 = (base // 1_000_000) // 3600 * 3600  # hour-aligned window start
+    h0_rows = [n for w, n in rows if w == h0]
+    # the hour-0 window is emitted exactly once, with its 3 on-time
+    # events — the late batch-3 row neither merged nor re-opened it
+    assert h0_rows == [3], rows
