@@ -132,6 +132,33 @@ def compact_parquet(
     return n_files
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    order_col: str,
+) -> None:
+    """Write ``n_shards`` deterministic training shards: rows are
+    range-partitioned on ``order_col`` (so shard k holds a contiguous
+    key range) and sorted within each shard — the layout a sharded
+    training loader expects (stable shard membership for checkpoint
+    resume, sequential reads within a shard).
+
+    Plan shape: one range Exchange (driver samples partition bounds —
+    no global sort of the data) + per-shard local sort at write time.
+    At 100 TB range partitioning is how you get both bounded shard
+    sizes and deterministic membership; a round-robin split would load-
+    balance better but shard membership would change with cluster
+    parallelism, breaking resume.
+    """
+    (
+        df.repartitionByRange(n_shards, order_col)
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def normalize_events(df: DataFrame) -> DataFrame:
     """Normalize the ``events`` table to one timestamp convention.
 

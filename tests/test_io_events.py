@@ -68,3 +68,31 @@ def test_compact_parquet_small_files(spark, tmp_path):
     a = sorted(map(tuple, li.collect()))
     b = sorted(map(tuple, got.collect()))
     assert a == b
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    """Range-sharded output: per-file key ranges are disjoint and
+    internally sorted, and the full row multiset is preserved."""
+    from fletcher_spark.io import load_tables, write_training_shards
+    from tests.conftest import SF_DIR
+
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "n_chars")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, 4, "doc_id")
+
+    import pyarrow.parquet as pq
+
+    files = [f for f in __import__("os").listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        col = pq.read_table(f"{out}/{f}", columns=["doc_id"])["doc_id"].to_pylist()
+        assert col == sorted(col), f"{f} not sorted within shard"
+        if col:
+            ranges.append((min(col), max(col)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "shard key ranges overlap"
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    want = sorted(r["doc_id"] for r in docs.collect())
+    assert got == want
