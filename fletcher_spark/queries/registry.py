@@ -42,6 +42,7 @@ INTRODUCED_ROUND: dict[str, int] = {
     "ann_ivf_int8_rescore": 3,
     "text_chunk_windows": 3,
     "text_unigram_logprob": 3,
+    "batch_by_length": 3,
 }
 
 

@@ -852,3 +852,58 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("nll"), 4).alias("mean_nll"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+@query(
+    "batch_by_length",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens, n_tokens // 16 AS bucket,
+         row_number() OVER (PARTITION BY n_tokens // 16
+                            ORDER BY n_tokens, doc_id) - 1 AS rn
+  FROM t
+),
+a AS (SELECT bucket, rn // 32 AS batch_in_bucket, doc_id, n_tokens FROM b)
+SELECT bucket, CAST(batch_in_bucket AS BIGINT) AS batch_in_bucket,
+       count(*)::BIGINT AS batch_size,
+       CAST(max(n_tokens) AS BIGINT) AS max_len,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       round(1.0 - sum(n_tokens)::DOUBLE / (max(n_tokens) * count(*)), 4) AS pad_frac
+FROM a GROUP BY bucket, batch_in_bucket
+""",
+)
+def batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching — the padding-efficiency prep every
+    batched trainer/inference server runs: docs are bucketed by token
+    count (width 16), ordered within the bucket, and cut into batches
+    of 32; each batch reports its padding fraction
+    (1 − Σtokens / (max_len × size)).  Grouping similar lengths is what
+    keeps pad_frac near zero instead of the ~50% a random batch pays.
+
+    Scale: one window per length bucket (thousands of small
+    independent partitions — no global sort), then a (bucket, batch)
+    aggregate.  The window's partition key is the bucket, so skew is
+    bounded by the length distribution; at 100 TB the batch cut
+    becomes part of the shard-writing pass.
+    """
+    from pyspark.sql import Window
+
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    t = d.select("doc_id", F.size(T.tokens("text")).alias("n_tokens"))
+    b = t.withColumn("bucket", (F.col("n_tokens") / 16).cast("int"))
+    w = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+    a = b.withColumn("rn", F.row_number().over(w) - 1).withColumn(
+        "batch_in_bucket", (F.col("rn") / 32).cast("long")
+    )
+    return a.groupBy("bucket", "batch_in_bucket").agg(
+        F.count(F.lit(1)).alias("batch_size"),
+        F.max("n_tokens").cast("long").alias("max_len"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.round(
+            1.0 - F.sum("n_tokens") / (F.max("n_tokens") * F.count(F.lit(1))), 4
+        ).alias("pad_frac"),
+    )
