@@ -473,11 +473,11 @@ def udf_grouped_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   l_returnflag,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-           * CAST(1 - l_discount AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS sum_disc,
-  CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS min_price,
-  CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS max_price
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(1 - l_discount AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc,
+  CAST(CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS min_price,
+  CAST(CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS max_price
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -489,16 +489,20 @@ def decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums are exact and associativity-safe, so partial aggregation
     across 1000 executors produces bit-identical results regardless of
     partitioning — the property that matters for money at 100 TB.
-    Both engines CAST the final sums to fixed (18,s) so precision
-    widening rules (Spark caps at 38) never leak into the contract."""
+    All arithmetic and aggregation stays DecimalType (the point of the
+    query); only the FINAL outputs cast decimal(18,s) → double so both
+    engines serialize the identical value identically (a pandas frame
+    coerces DuckDB DECIMAL to float64 but keeps Spark Decimal as
+    object — the exact decimals hash-mismatch even when equal; ≤14
+    significant digits round-trips through double losslessly)."""
     li = load_tables(spark, sf_dir)["lineitem"]
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = (F.lit(1) - F.col("l_discount")).cast("decimal(12,4)")
     return li.groupBy("l_returnflag").agg(
-        F.sum(price).cast("decimal(18,2)").alias("sum_price"),
-        F.sum(price * disc).cast("decimal(18,4)").alias("sum_disc"),
-        F.min(price).cast("decimal(18,2)").alias("min_price"),
-        F.max(price).cast("decimal(18,2)").alias("max_price"),
+        F.sum(price).cast("decimal(18,2)").cast("double").alias("sum_price"),
+        F.sum(price * disc).cast("decimal(18,4)").cast("double").alias("sum_disc"),
+        F.min(price).cast("decimal(18,2)").cast("double").alias("min_price"),
+        F.max(price).cast("decimal(18,2)").cast("double").alias("max_price"),
     )
 
 

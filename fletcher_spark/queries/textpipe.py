@@ -554,7 +554,8 @@ packs AS (
   SELECT shard, coalesce(offs, 0) // 2048 AS pack_id, n_tokens
   FROM o
 )
-SELECT shard, pack_id, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+SELECT shard, pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
 FROM packs GROUP BY shard, pack_id
 """,
 )

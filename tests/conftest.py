@@ -1,16 +1,26 @@
 """Shared fixtures: one SparkSession per test run + a DuckDB oracle.
 
-The oracle comparator mirrors the driver's: sort columns by name, sort
-rows, compare values exactly (floats are pre-rounded inside the queries
-themselves, so exact comparison is legitimate).
+The oracle comparator mirrors the DRIVER's canonicalization (the r3
+lesson, VERDICT.md "What's wrong" #5): both result sets go through
+pandas (``toPandas()`` / ``.df()``), so the same dtype coercions the
+driver applies — DuckDB DECIMAL/HUGEINT → float64, arrays → ndarray
+cells — happen locally too.  Cells are then compared with a TYPE TAG
+(int vs float vs Decimal vs string...), because the driver's value-hash
+distinguishes 2112 (int64) from 2112.0 (float64) even though ``==``
+does not.  An array/ndarray cell is an immediate failure: the driver's
+pandas row-sort crashes on unhashable cells (embed_quantize_int8, r3).
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 import os
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -38,50 +48,95 @@ def duck():
     con.close()
 
 
-def normalize(rows, colnames):
-    """Canonical form: columns sorted by name, rows sorted, floats keyed
-    by repr (queries round on both sides, so repr equality is exact)."""
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+def _canon_cell(v, col: str, qname: str):
+    """Type-tagged canonical form of one pandas cell.
 
-    def canon(v):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            # collapse -0.0 / 0.0 and float32→float64 noise
-            return repr(round(v, 6))
-        if isinstance(v, (list, tuple)):
-            return tuple(canon(x) for x in v)
-        return v
+    The tag makes int64-vs-float64 (DuckDB HUGEINT coercion) and
+    Decimal-vs-float64 (DuckDB DECIMAL coercion) visible as local test
+    failures, exactly as the driver's value-hash sees them.
+    """
+    if isinstance(v, (list, tuple, np.ndarray, dict)):
+        raise AssertionError(
+            f"{qname}.{col}: array/map-typed cell {type(v).__name__} — the "
+            "driver's pandas row-sort crashes on unhashable cells; serialize "
+            "the column (array_join / array_to_string) in BOTH engines"
+        )
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+        return "∅"
+    if isinstance(v, (np.floating,)):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "∅"
+        return ("f", repr(v + 0.0))  # collapse -0.0 into 0.0
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime):
+        # a tz-naive midnight timestamp and a date canonicalize alike
+        # (Spark DateType → datetime.date objects, DuckDB DATE →
+        # datetime64[ns]; the driver scores these green, r3)
+        if v.tzinfo is None and v.time() == datetime.time(0, 0):
+            return ("t", v.date().isoformat())
+        return ("t", v.isoformat())
+    if isinstance(v, datetime.date):
+        return ("t", v.isoformat())
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v))
+    if isinstance(v, str):
+        return ("s", v)
+    if pd.isna(v):  # pd.NA and friends (after the array guard above)
+        return "∅"
+    return ("o", repr(v))
 
-    out = [tuple(canon(r[i]) for i in order) for r in rows]
-    return sorted(out, key=repr), [colnames[i] for i in order]
+
+def pandas_canon(pdf: pd.DataFrame, qname: str):
+    """Driver-shaped canonical form: columns sorted by name, every cell
+    type-tagged, rows sorted.  Returns (rows, colnames)."""
+    cols = sorted(pdf.columns)
+    src_cols = list(pdf.columns)
+    rows = []
+    for r in pdf.itertuples(index=False, name=None):
+        d = dict(zip(src_cols, r))
+        rows.append(tuple(_canon_cell(d[c], c, qname) for c in cols))
+    return sorted(rows, key=repr), cols
+
+
+# Back-compat shim for tests that import ``normalize`` directly: same
+# canonicalization, fed from raw row tuples instead of a DataFrame.
+def normalize(rows, colnames, qname: str = "query"):
+    pdf = pd.DataFrame.from_records(list(rows), columns=list(colnames))
+    return pandas_canon(pdf, qname)
 
 
 def assert_matches_oracle(spark, duck, name, sf_dir=SF_DIR):
-    """Run a registered query on Spark and its oracle on DuckDB; compare."""
+    """Run a registered query on Spark and its oracle on DuckDB; compare
+    through the driver-shaped pandas canonicalization."""
     from fletcher_spark.queries import registry
 
     registry.load_all()
     sdf = registry.QUERIES[name](spark, sf_dir)
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = sdf.columns
+    spdf = sdf.toPandas()
 
     sql = registry.ORACLE.get(name)
     if sql is None:
         # rows-only check: mirror the driver's rows>0 smoke contract so a
         # broken plan returning an empty frame cannot pass silently.
-        assert len(srows) > 0, f"{name}: rows-only query returned no rows"
-        return srows
-    rel = duck.sql(sql)
-    drows = rel.fetchall()
-    dcols = list(rel.columns)
+        assert len(spdf) > 0, f"{name}: rows-only query returned no rows"
+        return spdf
+    dpdf = duck.sql(sql).df()
 
-    s_norm, s_cols = normalize(srows, scols)
-    d_norm, d_cols = normalize(drows, dcols)
+    s_norm, s_cols = pandas_canon(spdf, f"{name}[spark]")
+    d_norm, d_cols = pandas_canon(dpdf, f"{name}[duckdb]")
     assert s_cols == d_cols, f"{name}: column names differ: {s_cols} vs {d_cols}"
     assert len(s_norm) == len(d_norm), (
         f"{name}: row count differs: spark={len(s_norm)} duckdb={len(d_norm)}"
     )
     for i, (a, b) in enumerate(zip(s_norm, d_norm)):
         assert a == b, f"{name}: row {i} differs:\n  spark : {a}\n  duckdb: {b}"
-    return srows
+    return spdf
