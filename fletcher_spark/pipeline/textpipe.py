@@ -111,9 +111,14 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 
 def pii_counts(text: Column | str) -> dict[str, Column]:
-    """Per-pattern match counts on the ORIGINAL text (independent per
-    pattern; the fixed patterns cannot overlap-double-count: IPv4
-    octets are ≤3 digits, never a 9-digit run).  Map-only."""
+    """Per-pattern match counts on the ORIGINAL text.  Counts are
+    independent per pattern and MAY overlap: an email whose local part
+    contains a 9+ digit run (``123456789@x.com``) is counted by both
+    ``email`` and ``idnum`` (IPv4 octets, ≤3 digits each, never form
+    one).  The oracle counts the same way, so parity holds; redaction
+    (:func:`redact_pii`) is where ordering de-overlaps — emails are
+    replaced first, so their digits are gone before idnum runs.
+    Map-only."""
     c = F.col(text) if isinstance(text, str) else text
     return {
         name: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("long")

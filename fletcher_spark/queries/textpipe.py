@@ -511,8 +511,12 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic across engines, partitionings, and reruns, which is
     what makes training corpora auditable.  The rate table is a
     broadcast join; the filter is map-only; at 100 TB nothing
-    shuffles except the final small per-stratum audit aggregate."""
-    d = spread(load_tables(spark, sf_dir)["documents"])
+    shuffles except the final small per-stratum audit aggregate.
+    No ``spread()`` here: the stage is a cheap filter+agg, and the
+    extra round-robin Exchange cost more than the parallelism bought
+    (r3 bench regression 0.59→1.31 s) — reserve spread for
+    per-row-compute-heavy stages per its docstring (io.py)."""
+    d = load_tables(spark, sf_dir)["documents"]
     rates = F.broadcast(
         d.sparkSession.createDataFrame(
             [("en", 250), ("zh", 600), ("es", 600), ("de", 600), ("fr", 600)],
@@ -895,7 +899,7 @@ def batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load_tables(spark, sf_dir)["documents"])
     t = d.select("doc_id", F.size(T.tokens("text")).alias("n_tokens"))
-    b = t.withColumn("bucket", (F.col("n_tokens") / 16).cast("int"))
+    b = t.withColumn("bucket", (F.col("n_tokens") / 16).cast("long"))
     w = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
     a = b.withColumn("rn", F.row_number().over(w) - 1).withColumn(
         "batch_in_bucket", (F.col("rn") / 32).cast("long")

@@ -122,6 +122,9 @@ def streaming_first_seen(
             statefulProcessor=FirstSeen(),
             outputStructType=out_schema,
             outputMode="Append",
-            timeMode="None",
+            # State TTL requires a clock: Spark rejects ttl on
+            # timeMode="None", so the TTL path switches to
+            # ProcessingTime (timers unused; only state expiry).
+            timeMode="ProcessingTime" if ttl_ms is not None else "None",
         )
     )

@@ -166,6 +166,73 @@ def test_transform_with_state_first_seen(spark):
     assert all(r["n"] == 1 for r in rows)
 
 
+def test_first_seen_ttl_sets_processing_time_mode(spark):
+    """The TTL path must run in ProcessingTime time mode: Spark rejects
+    state TTL under timeMode="None" (the r3 ADVICE bug — ttl_ms callers
+    crashed the stream).  Asserted structurally on the logical plan, so
+    it runs even where the protobuf runtime dep is absent."""
+    from pyspark.sql import functions as F
+
+    from fletcher_spark.streaming.stateful import streaming_first_seen
+
+    ev = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .select(
+            F.col("value").cast("string").alias("fp"),
+            F.col("value").cast("string").alias("doc_id"),
+        )
+    )
+    with_ttl = streaming_first_seen(ev, "fp", ("doc_id",), ttl_ms=3_600_000)
+    plan = with_ttl._jdf.queryExecution().logical().toString()
+    assert "ProcessingTime" in plan, plan.splitlines()[0]
+    no_ttl = streaming_first_seen(ev, "fp", ("doc_id",))
+    plan = no_ttl._jdf.queryExecution().logical().toString()
+    assert "NoTime" in plan, plan.splitlines()[0]
+
+
+def test_transform_with_state_first_seen_ttl(spark):
+    """TTL-path execution: same first-seen dedup contract with a long
+    TTL (nothing expires within the run, so output equals the no-TTL
+    case) — proves ttl_ms + ProcessingTime actually executes.  Same
+    protobuf env gate as test_transform_with_state_first_seen."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import functions as F
+
+    from fletcher_spark.streaming.stateful import streaming_first_seen
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = stream_events(spark, SF_DIR).withColumn(
+        "fp", (F.col("user_id") % 50).cast("string")
+    )
+    out = streaming_first_seen(ev, "fp", ("event_id",), ttl_ms=24 * 3600 * 1000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_first_seen_ttl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        rows = spark.sql(
+            "SELECT fp, count(*) n FROM tws_first_seen_ttl GROUP BY fp"
+        ).collect()
+    finally:
+        q.stop()
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert all(r["n"] == 1 for r in rows)
+    assert len(rows) == 50
+
+
 def test_stream_stream_interval_join_matches_batch(spark):
     """Stream-stream interval join (click attribution): watermarked
     view/click streams joined within a 15-minute bound must produce
