@@ -334,3 +334,45 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@query(
+    "dedup_first_seen_batch",
+    oracle="""
+WITH e AS (
+  SELECT user_id % 50 AS fp, event_id, epoch_us(ts) AS ts_us FROM events
+),
+r AS (
+  SELECT fp, event_id,
+         row_number() OVER (PARTITION BY fp ORDER BY ts_us, event_id) AS rn
+  FROM e
+)
+SELECT CAST(fp AS VARCHAR) AS fp, CAST(event_id AS VARCHAR) AS event_id
+FROM r WHERE rn = 1
+""",
+)
+def dedup_first_seen_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch parity for streaming first-seen dedup
+    (streaming/stateful.py:streaming_first_seen): one row per
+    fingerprint — the FIRST by (event time, event_id) — with the same
+    string output schema the streaming operator emits.  This gives the
+    transformWithState capability driver-visible correctness evidence
+    even where its protobuf runtime dep is absent
+    (tests/test_streaming.py:126).
+
+    Scale: implemented as min(struct(ts_us, event_id)) — a hash
+    aggregate with map-side partial min, NOT a per-key window sort; at
+    100 TB the only shuffle is on the dedup key, state is one struct
+    per key (the same O(keys) footprint the streaming state store
+    holds).  The oracle derives the identical row via row_number=1.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    e = ev.select(
+        (F.col("user_id") % 50).cast("string").alias("fp"),
+        F.struct(F.col("ts_us"), F.col("event_id")).alias("m"),
+    )
+    return (
+        e.groupBy("fp")
+        .agg(F.min("m").alias("first"))
+        .select("fp", F.col("first.event_id").cast("string").alias("event_id"))
+    )

@@ -43,6 +43,9 @@ INTRODUCED_ROUND: dict[str, int] = {
     "text_chunk_windows": 3,
     "text_unigram_logprob": 3,
     "batch_by_length": 3,
+    "dedup_first_seen_batch": 4,
+    "io_shard_roundtrip": 4,
+    "io_compact_roundtrip": 4,
 }
 
 
@@ -71,4 +74,5 @@ def load_all() -> None:
         similarity,
         events,
         multimodal,
+        io_ops,
     )
