@@ -1,0 +1,467 @@
+"""LLM training-data preparation operators, round 4: BPE pair counting,
+vocab application, SemDeDup-style cluster representatives, blocklist
+filtering, deterministic training-order shuffle, temperature-weighted
+corpus mixing, boilerplate detection, prefix-truncation dedup, and
+embedding-health statistics.
+
+These extend the curation surface (queries/textpipe.py, queries/dedup.py)
+with the steps a pre-training data pipeline runs between "curated corpus"
+and "tokenized shards".  Every query is a declarative DataFrame plan —
+hash aggregates, broadcast joins on small derived dims, and array
+higher-order functions; no Python UDFs, no collects, no global windows
+over unbounded inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fletcher_spark.io import load_tables, spread
+from fletcher_spark.queries.registry import INTRODUCED_ROUND, query
+
+#: whitespace-tokenized text with the trailing-separator artifact removed
+#: (several corpus docs end in a space; trimming keeps both engines from
+#: emitting a final empty token)
+_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+def _toks():
+    return F.split(F.trim(F.col("text")), r"\s+", -1)
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+p AS (
+  SELECT toks[i] || ' ' || toks[i+1] AS pair
+  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+""",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-trainer iteration's statistics pass: count every adjacent
+    symbol pair across the corpus, return the top-20 merge candidates.
+
+    The pair array is built in-row with ``zip_with`` over two shifted
+    slices (no self-join on position), then a single corpus-wide hash
+    aggregate keyed on the pair — map-side combined, shuffle width
+    bounded by vocab², not corpus size.  At 100 TB this is exactly the
+    distributed word-pair count a BPE/WordPiece trainer runs per merge
+    round; the top-k is TakeOrdered, never a global sort."""
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    toks = _toks()
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.filter(n >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "tokenize_vocab_apply",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+e AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM tok
+),
+v AS (
+  SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS tid
+  FROM e GROUP BY tok QUALIFY tid <= 30
+)
+SELECT e.doc_id, CAST(e.pos AS BIGINT) AS pos, e.tok,
+       CAST(coalesce(v.tid, 0) AS INT) AS token_id
+FROM e LEFT JOIN v USING (tok)
+WHERE e.doc_id < 5
+""",
+)
+def tokenize_vocab_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab construction + application: build a 30-entry vocabulary
+    (ids by corpus frequency, ties broken lexically), then map every
+    token of the first five documents to its id, OOV → 0.
+
+    The vocab is a corpus-frequency hash aggregate topped by a
+    row_number over 30 rows (driver-sized by construction — a real
+    vocab is ≤ a few 100k entries); application is a broadcast left
+    join onto the posexploded token stream, so the corpus-side pass
+    stays map-only.  This is the tokenizer-apply shape: model table
+    broadcast, data table streamed."""
+    d = load_tables(spark, sf_dir)["documents"]
+    e = d.select(
+        "doc_id", F.posexplode(_toks()).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    vocab = (
+        e.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("tok", F.row_number().over(w).alias("tid"))
+        .filter(F.col("tid") <= 30)
+    )
+    return (
+        e.filter(F.col("doc_id") < 5)
+        .join(F.broadcast(vocab), "tok", "left")
+        .select(
+            "doc_id",
+            "pos",
+            "tok",
+            F.coalesce(F.col("tid"), F.lit(0)).cast("int").alias("token_id"),
+        )
+    )
+
+
+@query(
+    "semdedup_centroid",
+    oracle="""
+WITH dims AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+cent AS (SELECT label, i, avg(v) AS c FROM dims GROUP BY label, i),
+dist AS (
+  SELECT d.vec_id, d.label,
+         round(sum((d.v - c.c) * (d.v - c.c)), 6) AS d2
+  FROM dims d JOIN cent c ON d.label = c.label AND d.i = c.i
+  GROUP BY d.vec_id, d.label
+),
+rep AS (
+  SELECT label,
+         min(struct_pack(d2 := d2, vec_id := vec_id)) AS m,
+         CAST(count(*) AS BIGINT) AS n_members
+  FROM dist GROUP BY label
+)
+SELECT label, m.vec_id AS rep_id, round(m.d2, 4) AS rep_d2, n_members
+FROM rep
+""",
+)
+def semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster representative selection: for each
+    cluster (the provided ``label``), compute the centroid and keep the
+    member closest to it — the survivor a semantic-dedup pass would
+    retain, with the cluster size for the drop accounting.
+
+    Plan: posexplode to (vec, dim) pairs, centroid = (label, dim)-keyed
+    average (k×d rows — broadcast back), squared distance = one hash
+    aggregate per vec, representative = in-group struct-min (argmin
+    with a deterministic vec_id tiebreak, no window, no sort).  All
+    shuffles are keyed on label/vec_id; nothing is all-pairs — this is
+    the semantic analogue of dedup_cc_clusters' representative step."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    dims = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i", "v0"),
+    ).select("vec_id", "label", "i", F.col("v0").cast("double").alias("v"))
+    cent = dims.groupBy("label", "i").agg(F.avg("v").alias("c"))
+    dist = (
+        dims.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sum((F.col("v") - F.col("c")) ** 2), 6).alias("d2"))
+    )
+    return (
+        dist.groupBy("label")
+        .agg(
+            F.min(F.struct("d2", "vec_id")).alias("m"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "label",
+            F.col("m.vec_id").alias("rep_id"),
+            F.round(F.col("m.d2"), 4).alias("rep_d2"),
+            "n_members",
+        )
+    )
+
+
+@query(
+    "filter_blocklist_stats",
+    oracle="""
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_chars), 2) AS avg_chars
+FROM documents
+WHERE source NOT IN ('src3', 'src7', 'src13')
+GROUP BY source
+""",
+)
+def filter_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-blocklist filtering — the unconditional first stage of a
+    crawl pipeline (licensing/toxicity/opt-out domain lists): anti-join
+    the corpus against a blocklist table, report per-source survivors.
+
+    The blocklist is a real (broadcast) table, not an IN-literal —
+    production lists are millions of domains, maintained out-of-band;
+    BroadcastHashJoin LeftAnti keeps the corpus scan shuffle-free.
+    The oracle states the same semantics as NOT IN."""
+    d = load_tables(spark, sf_dir)["documents"]
+    bl = d.sparkSession.createDataFrame(
+        [("src3",), ("src7",), ("src13",)], "source string"
+    )
+    return (
+        d.join(F.broadcast(bl), "source", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "docs_global_shuffle",
+    oracle="""
+WITH k AS (
+  SELECT doc_id, md5(doc_id::VARCHAR || '|seed42') AS skey FROM documents
+),
+t AS (SELECT * FROM k ORDER BY skey LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY skey) AS INT) AS shuffle_pos,
+       doc_id, skey
+FROM t
+""",
+)
+def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: order the corpus by a
+    seeded hash of the stable key and emit the first 20 positions —
+    reshard-stable (the order depends only on doc_id + seed, never on
+    partitioning), so a resumed training run sees the same sequence.
+
+    The prefix is TakeOrderedAndProject (per-partition top-k, no global
+    sort); materializing the FULL shuffled order at 100 TB uses the
+    same key with repartitionByRange + sortWithinPartitions — exactly
+    what io.write_training_shards does — rather than a driver-side
+    row_number.  The window here runs over the 20 surviving rows only."""
+    d = load_tables(spark, sf_dir)["documents"]
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|seed42")))
+    top = d.select("doc_id", key.alias("skey")).orderBy("skey").limit(20)
+    return top.select(
+        F.row_number().over(Window.orderBy("skey")).alias("shuffle_pos"),
+        "doc_id",
+        "skey",
+    )
+
+
+@query(
+    "mix_temperature_sampling",
+    oracle="""
+WITH c AS (
+  SELECT source, count(*) AS n_docs, pow(count(*), 0.5) AS w_raw
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(w_raw) AS z FROM c)
+SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs,
+       round(c.w_raw / tot.z, 6) AS weight,
+       CAST(floor(1000 * c.w_raw / tot.z) AS BIGINT) AS alloc
+FROM c, tot
+""",
+)
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted corpus mixing (T=2 ⇒ weight ∝ n^0.5, the
+    standard up-sample-the-tail rule for multi-source pre-training):
+    per-source sampling weight and the document allocation out of a
+    1000-doc budget.
+
+    One hash aggregate to per-source counts (source-count rows — tiny),
+    then a 1-row total broadcast-crossed back.  The corpus is read
+    once; everything after the first agg is driver-scale metadata, so
+    the 100 TB cost is exactly one map-side-combined count."""
+    d = load_tables(spark, sf_dir)["documents"]
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    c = c.withColumn("w_raw", F.pow("n_docs", F.lit(0.5)))
+    tot = c.agg(F.sum("w_raw").alias("z"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("w_raw") / F.col("z"), 6).alias("weight"),
+        F.floor(1000 * F.col("w_raw") / F.col("z")).cast("long").alias("alloc"),
+    )
+
+
+@query(
+    "text_boilerplate_ratio",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 7), ' ') AS sh
+  FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)
+  WHERE len(toks) >= 8
+),
+b AS (SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 3)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(b.sh) AS BIGINT) AS n_boiler,
+       round(count(b.sh)::DOUBLE / count(*), 4) AS boiler_ratio
+FROM sh s LEFT JOIN b ON s.sh = b.sh
+GROUP BY s.doc_id
+""",
+)
+def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: an 8-token shingle appearing in ≥3
+    distinct documents is boilerplate (nav bars, license headers,
+    templated footers); score each document by the fraction of its
+    shingle positions that are boilerplate — the CCNet/C4 signal for
+    dropping template-heavy pages.
+
+    Two hash aggregates and one shingle-keyed shuffle join: explode
+    shingles (map-only), distinct-doc count per shingle (the same
+    bounded-width key as dedup_passages_c4 — md5 the shingle at real
+    scale), left-join the flag back, re-aggregate per doc.  No windows,
+    no all-pairs; the join key is content-addressed so skew only
+    appears where boilerplate actually exists — which AQE splits."""
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    toks = _toks()
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 7),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+    )
+    sh = d.filter(n >= 8).select("doc_id", F.explode(grams).alias("sh"))
+    boiler = (
+        sh.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 3)
+        .select("sh", F.lit(1).alias("is_b"))
+    )
+    return (
+        sh.join(boiler, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("is_b").alias("n_boiler"),
+            F.round(F.count("is_b") / F.count(F.lit(1)), 4).alias("boiler_ratio"),
+        )
+    )
+
+
+@query(
+    "dedup_prefix_hash",
+    oracle="""
+SELECT md5(substr(text, 1, 64)) AS pfx_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keeper
+FROM documents
+GROUP BY pfx_hash
+HAVING count(*) > 1
+""",
+)
+def dedup_prefix_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-truncation dedup: crawls re-serve the same page with
+    differing tails (ads, timestamps), so documents sharing a 64-char
+    prefix hash are grouped and a keep-min representative chosen —
+    the cheap first-pass dedup that runs before MinHash.
+
+    One md5 projection + one hash aggregate; the md5 key bounds
+    shuffle-key width to 32 bytes regardless of document size.  Same
+    keep-min contract as dedup_exact (queries/dedup.py), on a
+    prefix-normalized key."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.groupBy(F.md5(F.substring("text", 1, 64)).alias("pfx_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "embed_norm_stats",
+    oracle="""
+WITH n AS (
+  SELECT label,
+         sqrt(list_reduce(
+           list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+           (a, b) -> a + b)) AS nrm
+  FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(nrm), 4) AS avg_norm,
+       round(min(nrm), 4) AS min_norm,
+       round(max(nrm), 4) AS max_norm
+FROM n GROUP BY label
+""",
+)
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health check: L2-norm distribution per label.  Norm
+    collapse or blow-up per class is the standard signal for a broken
+    encoder run before the vectors reach dedup/ANN.
+
+    The norm is an in-row left-fold (``F.aggregate``) — identical
+    left-to-right double accumulation in both engines, so the values
+    are bit-exact before the per-label aggregate; the corpus pass is
+    map-only plus one label-keyed agg."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        e.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+    )
+
+
+@query(
+    "embed_dim_stats",
+    oracle="""
+WITH dims AS (
+  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+)
+SELECT i, round(avg(v), 4) AS dim_mean, round(stddev_samp(v), 4) AS dim_std
+FROM dims GROUP BY i
+""",
+)
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std across the embedding corpus — the drift
+    monitor a pipeline runs between encoder versions (a shifted
+    dimension means the ANN index must be rebuilt).
+
+    posexplode to (dim, value) then one 64-key hash aggregate —
+    map-side partials make the shuffle 64 rows per partition no matter
+    the corpus size."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    dims = e.select(F.posexplode("embedding").alias("i", "v0")).select(
+        "i", F.col("v0").cast("double").alias("v")
+    )
+    return dims.groupBy("i").agg(
+        F.round(F.avg("v"), 4).alias("dim_mean"),
+        F.round(F.stddev_samp("v"), 4).alias("dim_std"),
+    )
+
+
+for _n in (
+    "bpe_pair_counts",
+    "tokenize_vocab_apply",
+    "semdedup_centroid",
+    "filter_blocklist_stats",
+    "docs_global_shuffle",
+    "mix_temperature_sampling",
+    "text_boilerplate_ratio",
+    "dedup_prefix_hash",
+    "embed_norm_stats",
+    "embed_dim_stats",
+):
+    INTRODUCED_ROUND[_n] = 4

@@ -75,4 +75,5 @@ def load_all() -> None:
         events,
         multimodal,
         io_ops,
+        llmprep,
     )
