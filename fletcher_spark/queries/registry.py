@@ -76,4 +76,5 @@ def load_all() -> None:
         multimodal,
         io_ops,
         llmprep,
+        analytic,
     )
