@@ -376,3 +376,53 @@ def dedup_first_seen_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("m").alias("first"))
         .select("fp", F.col("first.event_id").cast("string").alias("event_id"))
     )
+
+
+@query(
+    "events_hourly_anomaly",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, epoch(h.h)::BIGINT AS hour_s, CAST(h.n AS BIGINT) AS n,
+       round((h.n - s.mu) / s.sd, 4) AS z
+FROM hourly h JOIN stats s USING (event_type)
+WHERE s.sd > 0 AND abs((h.n - s.mu) / s.sd) > 2
+""",
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hourly event counts per type, z-scored
+    against the type's own hourly distribution, emitting |z| > 2 hours
+    — the monitoring query a pipeline runs over its ingest telemetry.
+
+    Two hash aggregates (hour×type, then type) and a broadcast join of
+    the tiny stats side back onto the hourly frame; the corpus is read
+    once and everything after the first agg is type-cardinality-sized."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sd") > 0) & (F.abs(z) > 2))
+        .select(
+            "event_type",
+            epoch_seconds("h").alias("hour_s"),
+            "n",
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
+from fletcher_spark.queries.registry import INTRODUCED_ROUND as _IR  # noqa: E402
+
+_IR["events_hourly_anomaly"] = 4

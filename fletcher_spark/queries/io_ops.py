@@ -74,4 +74,48 @@ def io_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audit(spark.read.parquet(out))
 
 
-BENCH_EXCLUDE.update({"io_shard_roundtrip", "io_compact_roundtrip"})
+@query("io_jsonl_roundtrip", oracle=_AUDIT_ORACLE)
+def io_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink/source round-trip: write the documents table as
+    JSONL (the interchange format most crawl/annotation tooling
+    speaks), read it back with the EXPLICIT source schema — never
+    inference, which samples files and can widen/narrow types between
+    runs — and audit content equality.  JSONL is splittable per line,
+    so the read parallelizes like parquet minus column pruning; the
+    audit proves the escape/quote cycle is lossless."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = tempfile.mkdtemp(prefix="fletcher_jsonl_")
+    docs.write.mode("overwrite").json(out)
+    return _audit(spark.read.schema(docs.schema).json(out))
+
+
+@query("io_csv_roundtrip", oracle=_AUDIT_ORACLE)
+def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink/source round-trip with header + full quoting: the
+    lowest-common-denominator export format, read back with the
+    explicit schema (CSV carries no types at all) and audited against
+    the source.  ``quoteAll`` makes embedded delimiters/newlines safe;
+    multiLine stays off so the read remains splittable."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = tempfile.mkdtemp(prefix="fletcher_csv_")
+    docs.write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).csv(out)
+    return _audit(
+        spark.read.schema(docs.schema).option("header", True).csv(out)
+    )
+
+
+BENCH_EXCLUDE.update(
+    {
+        "io_shard_roundtrip",
+        "io_compact_roundtrip",
+        "io_jsonl_roundtrip",
+        "io_csv_roundtrip",
+    }
+)
+
+from fletcher_spark.queries.registry import INTRODUCED_ROUND as _IR  # noqa: E402
+
+_IR["io_jsonl_roundtrip"] = 4
+_IR["io_csv_roundtrip"] = 4

@@ -452,8 +452,41 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_k_per_group",
+    oracle="""
+SELECT source, doc_id,
+       CAST(row_number() OVER (
+         PARTITION BY source
+         ORDER BY md5(doc_id::VARCHAR || '|cap7')) AS INT) AS rk
+FROM documents
+QUALIFY rk <= 5
+""",
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the Gopher/RefinedWeb per-domain limit):
+    keep at most 5 documents per source, chosen by seeded-hash order so
+    the sample is deterministic and reshard-stable.
+
+    One window per source partition ordered by the hash — the shuffle
+    is keyed on source, and each group's sort is local.  A skewed
+    mega-domain is exactly the case the cap exists for: AQE splits the
+    oversized partition, and the top-5-by-hash per group could also run
+    as a bounded min-heap aggregate if a domain were pathological."""
+    d = load_tables(spark, sf_dir)["documents"]
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|cap7")))
+    w = Window.partitionBy("source").orderBy("skey")
+    return (
+        d.select("source", "doc_id", h.alias("skey"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", "rk")
+    )
+
+
 for _n in (
     "bpe_pair_counts",
+    "sample_k_per_group",
     "tokenize_vocab_apply",
     "semdedup_centroid",
     "filter_blocklist_stats",

@@ -552,3 +552,64 @@ def ann_ivf_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
     )
+
+
+_KNN_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS ev
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         {_duck_cos("a.ev", "b.ev")} AS cos
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id != b.vec_id
+),
+r AS (
+  SELECT vec_id, nbr_id, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rk
+  FROM p
+)
+SELECT vec_id, nbr_id, round(cos, 4) AS cos, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 2
+"""
+
+
+@query("knn_graph_blocked", oracle=_KNN_ORACLE)
+def knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph construction with blocking: each vector's top-2 cosine
+    neighbors within its block (``label`` — in production the block key
+    is a coarse quantizer cell or LSH bucket).  The edge list feeds
+    SemDeDup / graph-clustering passes (see semdedup_centroid,
+    dedup_cc_clusters).
+
+    All-pairs exists ONLY inside a block: the self-join is keyed on the
+    block id, so cost is Σ|block|², bounded by the quantizer — the
+    standard distributed kNN-graph recipe (never a corpus×corpus
+    product).  Dot products are codegen ``zip_with``/``aggregate``
+    folds with engine-identical accumulation order; top-2 is a
+    per-vector row_number window over block-local candidates."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    v = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ev"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    scored = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") != F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("nbr_id"),
+        SIM.cosine(F.col("a.ev"), F.col("b.ev")).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "nbr_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("vec_id", "nbr_id", F.round("cos", 4).alias("cos"), "rk")
+    )
+
+
+from fletcher_spark.queries.registry import INTRODUCED_ROUND as _IR  # noqa: E402
+
+_IR["knn_graph_blocked"] = 4
