@@ -249,3 +249,39 @@ def test_registry_wide_plan_invariants(spark):
         p = plan(spark, name)
         assert "CartesianProduct" not in p, f"{name} plans an all-pairs product"
         assert "BatchEvalPython" not in p, f"{name} plans a row-at-a-time Python UDF"
+
+
+def test_blocklist_is_broadcast_anti_join(spark):
+    """The blocklist side must broadcast (LeftAnti BHJ) — shuffling the
+    corpus on source to drop 3 rows would be the scale bug."""
+    p = plan(spark, "filter_blocklist_stats")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+
+
+def test_vocab_apply_broadcasts_vocab(spark):
+    """The 30-row vocab joins the token stream as a broadcast — the
+    corpus-side pass must stay shuffle-free after the posexplode."""
+    p = plan(spark, "tokenize_vocab_apply")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_bpe_pairs_no_self_join(spark):
+    """Adjacent pairs come from in-row zip_with, never a positional
+    self-join: exactly one scan of documents, no Join at all."""
+    p = plan(spark, "bpe_pair_counts")
+    assert "Join" not in p, p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_knn_graph_join_keyed_on_block(spark):
+    """The kNN self-join must be an equi-join on the block key (label),
+    never a cartesian/broadcast-nested-loop over the corpus."""
+    p = plan(spark, "knn_graph_blocked")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_shuffle_order_prefix_is_take_ordered(spark):
+    """docs_global_shuffle's 20-row prefix must be TakeOrdered
+    (per-partition top-k), not a global Sort of the corpus."""
+    p = plan(spark, "docs_global_shuffle")
+    assert "TakeOrderedAndProject" in p, p
