@@ -484,7 +484,191 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "winsorize_doc_lengths",
+    oracle="""
+WITH p AS (
+  SELECT source,
+         quantile_cont(n_chars, 0.05) AS p05,
+         quantile_cont(n_chars, 0.95) AS p95
+  FROM documents GROUP BY source
+),
+c AS (
+  SELECT d.source, d.n_chars, p.p05, p.p95,
+         least(greatest(d.n_chars::DOUBLE, p.p05), p.p95) AS clamped
+  FROM documents d JOIN p USING (source)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(min(p05), 4) AS p05, round(min(p95), 4) AS p95,
+       round(avg(n_chars), 4) AS avg_raw,
+       round(avg(clamped), 4) AS avg_winsor
+FROM c GROUP BY source
+""",
+)
+def winsorize_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length winsorization — the robust-statistics prep step
+    that keeps a handful of pathological crawl pages (truncated stubs,
+    concatenated mega-docs) from dominating per-domain length budgets:
+    clamp ``n_chars`` to the source's exact [p05, p95] band and report
+    raw vs winsorized means.
+
+    Two source-keyed aggregates with a join between them: phase 1
+    produces one row per source (exact interpolated ``F.percentile`` ==
+    DuckDB ``quantile_cont`` — parity proven by
+    reductions_mode_percentile), broadcast back onto the corpus scan,
+    phase 2 re-aggregates.  At 100 TB the percentile table is
+    |sources| rows (always broadcastable) and the documented grouped
+    path swaps in ``percentile_approx`` — exact per-group percentile
+    buffers the group, the sketch does not."""
+    d = load_tables(spark, sf_dir)["documents"]
+    p = d.groupBy("source").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("p05"),
+        F.percentile("n_chars", F.lit(0.95)).alias("p95"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("n_chars").cast("double"), F.col("p05")), F.col("p95")
+    )
+    return (
+        d.join(F.broadcast(p), "source")
+        .select("source", "n_chars", "p05", "p95", clamped.alias("clamped"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("p05"), 4).alias("p05"),
+            F.round(F.min("p95"), 4).alias("p95"),
+            F.round(F.avg("n_chars"), 4).alias("avg_raw"),
+            F.round(F.avg("clamped"), 4).alias("avg_winsor"),
+        )
+    )
+
+
+@query(
+    "hybrid_text_embed_filter",
+    oracle="""
+WITH q AS (
+  SELECT doc_id FROM documents WHERE n_chars >= 150 AND lang IN ('en', 'de')
+),
+j AS (
+  SELECT e.label,
+         sqrt(list_reduce(
+           list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE),
+           (a, b) -> a + b)) AS nrm
+  FROM embeddings e JOIN q ON e.vec_id = q.doc_id
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_kept,
+       round(avg(nrm), 4) AS avg_norm
+FROM j GROUP BY label
+""",
+)
+def hybrid_text_embed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation: quality-filter on TEXT metadata, then
+    aggregate over the surviving EMBEDDINGS — the join no other
+    query exercises (documents.doc_id == embeddings.vec_id, the
+    corpus↔vector-store key).  A curation pass that drops documents
+    must drop their vectors too, or the ANN index serves deleted docs.
+
+    The text side reduces to a doc_id key set before the join (filter
+    pushed to the documents scan, two columns read); the join is keyed
+    on the id — at 100 TB both sides shuffle-hash on doc_id, or the
+    key set broadcasts when the filter is selective.  Norms are the
+    bit-exact left-fold shared with embed_norm_stats."""
+    t = load_tables(spark, sf_dir)
+    q = (
+        t["documents"]
+        .filter((F.col("n_chars") >= 150) & F.col("lang").isin("en", "de"))
+        .select("doc_id")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        t["embeddings"]
+        .join(q, F.col("vec_id") == F.col("doc_id"))
+        .select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        )
+    )
+
+
+@query(
+    "tfidf_doc_topk",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, tok
+),
+df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+nd AS (SELECT count(*) AS nd FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         tf.tf * ln(nd.nd::DOUBLE / df.df) AS score
+  FROM tf JOIN df USING (tok), nd
+),
+r AS (
+  SELECT doc_id, tok, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok) AS rk
+  FROM s
+)
+SELECT doc_id, tok, tf, df, round(score, 6) AS score, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 3
+""",
+)
+def tfidf_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the classic sparse retrieval /
+    keyword-extraction feature (text_vocab_idf is the corpus-level IDF
+    half; this joins it back per document).
+
+    One explode feeds BOTH frequencies: tf = (doc, tok)-keyed count,
+    df = tok-keyed count over the tf rows (already distinct per doc —
+    no second distinct pass), corpus size is a broadcast 1-row agg.
+    The tf→df join is token-keyed (bounded by |vocab|, AQE chooses
+    broadcast vs shuffle); top-3 is a per-doc window over ≤|doc vocab|
+    rows.  Exact ties (equal tf and df ⇒ bit-equal score in both
+    engines) break on the token, so ranking is cross-engine stable."""
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    from fletcher_spark.pipeline import textpipe as T
+
+    tf = (
+        d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    s = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.col("nd") / F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tf", "df", F.round("score", 6).alias("score"), "rk")
+    )
+
+
 for _n in (
+    "winsorize_doc_lengths",
+    "hybrid_text_embed_filter",
+    "tfidf_doc_topk",
     "bpe_pair_counts",
     "sample_k_per_group",
     "tokenize_vocab_apply",

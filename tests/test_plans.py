@@ -285,3 +285,26 @@ def test_shuffle_order_prefix_is_take_ordered(spark):
     (per-partition top-k), not a global Sort of the corpus."""
     p = plan(spark, "docs_global_shuffle")
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_winsorize_percentile_table_broadcasts(spark):
+    """The per-source percentile table is |sources| rows — it must
+    broadcast back onto the corpus scan, never shuffle the corpus on
+    source twice."""
+    p = plan(spark, "winsorize_doc_lengths")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_hybrid_filter_pushes_text_predicates(spark):
+    """The text-quality filter must reach the documents parquet scan
+    (n_chars/lang pushed), and only the key survives into the join."""
+    p = plan(spark, "hybrid_text_embed_filter")
+    assert "GreaterThanOrEqual(n_chars,150)" in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_tfidf_single_explode_feeds_tf_and_df(spark):
+    """df is derived from the tf aggregate (already distinct per doc):
+    one explode (Generate) of the corpus, not two."""
+    p = plan(spark, "tfidf_doc_topk")
+    assert p.count("Generate explode") <= 2, p  # main + reused exchange branch
