@@ -1,0 +1,105 @@
+"""One-pass dataset profiling — the ANALYZE-style statistics a 100 TB
+pipeline consults before choosing a plan (broadcast or shuffle? salt
+this key? is this column dead?).
+
+Everything here is a SINGLE aggregate job over one scan:
+
+* :func:`profile` — per-column stats (rows, nulls, approx distinct,
+  min/max, mean for numerics, length stats for strings) computed as one
+  wide ``agg`` — never one job per column, which at 100 TB would scan
+  the corpus |columns| times.
+* :func:`key_skew_report` — heavy-hitter shares for a prospective
+  join/group key: one hash aggregate + a top-k (TakeOrdered), the
+  number that tells you whether AQE's skew split or an explicit salt
+  (operators/skew.py) is needed.
+
+Distinct counts are HyperLogLog (``approx_count_distinct``) by design:
+fixed-size sketches merge across partitions, where exact distinct would
+shuffle the full column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["profile", "key_skew_report"]
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile(df: DataFrame, columns: list[str] | None = None, rsd: float = 0.05) -> DataFrame:
+    """Per-column statistics in ONE aggregate over ONE scan.
+
+    Returns a long-form DataFrame ``(column, dtype, n_rows, n_nulls,
+    approx_distinct, min, max, mean, avg_len, max_len)`` — min/max/mean
+    as strings so heterogeneous column types fit one schema (this is a
+    report, not an input to further arithmetic).  ``rsd`` is the
+    HyperLogLog relative standard deviation.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = list(columns) if columns is not None else list(fields)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        dt = fields[c]
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"))
+        aggs.append(F.approx_count_distinct(c, rsd).alias(f"{c}__dist"))
+        if isinstance(dt, _NUMERIC):
+            aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+            aggs.append(F.avg(c).cast("string").alias(f"{c}__mean"))
+        elif isinstance(dt, (T.StringType, T.BinaryType)):
+            aggs.append(F.min(F.length(c)).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(F.length(c)).cast("string").alias(f"{c}__max"))
+            aggs.append(F.avg(F.length(c)).cast("string").alias(f"{c}__mean"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__min"))
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__max"))
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__mean"))
+    wide = df.agg(*aggs)
+
+    # pivot the single wide row to long form with a literal stack — the
+    # reshape runs on ONE row, not on the data
+    parts = []
+    for c in cols:
+        parts.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(fields[c].simpleString()).alias("dtype"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__dist").alias("approx_distinct"),
+                F.col(f"{c}__min").alias("min"),
+                F.col(f"{c}__max").alias("max"),
+                F.col(f"{c}__mean").alias("mean"),
+            )
+        )
+    return wide.select(F.explode(F.array(*parts)).alias("s")).select("s.*")
+
+
+def key_skew_report(df: DataFrame, key: str, top: int = 10) -> DataFrame:
+    """Heavy-hitter report for a join/group key: the ``top`` most
+    frequent key values with their share of all rows.
+
+    One key-hashed aggregate (map-side combined) + a corpus-size 1-row
+    aggregate joined in as a broadcast + TakeOrdered top-k.  Rule of
+    thumb this feeds: a key whose top bucket exceeds a few times the
+    average partition size needs AQE skew-join or a salt
+    (operators/skew.py) before it becomes a straggler task."""
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        df.groupBy(F.col(key).alias("key_value"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key_value",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_rows"), "key_value")
+        .limit(top)
+    )
