@@ -393,3 +393,53 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the hour-0 window is emitted exactly once, with its 3 on-time
     # events — the late batch-3 row neither merged nor re-opened it
     assert h0_rows == [3], rows
+
+
+def test_checkpoint_recovery_resumes_without_reprocessing(spark, tmp_path):
+    """Exactly-once across a RESTART: a file-source stream consumes two
+    files, stops, a third file lands, and a new query started from the
+    SAME checkpoint must deliver only the new file — the offset log
+    remembers consumed files, so a crashed 100 TB ingest job never
+    re-deduplicates yesterday's data on resume."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name: str, ids: list[int]):
+        pq.write_table(
+            pa.table({"id": pa.array(ids, pa.int64()),
+                      "src_file": pa.array([name] * len(ids))}),
+            str(src / f"{name}.parquet"),
+        )
+
+    def run_stream():
+        df = (
+            spark.readStream.schema("id long, src_file string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    land("f1", [1, 2, 3])
+    land("f2", [4, 5])
+    run_stream()
+    first = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert first == [1, 2, 3, 4, 5]
+
+    land("f3", [6, 7])
+    run_stream()  # same checkpoint: must pick up ONLY f3
+    back = spark.read.parquet(sink).collect()
+    assert sorted(r["id"] for r in back) == [1, 2, 3, 4, 5, 6, 7]  # no dups
+    assert {r["src_file"] for r in back if r["id"] >= 6} == {"f3"}
