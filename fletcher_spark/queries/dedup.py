@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from fletcher_spark.io import load_tables, spread
 from fletcher_spark.operators import graph as G
 from fletcher_spark.pipeline import dedup as D
-from fletcher_spark.queries.registry import query
+from fletcher_spark.queries.registry import INTRODUCED_ROUND, query
 
 
 @query(
@@ -705,3 +705,52 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("m_exact", "m_near").alias("match_id"),
         )
     )
+
+
+@query(
+    "dedup_levenshtein_block",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, substr(text, 1, 8) AS blk, substr(text, 1, 60) AS pfx
+  FROM documents
+)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       CAST(levenshtein(a.pfx, c.pfx) AS BIGINT) AS dist
+FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+WHERE levenshtein(a.pfx, c.pfx) <= 20
+""",
+)
+def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy dedup — the record-linkage shape for short
+    fields (titles, URLs, product names) where token sketches are too
+    coarse: Levenshtein over 60-char prefixes, ≤ 20 edits ⇒ near-dup
+    pair.  Complements the sketch family (MinHash/SimHash measure set
+    overlap; edit distance catches transposed/inserted characters in
+    ORDER-sensitive strings).
+
+    All-pairs exists only inside an 8-char-prefix block (the standard
+    blocking key for edit distance: distance ≥ |len_a − len_b| and
+    dissimilar prefixes can't be close), so the join is a block-keyed
+    equi-join — Σ|block|², never corpus².  Distances are exact integers
+    (`F.levenshtein` == DuckDB `levenshtein`), so parity needs no
+    rounding.  At scale, Spark's 3-arg ``levenshtein(l, r, threshold)``
+    bounds the DP cost per pair to O(threshold·len)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    b = d.select(
+        "doc_id",
+        F.substring("text", 1, 8).alias("blk"),
+        F.substring("text", 1, 60).alias("pfx"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(c, (F.col("a.blk") == F.col("c.blk")) & (F.col("a.doc_id") < F.col("c.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("c.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.pfx"), F.col("c.pfx")).cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 20)
+    )
+
+
+INTRODUCED_ROUND["dedup_levenshtein_block"] = 5

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from fletcher_spark.io import load_tables
 from fletcher_spark.operators import relational as R
-from fletcher_spark.queries.registry import query
+from fletcher_spark.queries.registry import INTRODUCED_ROUND, query
 
 
 @query(
@@ -659,3 +659,118 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey % 100 = 0
         """
     )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+SELECT event_id, user_id,
+       round(avg(value) OVER w, 4)        AS mov_avg3,
+       round(max(value) OVER w, 4)        AS mov_max3,
+       CAST(count(*) OVER w AS BIGINT)    AS n_frame
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sliding ROWS frame (3-event moving average/max per user)
+    — the time-series smoothing shape window_running_sum's unbounded
+    frame doesn't cover.  A bounded frame is O(frame) memory per
+    partition regardless of user history length, so it survives users
+    with millions of events where an unbounded collect would not; one
+    shuffle on user_id, frame evaluation is streaming within the sorted
+    partition.  ≤3 doubles accumulate in identical order in both
+    engines, so round(.,4) is stable."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return t["events"].select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("mov_avg3"),
+        F.round(F.max("value").over(w), 4).alias("mov_max3"),
+        F.count(F.lit(1)).over(w).alias("n_frame"),
+    )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 != 0
+),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN n_chars + 10 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 5 != 0
+),
+d AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.n_chars != n.n_chars THEN 'changed'
+              ELSE 'unchanged' END AS change,
+         o.n_chars AS old_chars, n.n_chars AS new_chars
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT change, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(coalesce(old_chars, 0)) AS BIGINT) AS sum_old,
+       CAST(sum(coalesce(new_chars, 0)) AS BIGINT) AS sum_new,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM d GROUP BY change
+""",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (data-versioning diff): classify every
+    key across two corpus snapshots as added / removed / changed /
+    unchanged via ONE full-outer join on the key, with per-class counts
+    and checksums.  This is the audit op behind incremental publishing
+    — "what did today's run change?" — and the validation step before
+    promoting a rewritten 100 TB table.
+
+    One key-hashed shuffle per side into the join; the classification
+    is a projection; per-class aggregate is |classes| rows.  Never a
+    row-by-row driver comparison.  (Snapshots here are derived filters
+    of `documents` so the oracle states the same inputs.)"""
+    d = load_tables(spark, sf_dir)["documents"]
+    old = d.filter(F.col("doc_id") % 7 != 0).select("doc_id", "n_chars")
+    new = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 3 == 0, F.col("n_chars") + 10)
+            .otherwise(F.col("n_chars"))
+            .alias("n_chars"),
+        )
+    )
+    j = old.alias("o").join(new.alias("n"), F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    change = (
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.n_chars") != F.col("n.n_chars"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+            change.alias("change"),
+            F.col("o.n_chars").alias("old_chars"),
+            F.col("n.n_chars").alias("new_chars"),
+        )
+        .groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("old_chars", F.lit(0))).alias("sum_old"),
+            F.sum(F.coalesce("new_chars", F.lit(0))).alias("sum_new"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+for _n in ("window_moving_avg", "snapshot_diff"):
+    INTRODUCED_ROUND[_n] = 5
