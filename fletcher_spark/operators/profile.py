@@ -32,14 +32,22 @@ _NUMERIC = (
 )
 
 
-def profile(df: DataFrame, columns: list[str] | None = None, rsd: float = 0.05) -> DataFrame:
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    rsd: float = 0.05,
+    distinct: str = "approx",
+) -> DataFrame:
     """Per-column statistics in ONE aggregate over ONE scan.
 
     Returns a long-form DataFrame ``(column, dtype, n_rows, n_nulls,
-    approx_distinct, min, max, mean, avg_len, max_len)`` — min/max/mean
-    as strings so heterogeneous column types fit one schema (this is a
-    report, not an input to further arithmetic).  ``rsd`` is the
-    HyperLogLog relative standard deviation.
+    approx_distinct, min, max, mean)`` — min/max/mean as strings so
+    heterogeneous column types fit one schema (this is a report, not an
+    input to further arithmetic).  ``rsd`` is the HyperLogLog relative
+    standard deviation; ``distinct="exact"`` swaps in exact
+    count_distinct (per-column shuffle of distinct values — the
+    oracle-parity mode; ``"approx"`` is the 100 TB default: fixed-size
+    sketches that merge across partitions).
     """
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols = list(columns) if columns is not None else list(fields)
@@ -47,7 +55,10 @@ def profile(df: DataFrame, columns: list[str] | None = None, rsd: float = 0.05) 
     for c in cols:
         dt = fields[c]
         aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"))
-        aggs.append(F.approx_count_distinct(c, rsd).alias(f"{c}__dist"))
+        if distinct == "exact":
+            aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__dist"))
+        else:
+            aggs.append(F.approx_count_distinct(c, rsd).alias(f"{c}__dist"))
         if isinstance(dt, _NUMERIC):
             aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
             aggs.append(F.max(c).cast("string").alias(f"{c}__max"))

@@ -1,0 +1,205 @@
+"""Dataset-profiling and graph-analytics queries (registered round 5).
+
+``profile_documents`` / ``skew_report_lineitem`` expose the one-pass
+ANALYZE utilities (operators/profile.py) as driver-checked queries —
+exact-distinct mode for value parity, approx documented as the 100 TB
+default.  ``pagerank_nation_trade`` runs two unrolled PageRank
+iterations over the customer-nation → supplier-nation trade graph —
+the second iterative graph algorithm after connected components
+(operators/graph.py), all joins + aggregates, no driver-side loop over
+data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fletcher_spark.io import load_tables
+from fletcher_spark.operators.profile import key_skew_report, profile
+from fletcher_spark.queries.registry import INTRODUCED_ROUND, query
+
+
+@query(
+    "profile_documents",
+    oracle="""
+SELECT 'doc_id' AS column, 'bigint' AS dtype,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE doc_id IS NULL) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(min(doc_id) AS VARCHAR) AS min_v, CAST(max(doc_id) AS VARCHAR) AS max_v
+FROM documents
+UNION ALL
+SELECT 'text', 'string', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT),
+       CAST(count(DISTINCT text) AS BIGINT),
+       CAST(min(length(text)) AS VARCHAR), CAST(max(length(text)) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'lang', 'string', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE lang IS NULL) AS BIGINT),
+       CAST(count(DISTINCT lang) AS BIGINT),
+       CAST(min(length(lang)) AS VARCHAR), CAST(max(length(lang)) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'source', 'string', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE source IS NULL) AS BIGINT),
+       CAST(count(DISTINCT source) AS BIGINT),
+       CAST(min(length(source)) AS VARCHAR), CAST(max(length(source)) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'n_chars', 'bigint', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE n_chars IS NULL) AS BIGINT),
+       CAST(count(DISTINCT n_chars) AS BIGINT),
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+FROM documents
+""",
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of the documents table — the ANALYZE
+    statistics a pipeline consults before planning (dead columns, null
+    rates, key cardinalities, value ranges).
+
+    ONE wide aggregate over ONE scan (operators/profile.py) — never a
+    job per column; the long-form reshape explodes a single row.
+    Exact-distinct mode here so DuckDB value-parity holds; production
+    default is HyperLogLog (``distinct="approx"``), whose estimates
+    have no cross-engine contract.  The mean column is dropped from
+    the contract because engines format doubles differently — min/max
+    here are integers (values or lengths), which print identically."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return profile(d, distinct="exact").select(
+        "column",
+        "dtype",
+        "n_rows",
+        "n_nulls",
+        F.col("approx_distinct").alias("n_distinct"),
+        F.col("min").alias("min_v"),
+        F.col("max").alias("max_v"),
+    )
+
+
+@query(
+    "skew_report_lineitem",
+    oracle="""
+WITH t AS (SELECT count(*) AS total FROM lineitem)
+SELECT l_suppkey AS key_value, CAST(count(*) AS BIGINT) AS n_rows,
+       round(count(*) / any_value(t.total), 6) AS share
+FROM lineitem, t
+GROUP BY l_suppkey
+ORDER BY n_rows DESC, key_value
+LIMIT 10
+""",
+)
+def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter report for a prospective join key (l_suppkey): the
+    top-10 keys with their share of all rows — the number that decides
+    between AQE skew-join and an explicit salt (operators/skew.py).
+
+    One map-side-combined hash aggregate + broadcast 1-row total +
+    TakeOrdered top-k (plan-asserted in tests/test_profile.py) — the
+    corpus is scanned once and never globally sorted."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return key_skew_report(li, "l_suppkey", top=10)
+
+
+def _pagerank_oracle() -> str:
+    edges = """
+e AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         count(*)::DOUBLE AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY src, dst
+),
+outw AS (SELECT src, sum(w) AS tot FROM e GROUP BY src),
+norm AS (
+  SELECT e.src, e.dst, e.w / outw.tot AS p
+  FROM e JOIN outw ON e.src = outw.src
+),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)"""
+    iterate = """
+r{k} AS (
+  SELECT nodes.node,
+         0.15 / (SELECT n FROM nn)
+           + 0.85 * coalesce(sum(r{p}.pr * norm.p), 0) AS pr
+  FROM nodes
+  LEFT JOIN norm ON norm.dst = nodes.node
+  LEFT JOIN r{p} ON r{p}.node = norm.src
+  GROUP BY nodes.node
+)"""
+    return (
+        "WITH "
+        + edges
+        + ",\nr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),"
+        + iterate.format(k=1, p=0)
+        + ","
+        + iterate.format(k=2, p=1)
+        + """
+SELECT r2.node AS nationkey, n.n_name AS nation, round(r2.pr, 6) AS pagerank
+FROM r2 JOIN nation n ON n.n_nationkey = r2.node
+"""
+    )
+
+
+@query("pagerank_nation_trade", oracle=_pagerank_oracle())
+def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled PageRank iterations (d=0.85) over the
+    customer-nation → supplier-nation trade graph — the influence
+    ranking a marketplace would compute, and the repo's second
+    iterative graph algorithm after connected components.
+
+    Edge derivation is the q7 join chain collapsed to a (src, dst,
+    weight) aggregate — |nations|² rows max, so every rank round is a
+    broadcast join of the rank vector against the edge table plus one
+    dst-keyed aggregate: the iteration never shuffles the fact tables
+    again, which is the property that makes DataFrame PageRank viable
+    at billions of edges (ranks and edges shuffle, facts do not).
+    Dangling mass is handled per the classic formulation: nodes with no
+    in-edges get the teleport term via the left join + coalesce."""
+    t = load_tables(spark, sf_dir)
+    e = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("tot"))
+    norm = e.join(outw, "src").select("src", "dst", (F.col("w") / F.col("tot")).alias("p"))
+    norm = norm.persist()
+
+    nodes = t["nation"].select(F.col("n_nationkey").alias("node"))
+    n_nodes = nodes.count()  # |nations| — a metadata scalar, not data
+    pr = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
+    for _ in range(2):
+        contrib = (
+            norm.join(F.broadcast(pr), F.col("src") == F.col("node"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("mass"))
+        )
+        pr = (
+            nodes.join(contrib, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (F.lit(0.15 / n_nodes) + F.lit(0.85) * F.coalesce("mass", F.lit(0.0))).alias("pr"),
+            )
+        )
+    return (
+        pr.join(t["nation"], F.col("node") == F.col("n_nationkey"))
+        .select(
+            F.col("node").alias("nationkey"),
+            F.col("n_name").alias("nation"),
+            F.round("pr", 6).alias("pagerank"),
+        )
+    )
+
+
+for _n in ("profile_documents", "skew_report_lineitem", "pagerank_nation_trade"):
+    INTRODUCED_ROUND[_n] = 5

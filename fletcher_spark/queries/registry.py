@@ -77,4 +77,5 @@ def load_all() -> None:
         io_ops,
         llmprep,
         analytic,
+        profiling,
     )
