@@ -203,3 +203,156 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 for _n in ("profile_documents", "skew_report_lineitem", "pagerank_nation_trade"):
     INTRODUCED_ROUND[_n] = 5
+
+
+@query(
+    "mad_outlier_docs",
+    oracle="""
+WITH med AS (
+  SELECT source, median(n_chars) AS med FROM documents GROUP BY source
+),
+dev AS (
+  SELECT d.source, d.doc_id, d.n_chars, med.med,
+         abs(d.n_chars - med.med) AS adev
+  FROM documents d JOIN med USING (source)
+),
+mad AS (SELECT source, median(adev) AS mad FROM dev GROUP BY source)
+SELECT dev.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(min(mad.mad), 4) AS mad,
+       CAST(count(*) FILTER (WHERE dev.adev > 3 * mad.mad) AS BIGINT) AS n_outliers,
+       min(dev.doc_id) FILTER (WHERE dev.adev > 3 * mad.mad) AS first_outlier
+FROM dev JOIN mad ON dev.source = mad.source
+GROUP BY dev.source
+""",
+)
+def mad_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per source: median absolute deviation
+    (MAD), the robust-statistics cousin of winsorize_doc_lengths — a
+    handful of mega-docs can't move the median the way they move a
+    mean/stddev, so the 3×MAD fence stays put under contamination.
+
+    Two grouped exact medians (source-keyed, group-buffered) with a
+    broadcast-sized |sources|-row table joined back between them; the
+    documented 100 TB swap is ``percentile_approx(.., 0.5)`` for both
+    medians (same sketch as operators/agg.py:median_approx).  Exact
+    median parity with DuckDB is proven by reductions_mode_percentile."""
+    d = load_tables(spark, sf_dir)["documents"]
+    med = d.groupBy("source").agg(F.median("n_chars").alias("med"))
+    dev = d.join(F.broadcast(med), "source").select(
+        "source", "doc_id", "n_chars", F.abs(F.col("n_chars") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("source").agg(F.median("adev").alias("mad"))
+    j = dev.join(F.broadcast(mad), "source")
+    is_out = F.col("adev") > 3 * F.col("mad")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("mad"), 4).alias("mad"),
+        F.count(F.when(is_out, 1)).alias("n_outliers"),
+        F.min(F.when(is_out, F.col("doc_id"))).alias("first_outlier"),
+    )
+
+
+@query(
+    "corpus_drift_chi2",
+    oracle="""
+WITH obs AS (
+  SELECT lang, source, count(*)::DOUBLE AS o FROM documents GROUP BY lang, source
+),
+tot AS (SELECT count(*)::DOUBLE AS n FROM documents),
+lm AS (SELECT lang, sum(o) AS lo FROM obs GROUP BY lang),
+sm AS (SELECT source, sum(o) AS so FROM obs GROUP BY source)
+SELECT obs.lang,
+       CAST(sum(obs.o) AS BIGINT) AS n_docs,
+       round(sum(power(obs.o - lm.lo * sm.so / (SELECT n FROM tot), 2)
+                 / (lm.lo * sm.so / (SELECT n FROM tot))), 4) AS chi2_contrib
+FROM obs JOIN lm USING (lang) JOIN sm USING (source)
+GROUP BY obs.lang
+""",
+)
+def corpus_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift detection: chi-square statistic of the lang ×
+    source contingency table, reported as per-language contributions —
+    the monitoring check that catches a crawl source suddenly shifting
+    its language mix (independence would make every contribution small).
+
+    One (lang, source) hash aggregate — |cells| rows — then marginals
+    and expected counts derived from that tiny table; the corpus is
+    scanned ONCE.  Cell contributions are Σ over ≤|sources| doubles per
+    language, rounded for cross-engine summation-order tolerance."""
+    d = load_tables(spark, sf_dir)["documents"]
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("double").alias("o"))
+    obs = obs.persist()
+    tot = obs.agg(F.sum("o").alias("n"))
+    lm = obs.groupBy("lang").agg(F.sum("o").alias("lo"))
+    sm = obs.groupBy("source").agg(F.sum("o").alias("so"))
+    exp = (
+        obs.join(F.broadcast(lm), "lang")
+        .join(F.broadcast(sm), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "o",
+            (F.col("lo") * F.col("so") / F.col("n")).alias("e"),
+        )
+    )
+    return exp.groupBy("lang").agg(
+        F.sum("o").cast("long").alias("n_docs"),
+        F.round(F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")), 4).alias("chi2_contrib"),
+    )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, count(*)::DOUBLE AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+),
+r AS (SELECT prev_type, sum(n) AS tot FROM t GROUP BY prev_type)
+SELECT t.prev_type, t.next_type, CAST(t.n AS BIGINT) AS n_transitions,
+       round(t.n / r.tot, 6) AS prob
+FROM t JOIN r USING (prev_type)
+""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov estimate): per
+    user, consecutive event pairs via a lag window, then row-normalized
+    transition probabilities — the sequence-modeling prep for session
+    simulation and anomaly scoring (an improbable transition chain
+    flags bot traffic).
+
+    One user-keyed shuffle for the lag window; the transition counts
+    are a |types|² aggregate, and normalization joins against the
+    |types|-row marginal — everything after the window is
+    dimension-sized.  Deterministic ordering tiebreak on event_id."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = t["events"].select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    marg = trans.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return trans.join(F.broadcast(marg), "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.round(F.col("n") / F.col("tot"), 6).alias("prob"),
+    )
+
+
+for _n in ("mad_outlier_docs", "corpus_drift_chi2", "events_transition_matrix"):
+    INTRODUCED_ROUND[_n] = 5
