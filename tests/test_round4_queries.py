@@ -1,0 +1,125 @@
+"""Semantic invariants for the round-4/5 query additions — properties
+the DuckDB oracle comparison cannot express (it would be wrong in the
+same way), checked directly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fletcher_spark.io import load_tables
+from fletcher_spark.queries import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def test_winsorize_clamps_within_band(spark):
+    out = {r["source"]: r for r in registry.QUERIES["winsorize_doc_lengths"](spark, SF_DIR).collect()}
+    for r in out.values():
+        assert r["p05"] <= r["p95"]
+        # the winsorized mean sits inside the clamp band, the raw mean
+        # need not
+        assert r["p05"] - 1e-9 <= r["avg_winsor"] <= r["p95"] + 1e-9
+
+
+def test_hybrid_filter_subset_of_quality_docs(spark):
+    t = load_tables(spark, SF_DIR)
+    kept = registry.QUERIES["hybrid_text_embed_filter"](spark, SF_DIR).agg(
+        F.sum("n_kept")
+    ).collect()[0][0]
+    quality_with_vec = (
+        t["documents"]
+        .filter((F.col("n_chars") >= 150) & F.col("lang").isin("en", "de"))
+        .join(t["embeddings"], F.col("doc_id") == F.col("vec_id"))
+        .count()
+    )
+    assert kept == quality_with_vec
+
+
+def test_tfidf_ranks_are_dense_per_doc(spark):
+    rows = registry.QUERIES["tfidf_doc_topk"](spark, SF_DIR).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["rk"])
+        assert r["tf"] >= 1 and r["df"] >= 1
+    for doc, rks in by_doc.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), doc
+
+
+def test_snapshot_diff_partitions_the_key_space(spark):
+    out = {r["change"]: r for r in registry.QUERIES["snapshot_diff"](spark, SF_DIR).collect()}
+    d = load_tables(spark, SF_DIR)["documents"]
+    n_old = d.filter(F.col("doc_id") % 7 != 0).count()
+    n_new = d.filter(F.col("doc_id") % 5 != 0).count()
+    n_removed = out["removed"]["n_docs"] if "removed" in out else 0
+    n_added = out["added"]["n_docs"] if "added" in out else 0
+    n_common = sum(
+        out[c]["n_docs"] for c in ("changed", "unchanged") if c in out
+    )
+    assert n_old == n_removed + n_common
+    assert n_new == n_added + n_common
+    # changed rows differ by construction: doc_id % 3 == 0 shifts chars
+    if "changed" in out:
+        assert out["changed"]["sum_new"] == out["changed"]["sum_old"] + 10 * out["changed"]["n_docs"]
+
+
+def test_levenshtein_pairs_are_blocked_and_symmetric_free(spark):
+    rows = registry.QUERIES["dedup_levenshtein_block"](spark, SF_DIR).collect()
+    assert rows, "planted near-dups must produce pairs"
+    seen = set()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]  # canonical orientation, no mirror pair
+        assert 0 <= r["dist"] <= 20
+        assert (r["id_a"], r["id_b"]) not in seen
+        seen.add((r["id_a"], r["id_b"]))
+
+
+def test_pagerank_is_a_distribution(spark):
+    rows = registry.QUERIES["pagerank_nation_trade"](spark, SF_DIR).collect()
+    n = len(rows)
+    total = sum(r["pagerank"] for r in rows)
+    # stochastic graph with no dangling sources (every nation that
+    # appears as src has out-edges by construction) → mass ≈ 1; rounding
+    # of 25 six-decimal values bounds the drift
+    assert abs(total - 1.0) < 1e-3, total
+    assert all(r["pagerank"] > 0 for r in rows)
+    assert n == load_tables(spark, SF_DIR)["nation"].count()
+
+
+def test_transition_matrix_rows_normalize(spark):
+    rows = registry.QUERIES["events_transition_matrix"](spark, SF_DIR).collect()
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + r["prob"]
+        assert r["n_transitions"] >= 1
+    for prev, s in by_prev.items():
+        assert abs(s - 1.0) < 1e-4, (prev, s)
+
+
+def test_mad_outliers_bounded_by_group(spark):
+    out = registry.QUERIES["mad_outlier_docs"](spark, SF_DIR).collect()
+    for r in out:
+        assert 0 <= r["n_outliers"] <= r["n_docs"]
+        assert r["mad"] >= 0
+        if r["n_outliers"] == 0:
+            assert r["first_outlier"] is None
+
+
+def test_chi2_contributions_nonnegative(spark):
+    out = registry.QUERIES["corpus_drift_chi2"](spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in out) == load_tables(spark, SF_DIR)["documents"].count()
+    assert all(r["chi2_contrib"] >= 0 for r in out)
+
+
+def test_profile_documents_exact_distincts(spark):
+    out = {r["column"]: r for r in registry.QUERIES["profile_documents"](spark, SF_DIR).collect()}
+    d = load_tables(spark, SF_DIR)["documents"]
+    assert out["doc_id"]["n_distinct"] == d.count()  # unique key
+    assert out["lang"]["n_distinct"] == d.select("lang").distinct().count()
+
+
+def test_skew_report_shares_sum_below_one(spark):
+    out = registry.QUERIES["skew_report_lineitem"](spark, SF_DIR).collect()
+    assert len(out) == 10
+    assert sum(r["share"] for r in out) <= 1.0 + 1e-6
+    assert all(out[i]["n_rows"] >= out[i + 1]["n_rows"] for i in range(9))
