@@ -356,3 +356,150 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 for _n in ("mad_outlier_docs", "corpus_drift_chi2", "events_transition_matrix"):
     INTRODUCED_ROUND[_n] = 5
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+WITH s AS (
+  SELECT user_id, value, epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS t_next
+  FROM events
+),
+w AS (
+  SELECT user_id, value, (t_next - t)::DOUBLE AS dur
+  FROM s WHERE t_next IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       round(sum(value * dur) / sum(dur), 6) AS twap
+FROM w GROUP BY user_id
+HAVING sum(dur) > 0
+""",
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each reading is
+    weighted by how long it was current (until the next event) — the
+    correct aggregate for irregularly-sampled series, where a plain
+    mean over-weights bursts.
+
+    One user-keyed window (lead) then a hash aggregate; durations are
+    exact integer microsecond differences, so the only float work is
+    the final weighted ratio.  The sum-of-products per user accumulates
+    in engine-specific order — round(6) absorbs the 1e-15 drift."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = t["events"].select(
+        "user_id", "value", "ts_us", F.lead("ts_us").over(w).alias("t_next")
+    )
+    iv = s.filter(F.col("t_next").isNotNull()).select(
+        "user_id", "value", (F.col("t_next") - F.col("ts_us")).cast("double").alias("dur")
+    )
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            (F.sum(F.col("value") * F.col("dur")) / F.sum("dur")).alias("twap_raw"),
+            F.sum("dur").alias("tot_dur"),
+        )
+        .filter(F.col("tot_dur") > 0)
+        .select("user_id", "n_intervals", F.round("twap_raw", 6).alias("twap"))
+    )
+
+
+@query(
+    "docid_gap_ranges",
+    oracle="""
+WITH k AS (
+  SELECT doc_id,
+         lead(doc_id) OVER (ORDER BY doc_id) AS next_id
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 3 != 0)
+)
+SELECT doc_id + 1 AS gap_start, next_id - 1 AS gap_end,
+       CAST(next_id - doc_id - 1 AS BIGINT) AS gap_len
+FROM k WHERE next_id - doc_id > 1
+""",
+)
+def docid_gap_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection over a key expected to be dense (here a
+    filtered doc_id stream stands in for a partition with holes): emit
+    each missing [start, end] range — the data-quality audit that
+    catches dropped shards after an ingest.
+
+    lead() over a GLOBAL order is the textbook formulation and fine at
+    audit sizes; the plan funnels through one partition (flagged by the
+    scale linter), so the documented 100 TB path buckets first:
+    range-partition the key, detect gaps within partitions, and check
+    the |partitions| boundary pairs separately — same output, shuffle
+    instead of funnel."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") % 3 != 0)
+    w = Window.orderBy("doc_id")
+    k = d.select("doc_id", F.lead("doc_id").over(w).alias("next_id"))
+    return k.filter(F.col("next_id") - F.col("doc_id") > 1).select(
+        (F.col("doc_id") + 1).alias("gap_start"),
+        (F.col("next_id") - 1).alias("gap_end"),
+        (F.col("next_id") - F.col("doc_id") - 1).alias("gap_len"),
+    )
+
+
+@query(
+    "event_type_islands",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts), event_id) AS rt
+  FROM events
+),
+g AS (SELECT user_id, event_type, rn - rt AS grp, t, event_id FROM s),
+runs AS (
+  SELECT user_id, event_type, grp,
+         CAST(count(*) AS BIGINT) AS run_len,
+         min(event_id) AS first_event
+  FROM g GROUP BY user_id, event_type, grp
+)
+SELECT user_id, event_type, run_len, first_event
+FROM runs WHERE run_len >= 3
+""",
+)
+def event_type_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of the SAME consecutive event
+    type per user (run length ≥ 3) via the classic two-row_number
+    difference trick — consecutive equal values share ``rn − rt``.
+    This is how repeated-action streaks (rage clicks, retry storms,
+    bot loops) are detected without any iterative logic.
+
+    Both row_numbers share the user-keyed shuffle and sort (same
+    partition key, compatible order), the island group-by is a hash
+    aggregate — two window specs, ONE Exchange."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wt = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    s = t["events"].select(
+        "user_id",
+        "event_type",
+        "event_id",
+        (F.row_number().over(wu) - F.row_number().over(wt)).alias("grp"),
+    )
+    return (
+        s.groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("event_id").alias("first_event"),
+        )
+        .filter(F.col("run_len") >= 3)
+        .select("user_id", "event_type", "run_len", "first_event")
+    )
+
+
+for _n in ("events_time_weighted_avg", "docid_gap_ranges", "event_type_islands"):
+    INTRODUCED_ROUND[_n] = 5

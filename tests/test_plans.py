@@ -308,3 +308,19 @@ def test_tfidf_single_explode_feeds_tf_and_df(spark):
     one explode (Generate) of the corpus, not two."""
     p = plan(spark, "tfidf_doc_topk")
     assert p.count("Generate explode") <= 2, p  # main + reused exchange branch
+
+
+def test_islands_single_user_exchange(spark):
+    """Both row_number specs and the island aggregate ride one
+    user-keyed Exchange — value-change islands cost the same shuffle as
+    a single window."""
+    p = plan(spark, "event_type_islands")
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_pagerank_iterations_broadcast_rank_vector(spark):
+    """Each PageRank round joins the k-row rank vector by broadcast —
+    the fact tables are shuffled once at edge derivation and never
+    again."""
+    p = plan(spark, "pagerank_nation_trade")
+    assert "BroadcastHashJoin" in p, p
