@@ -26,6 +26,8 @@ though tests run on local[32]:
 from fletcher_spark.session import get_spark
 from fletcher_spark.io import read_parquet, from_arrow, to_arrow
 from fletcher_spark.accessor import fr_str
+from fletcher_spark.plans import lint_plan, assert_scale_safe
+from fletcher_spark.operators.profile import profile, key_skew_report
 
 __version__ = "0.1.0"
 
@@ -35,5 +37,9 @@ __all__ = [
     "from_arrow",
     "to_arrow",
     "fr_str",
+    "lint_plan",
+    "assert_scale_safe",
+    "profile",
+    "key_skew_report",
     "__version__",
 ]
