@@ -503,3 +503,121 @@ def event_type_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 for _n in ("events_time_weighted_avg", "docid_gap_ranges", "event_type_islands"):
     INTRODUCED_ROUND[_n] = 5
+
+
+@query(
+    "fk_orphan_audit",
+    oracle="""
+SELECT 'lineitem->orders' AS relation,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans
+FROM lineitem l
+UNION ALL
+SELECT 'orders->customer',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+FROM orders o
+""",
+)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: count fact rows whose foreign key
+    has no parent (lineitem→orders, orders→customer) — the check that
+    runs after every bulk load, because a silently-dropped parent
+    partition turns inner joins into data loss downstream.
+
+    Each relation is ONE pass: key-projected left join against the
+    distinct parent keys, aggregated to (total, null-parent count) —
+    no driver-side counting, no second scan.  At 100 TB both sides
+    project to the key column before the shuffle (column pruning
+    asserted repo-wide) — and a healthy audit returning zeros is still
+    value-checked by the oracle, which states the same NOT EXISTS
+    semantics."""
+    t = load_tables(spark, sf_dir)
+
+    def audit(fact, fk, dim, pk, name):
+        parents = dim.select(F.col(pk)).distinct()
+        return (
+            fact.select(F.col(fk))
+            .join(parents, F.col(fk) == F.col(pk), "left")
+            .agg(
+                F.lit(name).alias("relation"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(F.col(pk).isNull(), 1)).alias("n_orphans"),
+            )
+            .select("relation", "n_rows", "n_orphans")
+        )
+
+    a = audit(t["lineitem"], "l_orderkey", t["orders"], "o_orderkey", "lineitem->orders")
+    b = audit(t["orders"], "o_custkey", t["customer"], "c_custkey", "orders->customer")
+    return a.unionByName(b)
+
+
+@query(
+    "source_vocab_overlap",
+    oracle="""
+WITH v AS (
+  SELECT DISTINCT source, unnest(string_split_regex(text, '\\s+')) AS tok
+  FROM documents
+),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY src_a, src_b
+)
+SELECT i.src_a, i.src_b, i.n_common,
+       round(i.n_common / (sa.n + sb.n - i.n_common), 4) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.source = i.src_a
+JOIN sz sb ON sb.source = i.src_b
+WHERE i.n_common >= 1
+""",
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources (Jaccard over
+    distinct token sets) — the corpus-similarity matrix that informs
+    mixing weights (near-identical sources shouldn't both get full
+    budget; see mix_temperature_sampling) and flags scraped mirrors.
+
+    The pair join is TOKEN-keyed: each token contributes only the
+    sources that contain it (≤|sources|² per token, |sources| is small
+    by definition), so the corpus is never self-joined — the same
+    bucket-join discipline as the dedup family, with the token as the
+    bucket.  Set sizes join back broadcast; at web scale the distinct
+    (source, token) table is the one shuffle that matters and it is
+    |vocab|-bounded per source."""
+    d = load_tables(spark, sf_dir)["documents"]
+    from fletcher_spark.pipeline import textpipe as T
+
+    v = (
+        d.select("source", F.explode(T.tokens("text")).alias("tok"))
+        .distinct()
+        .persist()
+    )
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = v.alias("a"), v.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("n").alias("na")))
+    sb = F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb")))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4).alias("jaccard"),
+        )
+    )
+
+
+for _n in ("fk_orphan_audit", "source_vocab_overlap"):
+    INTRODUCED_ROUND[_n] = 5
