@@ -87,18 +87,16 @@ def assign_nearest(
     )
 
 
-def lloyd(
+def lloyd_centroids(
     v: DataFrame, id_col: str, vec_col: str, k: int, iters: int
-) -> DataFrame:
-    """Run ``iters`` Lloyd rounds from a deterministic init (the k
-    lowest-id vectors) and return the final assignment
-    (id_col, vec_col, cid, d2).
+) -> Centroids:
+    """Train and return the centroid MODEL itself (k×dim, driver-side)
+    after ``iters`` Lloyd rounds from the deterministic lowest-id init.
 
-    Deterministic by construction: init is id-ordered, argmin ties
-    break on cid, and centroid averages are order-insensitive — which
-    is what makes the trainer cross-engine value-checkable.  Empty
-    clusters simply drop out (matching the SQL replay).
-    """
+    Same rounds as :func:`lloyd`, exposed separately for consumers that
+    need the codebook rather than an assignment — product quantization
+    trains one of these per subspace (queries/similarity.py:ann_pq_adc)
+    and folds all of them back into a single map-only encode."""
     w0 = Window.orderBy(id_col)  # k rows only — the LIMIT k result
     init = (
         v.orderBy(id_col)
@@ -129,4 +127,21 @@ def lloyd(
                 ).alias("cv")
             )
         )
-    return assign_nearest(v, cent, id_col, vec_col)
+    return cent
+
+
+def lloyd(
+    v: DataFrame, id_col: str, vec_col: str, k: int, iters: int
+) -> DataFrame:
+    """Run ``iters`` Lloyd rounds from a deterministic init (the k
+    lowest-id vectors) and return the final assignment
+    (id_col, vec_col, cid, d2).
+
+    Deterministic by construction: init is id-ordered, argmin ties
+    break on cid, and centroid averages are order-insensitive — which
+    is what makes the trainer cross-engine value-checkable.  Empty
+    clusters simply drop out (matching the SQL replay).
+    """
+    return assign_nearest(
+        v, lloyd_centroids(v, id_col, vec_col, k, iters), id_col, vec_col
+    )

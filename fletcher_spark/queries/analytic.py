@@ -13,7 +13,7 @@ shuffles are the grouping aggregates themselves.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fletcher_spark.io import load_tables
@@ -285,6 +285,49 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "histogram_equidepth",
+    oracle="""
+SELECT decile,
+       CAST(count(*) AS BIGINT)      AS n_orders,
+       round(min(o_totalprice), 2)   AS lo,
+       round(max(o_totalprice), 2)   AS hi
+FROM (
+  SELECT o_totalprice,
+         CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+           AS decile
+  FROM orders)
+GROUP BY decile
+""",
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (equal row count per bucket, vs
+    histogram_width_bucket's equal-width bins): decile boundaries of
+    o_totalprice via ``ntile``, the optimizer-statistics shape used for
+    range-partition planning and quantile-bucketed sampling.
+
+    ``ntile`` over a global ORDER BY is exact but funnels the table
+    through one sorted partition — fine for the ≤10-row-out profile of
+    a dimension table, wrong for a 100 TB fact.  The scale path is the
+    two-pass variant: ``approx_percentile(col, array(0.1..0.9))`` in
+    one hash-agg pass, broadcast the 9 cut points, then a map-only
+    ``width_bucket``-style projection assigns buckets with NO global
+    sort (boundary counts become approximate — the trade documented in
+    operators/profile.py).  The tiebreak on o_orderkey makes the exact
+    variant's bucket membership deterministic cross-engine."""
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).cast("long").alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
 for _n in (
     "date_month_arith",
     "corr_regression_stats",
@@ -295,3 +338,5 @@ for _n in (
     "null_safe_join",
 ):
     INTRODUCED_ROUND[_n] = 4
+
+INTRODUCED_ROUND["histogram_equidepth"] = 5

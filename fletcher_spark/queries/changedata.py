@@ -1,0 +1,218 @@
+"""Change-data-capture / slowly-changing-dimension / recursive-state
+queries (registered round 5).
+
+Three warehouse-maintenance shapes a 100 TB training-data platform
+needs around its corpus tables, none expressible as a single built-in
+operator:
+
+* ``cdc_merge_upsert`` — MERGE a change log into a base snapshot
+  (last-writer-wins upserts + tombstone deletes), the incremental
+  alternative to rewriting the full table per ingest.
+* ``scd2_type_history`` — type-2 effective-dated history (valid-from /
+  valid-to intervals + is_current) built from an event stream.
+* ``events_ewma`` — exponentially-weighted moving average per key: a
+  genuinely recursive per-group fold (each output depends on the
+  previous), done as Arrow-batched ``applyInPandas`` because no
+  Catalyst window frame expresses recursion without overflow-prone
+  closed forms.
+
+Reference parity: fletcher itself stops at column compute; these cover
+the surrounding table-maintenance operations its users run upstream
+(pandas ``combine_first``/``groupby().apply`` territory —
+/root/reference/fletcher/base.py keeps per-chunk state the same way
+``events_ewma`` keeps per-group state).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fletcher_spark.io import load_tables
+from fletcher_spark.queries.registry import INTRODUCED_ROUND, query
+
+
+
+@query(
+    "cdc_merge_upsert",
+    oracle="""
+WITH last AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rk
+    FROM events) WHERE rk = 1)
+SELECT
+  coalesce(c.c_custkey, l.user_id)               AS custkey,
+  round(coalesce(l.value, c.c_acctbal), 4)       AS acctbal,
+  coalesce(l.event_type, 'unchanged')            AS status,
+  CASE WHEN l.user_id IS NULL THEN 'base' ELSE 'upsert' END AS src
+FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.user_id
+WHERE coalesce(l.event_type, '') <> 'error'
+""",
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO shape: apply a change log (events, keyed user_id) to a
+    base snapshot (customer) — last writer per key wins, a key whose
+    last change is ``error`` is a tombstone (deleted), untouched base
+    rows pass through.
+
+    Scale shape: the log is first collapsed to ≤1 row/key (window over
+    the log only — the 100 TB base is NEVER windowed), then ONE
+    key-hashed full-outer join applies it.  With the base bucketed on
+    the key (io.write_training_shards style) the join reuses the
+    bucket layout and only the day's delta shuffles; this is the
+    standard incremental-publish pattern vs rewriting the table."""
+    t = load_tables(spark, sf_dir)
+    last = (
+        t["events"]
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            # ts then event_id makes the winner unique even when
+            # timestamps collide (same tiebreak as the oracle)
+            F.row_number()
+            .over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts_us").desc(), F.col("event_id").desc()
+                )
+            )
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    base = t["customer"].select("c_custkey", "c_acctbal")
+    return (
+        base.join(last, base.c_custkey == last.user_id, "full_outer")
+        .filter(F.coalesce(F.col("event_type"), F.lit("")) != "error")
+        .select(
+            F.coalesce(F.col("c_custkey"), F.col("user_id")).alias("custkey"),
+            F.round(F.coalesce(F.col("value"), F.col("c_acctbal")), 4).alias("acctbal"),
+            F.coalesce(F.col("event_type"), F.lit("unchanged")).alias("status"),
+            F.when(F.col("user_id").isNull(), F.lit("base"))
+            .otherwise(F.lit("upsert"))
+            .alias("src"),
+        )
+    )
+
+
+@query(
+    "scd2_type_history",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts)::BIGINT AS ts_us, event_id
+  FROM events),
+chg AS (
+  SELECT user_id, event_type, ts_us,
+         lag(event_type) OVER w AS prev_type
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+s AS (
+  SELECT user_id, event_type, ts_us AS valid_from_us
+  FROM chg WHERE prev_type IS NULL OR prev_type <> event_type)
+SELECT user_id, event_type, valid_from_us,
+       lead(valid_from_us) OVER w AS valid_to_us,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       (lead(valid_from_us) OVER w IS NULL) AS is_current
+FROM s WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_us)
+""",
+)
+def scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension from an event stream: one row
+    per STATE CHANGE of event_type per user, effective-dated
+    [valid_from, valid_to) with a version counter and an is_current
+    flag (open interval).  Consecutive repeats of the same type are
+    compressed — this is the islands start-point plus validity
+    plumbing, i.e. how a dimension table tracks attribute history.
+
+    All three window specs share the user-keyed partitioning, so the
+    plan pays ONE Exchange; everything after is sort + projection
+    within partitions.  No self-join — the naive SCD2 build joins the
+    stream to itself on "next change", which is quadratic in run
+    length."""
+    e = load_tables(spark, sf_dir)["events"]
+    wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chg = e.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.lag("event_type").over(wu).alias("prev_type"),
+    ).filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    ws = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+    ).select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(ws).alias("valid_to_us"),
+        F.row_number().over(ws).cast("long").alias("version"),
+        F.lead("valid_from_us").over(ws).isNull().alias("is_current"),
+    )
+
+
+#: EWMA smoothing factor.  0.3 and 0.7 are not exact doubles, but both
+#: engines parse the same decimal literals to the same nearest double,
+#: so the recursion ``0.3*x + 0.7*acc`` is bit-identical arithmetic on
+#: both sides.
+_ALPHA = 0.3
+
+
+def _ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One user's events → one EWMA row.  The loop is per-GROUP (a few
+    thousand rows each), runs the identical fp operations the oracle's
+    list_reduce states, and arrives Arrow-batched."""
+    pdf = pdf.sort_values(["ts_us", "event_id"])
+    acc = None
+    for x in pdf["value"].to_numpy():
+        acc = float(x) if acc is None else _ALPHA * float(x) + (1.0 - _ALPHA) * acc
+    return pd.DataFrame(
+        {
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_events": [len(pdf)],
+            "ewma_last": [round(acc, 4)],
+        }
+    )
+
+
+@query(
+    "events_ewma",
+    oracle=f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> {_ALPHA} * x + {1.0 - _ALPHA} * acc),
+             4) AS ewma_last
+FROM events GROUP BY user_id
+""",
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of ``value`` in
+    event order — a RECURSIVE per-group fold (y_t = αx_t + (1-α)y_t-1)
+    that no Catalyst window frame expresses safely: the closed form
+    needs (1-α)^(-i) factors that overflow past ~700 rows.  Grouped
+    ``applyInPandas`` keeps the recursion exact, Arrow-batched, and
+    distributed by the group key; the oracle replays the identical
+    fold with DuckDB ``list_reduce``.
+
+    Scale: one user-keyed Exchange, then per-group Python on
+    group-sized batches.  Skew note: a single hot key serializes into
+    one task — for power-law keys pre-split by day and merge the
+    per-segment (ewma, weight) pairs, the same remedy the salted join
+    (queries/relational.py:join_salted_skew) demonstrates."""
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.select("user_id", "ts_us", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(_ewma_group, "user_id long, n_events long, ewma_last double")
+    )
+
+
+for _n in ("cdc_merge_upsert", "scd2_type_history", "events_ewma"):
+    INTRODUCED_ROUND[_n] = 5

@@ -78,4 +78,5 @@ def load_all() -> None:
         llmprep,
         analytic,
         profiling,
+        changedata,
     )

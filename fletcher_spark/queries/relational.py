@@ -772,5 +772,59 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-for _n in ("window_moving_avg", "snapshot_diff"):
+@query(
+    "join_salted_skew",
+    oracle="""
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT)              AS n_joined,
+       round(avg(e.value * c.c_acctbal), 4)  AS avg_weighted
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY e.event_type
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join for hot keys: the fact side (events) concentrates on
+    a handful of user_ids — the power-law shape that at 100 TB puts one
+    key's entire volume through a single reducer.  The remedy shown
+    here: append a deterministic salt in [0, S) to the fact key, explode
+    the dimension side S ways, and join on (key, salt) so each hot key
+    spreads across S tasks.  The ORACLE is the PLAIN unsalted join —
+    proving the rewrite changes the physical distribution, never the
+    result.
+
+    S=8 is a literal here; in production pick S from the key-skew
+    report (operators/profile.py:key_skew_report) and salt ONLY the
+    keys above the skew threshold (two-branch union) so the dimension
+    blow-up stays bounded.  AQE's skew-join split handles moderate
+    skew for free; explicit salting is for the pathological keys AQE
+    cannot split, e.g. a single-key aggregate downstream."""
+    t = load_tables(spark, sf_dir)
+    s = 8
+    fact = t["events"].select(
+        "user_id",
+        "event_type",
+        "value",
+        F.pmod("event_id", F.lit(s)).alias("salt"),
+    )
+    dim = (
+        t["customer"]
+        .select("c_custkey", "c_acctbal")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(s)])))
+    )
+    return (
+        fact.join(
+            dim,
+            (fact.user_id == dim.c_custkey) & (fact.salt == dim.salt),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_joined"),
+            F.round(F.avg(F.col("value") * F.col("c_acctbal")), 4).alias(
+                "avg_weighted"
+            ),
+        )
+    )
+
+
+for _n in ("window_moving_avg", "snapshot_diff", "join_salted_skew"):
     INTRODUCED_ROUND[_n] = 5
