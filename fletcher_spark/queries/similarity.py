@@ -657,6 +657,159 @@ def knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.select("vec_id", "nbr_id", F.round("cos", 4).alias("cos"), "rk")
 
 
+
+# -- Product quantization (ADC) -------------------------------------------
+
+_PQ_M, _PQ_SUB, _PQ_K = 4, 16, 4
+
+
+def _l2_16(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {_PQ_SUB + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+
+
+def _pq_oracle(m: int = _PQ_M, sub: int = _PQ_SUB, k: int = _PQ_K) -> str:
+    """Replay PQ training + ADC scoring as SQL CTEs: per subspace one
+    Lloyd round (same deterministic init as operators/kmeans.py), then
+    codes via argmin and query-to-centroid lookup distances."""
+    parts = [
+        "v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev"
+        " FROM embeddings)",
+        "vs AS (SELECT vec_id, "
+        + ", ".join(f"ev[{s * sub + 1}:{(s + 1) * sub}] AS sub{s}" for s in range(m))
+        + " FROM v)",
+        "q AS (SELECT "
+        + ", ".join(f"sub{s} AS q{s}" for s in range(m))
+        + " FROM vs ORDER BY vec_id LIMIT 1)",
+    ]
+    for s in range(m):
+        d = _l2_16(f"vs.sub{s}", "c.cv")
+        parts += [
+            f"c0_{s} AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid,"
+            f" sub{s} AS cv FROM (SELECT vec_id, sub{s} FROM vs"
+            f" ORDER BY vec_id LIMIT {k}))",
+            f"""a1_{s} AS (
+  SELECT vec_id, sub{s}, cid FROM (
+    SELECT vs.vec_id, vs.sub{s}, c.cid, {d} AS d2,
+           row_number() OVER (PARTITION BY vs.vec_id ORDER BY {d}, c.cid) AS rk
+    FROM vs, c0_{s} c) WHERE rk = 1)""",
+            f"cd_{s} AS (SELECT cid, i, avg(sub{s}[i]) AS cv"
+            f" FROM a1_{s}, range(1, {sub + 1}) t(i) GROUP BY cid, i)",
+            f"c1_{s} AS (SELECT cid, list(cv ORDER BY i) AS cv FROM cd_{s}"
+            f" GROUP BY cid)",
+            f"""e_{s} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vs.vec_id, c.cid, {d} AS d2,
+           row_number() OVER (PARTITION BY vs.vec_id ORDER BY {d}, c.cid) AS rk
+    FROM vs, c1_{s} c) WHERE rk = 1)""",
+            f"qd_{s} AS (SELECT c.cid, {_l2_16(f'q.q{s}', 'c.cv')} AS qd2"
+            f" FROM c1_{s} c, q)",
+        ]
+    joins = " ".join(
+        f"JOIN e_{s} ON e_{s}.vec_id = vs.vec_id"
+        f" JOIN qd_{s} ON qd_{s}.cid = e_{s}.cid"
+        for s in range(m)
+    )
+    adc = " + ".join(f"qd_{s}.qd2" for s in range(m))
+    codecat = " || '-' || ".join(f"CAST(e_{s}.cid AS VARCHAR)" for s in range(m))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vs.vec_id, round({adc}, 4) AS adc_d2, {codecat} AS code"
+        + f"\nFROM vs {joins}"
+        + f"\nORDER BY {adc}, vs.vec_id LIMIT 10"
+    )
+
+
+def _pq_qd2(q: list[float], cv: list[float]) -> float:
+    """Driver-side query-to-centroid distance: the same left fold from
+    0.0 the Spark/DuckDB expressions state, so the table is
+    bit-identical model state, not a third arithmetic."""
+    acc = 0.0
+    for a, b in zip(q, cv):
+        acc += (a - b) * (a - b)
+    return acc
+
+
+@query("ann_pq_adc", oracle=_pq_oracle())
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with asymmetric distance (the FAISS PQ/ADC
+    shape): split the 64-dim space into 4 subspaces of 16 dims, train a
+    4-centroid codebook per subspace (1 Lloyd round, deterministic
+    lowest-id init — operators/kmeans.py:lloyd_centroids), encode every
+    vector as 4 small codes, and rank the corpus against a query vector
+    by summing PRECOMPUTED query-to-centroid distances per subspace.
+
+    Scale shape: codebooks are model state (m·k·sub = 256 doubles) pinned
+    to the driver and folded back as plan literals, so encode+score is
+    ONE map-only projection over the corpus — no join, no shuffle; the
+    only non-map work is the TakeOrderedAndProject top-10.  At real
+    sizes (m=8..64, k=256) the same plan holds: the codebook literal is
+    ≤1 MB and each vector's scan cost drops from dim floats to m table
+    lookups, which is why PQ is the memory-bound path to billion-vector
+    ANN; compose with the IVF list filter (ann_ivf_probe) to cut the
+    scan itself.  The oracle replays training + encode + ADC as CTEs."""
+    v = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("ev")
+    )
+    vs = v.select(
+        "vec_id",
+        *[
+            F.slice("ev", s * _PQ_SUB + 1, _PQ_SUB).alias(f"sub{s}")
+            for s in range(_PQ_M)
+        ],
+    ).persist()
+    books = [
+        KM.lloyd_centroids(vs, "vec_id", f"sub{s}", _PQ_K, 1) for s in range(_PQ_M)
+    ]
+    qrow = vs.orderBy("vec_id").limit(1).collect()[0]
+
+    best_cols = []
+    for s in range(_PQ_M):
+        qsub = [float(x) for x in qrow[f"sub{s}"]]
+        lit = F.array(
+            *[
+                F.struct(
+                    F.lit(int(cid)).cast("long").alias("cid"),
+                    F.lit([float(x) for x in cv]).alias("cv"),
+                    F.lit(_pq_qd2(qsub, [float(x) for x in cv])).alias("qd2"),
+                )
+                for cid, cv in sorted(books[s])
+            ]
+        )
+        def _scorer(sub_col):
+            # factory closure: a plain lambda with a default arg would
+            # look 2-ary to transform() and receive the array index
+            return lambda c: F.struct(
+                KM.l2sq(F.col(sub_col), c["cv"]).alias("d2"),
+                c["cid"].alias("cid"),
+                c["qd2"].alias("qd2"),
+            )
+
+        dists = F.transform(lit, _scorer(f"sub{s}"))
+        best_cols.append(F.array_min(dists).alias(f"best{s}"))
+
+    enc = vs.select("vec_id", *best_cols)
+    adc = sum_col = None
+    for s in range(_PQ_M):
+        term = F.col(f"best{s}")["qd2"]
+        sum_col = term if sum_col is None else sum_col + term
+    adc = sum_col
+    return (
+        enc.orderBy(adc.asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select(
+            "vec_id",
+            F.round(adc, 4).alias("adc_d2"),
+            F.concat_ws(
+                "-", *[F.col(f"best{s}")["cid"].cast("string") for s in range(_PQ_M)]
+            ).alias("code"),
+        )
+    )
+
 from fletcher_spark.queries.registry import INTRODUCED_ROUND as _IR  # noqa: E402
 
 _IR["knn_graph_blocked"] = 4
+_IR["ann_pq_adc"] = 5
