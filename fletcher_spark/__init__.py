@@ -24,7 +24,15 @@ though tests run on local[32]:
 """
 
 from fletcher_spark.session import get_spark
-from fletcher_spark.io import read_parquet, from_arrow, to_arrow
+from fletcher_spark.io import (
+    read_parquet,
+    from_arrow,
+    to_arrow,
+    compact_parquet,
+    write_training_shards,
+    write_zordered,
+    zorder_value,
+)
 from fletcher_spark.accessor import fr_str
 from fletcher_spark.plans import lint_plan, assert_scale_safe
 from fletcher_spark.operators.profile import profile, key_skew_report
@@ -36,6 +44,10 @@ __all__ = [
     "read_parquet",
     "from_arrow",
     "to_arrow",
+    "compact_parquet",
+    "write_training_shards",
+    "write_zordered",
+    "zorder_value",
     "fr_str",
     "lint_plan",
     "assert_scale_safe",

@@ -19,7 +19,8 @@ from __future__ import annotations
 from collections.abc import Iterable
 
 import pyarrow as pa
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def read_parquet(
@@ -154,6 +155,70 @@ def write_training_shards(
     (
         df.repartitionByRange(n_shards, order_col)
         .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_value(df: DataFrame, col_a: str, col_b: str, bits: int = 8) -> Column:
+    """Morton (Z-order) key over two numeric columns: each column is
+    min-max scaled onto a 2^bits grid, then the grid coordinates'
+    bits are interleaved — points close in BOTH dimensions get close
+    z-values, so sorting by z clusters them into the same files and
+    row groups.  That is what makes multi-dimensional min/max pruning
+    work: a single-column sort gives perfect pruning on one predicate
+    and none on the other; z-order gives useful pruning on both.
+
+    The scan for min/max is one aggregate producing 4 scalars (model
+    state, like the k-means centroid pin — never data).  Min-max
+    scaling is skew-sensitive; for heavy-tailed columns substitute the
+    profiler's quantiles (operators/profile.py) as grid boundaries —
+    the interleave below is unchanged.  Expression-only (shifts, masks,
+    ors inside one codegen span), no UDF.
+    """
+    lo_a, hi_a, lo_b, hi_b = (
+        df.agg(
+            F.min(col_a).cast("double"),
+            F.max(col_a).cast("double"),
+            F.min(col_b).cast("double"),
+            F.max(col_b).cast("double"),
+        ).collect()[0]
+    )
+
+    def _grid(c: str, lo: float, hi: float) -> Column:
+        span = (hi - lo) or 1.0
+        scaled = (F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
+        return F.least(
+            F.lit((1 << bits) - 1),
+            F.floor(scaled * ((1 << bits) - 1) + 0.5).cast("long"),
+        )
+
+    ga, gb = _grid(col_a, lo_a, hi_a), _grid(col_b, lo_b, hi_b)
+    one = F.lit(1).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(ga, i).bitwiseAND(one), 2 * i)
+        ).bitwiseOR(F.shiftleft(F.shiftright(gb, i).bitwiseAND(one), 2 * i + 1))
+    return z
+
+
+def write_zordered(
+    df: DataFrame, path: str, col_a: str, col_b: str, n_files: int, bits: int = 8
+) -> None:
+    """Write a parquet dataset clustered by the Z-order of two columns:
+    range-partition on the z-value (driver-sampled bounds — no global
+    sort) and sort within each file, so every file covers a compact
+    rectangle in (col_a, col_b) space and min/max stats prune scans
+    with predicates on EITHER or BOTH columns.  The layout tool behind
+    "cluster the corpus by (source, length)" style table maintenance;
+    effectiveness is asserted by bounding-box math in
+    tests/test_zorder.py."""
+    (
+        df.withColumn("__z", zorder_value(df, col_a, col_b, bits))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
         .write.mode("overwrite")
         .parquet(path)
     )
