@@ -443,3 +443,77 @@ def test_checkpoint_recovery_resumes_without_reprocessing(spark, tmp_path):
     back = spark.read.parquet(sink).collect()
     assert sorted(r["id"] for r in back) == [1, 2, 3, 4, 5, 6, 7]  # no dups
     assert {r["src_file"] for r in back if r["id"] >= 6} == {"f3"}
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """``dropDuplicatesWithinWatermark``: duplicate keys arriving within
+    the watermark delay are dropped WITHOUT keeping state forever — the
+    bounded-state streaming dedup (vs ``dropDuplicates``, whose state
+    grows unboundedly and OOMs a long-running 100 TB ingest).  The flip
+    side of bounded state is bounded guarantee: once the watermark
+    passes a key's expiry, the SAME key is emitted again — asserted
+    here deliberately, because relying on cross-epoch dedup from this
+    operator is a correctness bug (that job needs the batch
+    first-seen join, queries/dedup.py:dedup_first_seen_batch).
+    """
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    H = 3_600_000_000  # one hour in microseconds
+    M = 60_000_000  # one minute
+    base = 1_700_000_000_000_000
+
+    def write(name, rows, mtime):
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([i for i, _ in rows], pa.int64()),
+                    "ts": pa.array([base + t for _, t in rows], pa.timestamp("us")),
+                }
+            ),
+            str(src / name),
+        )
+        os.utime(str(src / name), (mtime, mtime))
+
+    now = time.time()
+    # batch 1: ids 1,2 + an in-batch duplicate of 1 (within watermark)
+    write("a.parquet", [(1, 0), (2, 0), (1, 10 * M)], now - 100)
+    # batch 2: cross-batch duplicate of 1 (state still live) + id 3 far
+    # ahead, advancing the watermark past id 2's expiry (ts + 1h)
+    write("b.parquet", [(1, 30 * M), (3, 3 * H)], now - 75)
+    # batch 3: another advancing event — the watermark IN FORCE lags one
+    # trigger (same empirical lag as test_watermark_drops_late_data), so
+    # id 2's state eviction needs this extra batch to take effect
+    write("c.parquet", [(4, 4 * H)], now - 50)
+    # batch 4: id 2 again, now AFTER its dedup state was evicted
+    write("d.parquet", [(2, 3 * H + 30 * M)], now - 10)
+
+    sdf = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["id"])
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        ids = sorted(
+            r["id"] for r in spark.sql("SELECT id FROM dedup_wm").collect()
+        )
+    finally:
+        q.stop()
+    # 1 once (both duplicates dropped), 3 and 4 once, 2 TWICE (evicted
+    # state allows the post-expiry re-arrival through)
+    assert ids == [1, 2, 2, 3, 4], ids
