@@ -11,7 +11,7 @@ The synthetic corpus plants ~25 near-duplicate pairs (shingle Jaccard
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fletcher_spark.io import load_tables, spread
@@ -753,4 +753,155 @@ def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_prefix_filter_join",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (
+  SELECT DISTINCT doc_id, u.g AS token
+  FROM w, unnest(list_transform(range(1, len(ws)),
+                 i -> ws[i] || ' ' || ws[i + 1])) AS u(g)
+),
+freq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+ids AS (SELECT token, row_number() OVER (ORDER BY df, token) AS tid FROM freq),
+docs AS (
+  SELECT doc_id, list(tid ORDER BY tid) AS toks,
+         count(*)::BIGINT AS n
+  FROM tok JOIN ids USING (token) GROUP BY doc_id
+),
+pref AS (
+  SELECT doc_id, n, u.t AS tid
+  FROM docs, unnest(toks[1:(n - ((4 * n + 4) // 5) + 1)]) AS u(t)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM pref a JOIN pref b
+    ON a.tid = b.tid AND a.doc_id < b.doc_id
+   AND 5 * a.n >= 4 * b.n AND 5 * b.n >= 4 * a.n
+),
+v AS (
+  SELECT id1, id2, len(list_intersect(da.toks, db.toks)) AS i,
+         da.n AS na, db.n AS nb
+  FROM cand
+  JOIN docs da ON da.doc_id = cand.id1
+  JOIN docs db ON db.doc_id = cand.id2
+)
+SELECT id1, id2, round(i::DOUBLE / (na + nb - i), 4) AS jaccard
+FROM v WHERE i::DOUBLE / (na + nb - i) >= 0.8
+""",
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join with PREFIX FILTERING (the SSJoin /
+    PPJoin candidate-generation family) over word-BIGRAM sets (unigram
+    sets are saturated on this shared-vocabulary corpus — bigrams keep
+    only the planted near-duplicates above threshold): two documents
+    with bigram-set Jaccard ≥ t = 0.8 must share at least one token among each side's
+    first ``n − ceil(t·n) + 1`` tokens when every document orders its
+    tokens by GLOBAL rarity (document frequency asc, token asc).  So
+    candidates are generated by joining only on those prefix tokens —
+    rare ones, by construction — instead of on every token.
+
+    Why this matters at 100 TB: a plain token-keyed self-join explodes
+    on stopwords (the "the"-bucket is corpus-sized and its bucket join
+    is quadratic).  Prefix filtering is threshold-aware blocking: high
+    thresholds shrink prefixes, and rarity ordering pushes the join
+    keys into the long tail where buckets are tiny.  Complements the
+    hash-family blockers (MinHash bands, SimHash chunks) with an EXACT
+    no-false-negative filter — every qualifying pair provably shares a
+    prefix token.  Prefix length uses integer arithmetic
+    (``n − ((4n+4) div 5) + 1`` for t = 4/5) so both engines agree
+    without float-ceil edge cases.  Shape: token explode → hash-agg
+    df → doc-keyed sort (rarity is a broadcast-sized join of token→df)
+    → prefix explode → bucketed pair join → array-intersect verify on
+    candidates only."""
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    # split once into its own projection: inlined under the Generate the
+    # optimizer re-evaluates split(text) four times per row (2 slices +
+    # 2 sizes)
+    w = d.select("doc_id", F.split("text", " ").alias("ws"))
+    ws = F.col("ws")
+    grams = F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 1),
+        F.slice(ws, 2, F.size(ws) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    tok = w.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("token")
+    ).persist()  # used twice: document frequency AND the doc-set build
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # token -> dense int id in RARITY order (df asc, token asc): sorting
+    # a doc's ids ascending IS the prefix order, and the verify stage
+    # intersects small int arrays instead of shuffling string arrays.
+    # The window is global but vocabulary-sized (dimension data).
+    ids = freq.select(
+        "token",
+        F.row_number().over(Window.orderBy("df", "token")).alias("tid"),
+    )
+    docs = (
+        tok.join(ids, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list("tid")).alias("toks"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .persist()
+    )
+    # materialize the doc-set cache before the pair job: it feeds three
+    # branches (both prefix sides + verify), and branches racing an
+    # in-flight cache each recompute the tokenize subtree
+    docs.count()
+    plen = (F.col("n") - F.expr("(4 * n + 4) div 5") + 1).cast("int")
+    pref = docs.select(
+        "doc_id",
+        "n",
+        F.explode(F.slice(F.col("toks"), F.lit(1), plen)).alias("tid"),
+    )
+    # size filter (SSJoin): a pair can only reach t when the smaller
+    # set has at least t x the larger set's tokens — join-time integer
+    # predicate, prunes cross-length candidates before dedup/verify
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "tid")
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (5 * F.col("a.n") >= 4 * F.col("b.n"))
+            & (5 * F.col("b.n") >= 4 * F.col("a.n"))
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    # verify is per-row compute (two set intersections per pair) on a
+    # BYTE-small row set — AQE's byte-based coalescing folds it into
+    # one partition and serializes the stage; re-widen explicitly
+    cand = cand.repartition(
+        spark.sparkContext.defaultParallelism, "id1", "id2"
+    )
+    da = docs.select(
+        F.col("doc_id").alias("id1"), F.col("toks").alias("ta"), F.col("n").alias("na")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("id2"), F.col("toks").alias("tb"), F.col("n").alias("nb")
+    )
+    # |A∪B| = |A| + |B| - |A∩B|: one sorted-int intersect per pair, no
+    # union array ever built — the verify stage is the hot loop here
+    pairs = (
+        cand.join(da, "id1")
+        .join(db, "id2")
+        .select(
+            "id1",
+            "id2",
+            "na",
+            "nb",
+            F.size(F.array_intersect("ta", "tb")).alias("i"),
+        )
+    )
+    j = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        pairs.withColumn("j", j)
+        .filter(F.col("j") >= 0.8)
+        .select("id1", "id2", F.round("j", 4).alias("jaccard"))
+    )
+
+
 INTRODUCED_ROUND["dedup_levenshtein_block"] = 5
+INTRODUCED_ROUND["dedup_prefix_filter_join"] = 5

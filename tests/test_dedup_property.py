@@ -111,3 +111,87 @@ def test_candidate_pairs_symmetric_and_deduped(spark, rng):
     )
     got = [(r["id1"], r["id2"]) for r in D.candidate_pairs(df, "doc_id").collect()]
     assert got == [(1, 2)]
+
+
+def test_prefix_filter_prunes_and_loses_nothing(spark):
+    """The prefix-filter join's two claims, checked independently of the
+    oracle: (1) NO FALSE NEGATIVES — its result equals the exhaustive
+    all-pairs bigram-Jaccard ≥ 0.8 result; (2) REAL PRUNING — the
+    prefix candidate set is a small fraction of all pairs (that is the
+    entire point of rarity-ordered prefixes vs joining on every
+    token)."""
+    import pyspark.sql.functions as F
+
+    from fletcher_spark.io import load_tables
+    from fletcher_spark.queries import registry
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    got = {
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in registry.QUERIES["dedup_prefix_filter_join"](spark, SF_DIR).collect()
+    }
+
+    d = load_tables(spark, SF_DIR)["documents"]
+    ws = F.split("text", " ")
+    grams = F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 1),
+        F.slice(ws, 2, F.size(ws) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    sets = d.select("doc_id", F.array_distinct(grams).alias("toks"))
+    a = sets.select(F.col("doc_id").alias("id1"), F.col("toks").alias("ta"))
+    b = sets.select(F.col("doc_id").alias("id2"), F.col("toks").alias("tb"))
+    exhaustive = (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("ta", "tb")).cast("double")
+            / F.size(F.array_union("ta", "tb")),
+        )
+        .filter(F.col("j") >= 0.8)
+        .select("id1", "id2", F.round("j", 4).alias("jaccard"))
+    )
+    want = {(r["id1"], r["id2"], r["jaccard"]) for r in exhaustive.collect()}
+    assert got == want, (
+        f"prefix filter must be lossless: missing={want - got} extra={got - want}"
+    )
+
+    # Pruning: count candidate pairs the prefix join generates.
+    tok = sets.select("doc_id", F.explode("toks").alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    docs = (
+        tok.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "token"))),
+                lambda s: s["token"],
+            ).alias("toks"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    plen = (F.col("n") - F.expr("(4 * n + 4) div 5") + 1).cast("int")
+    pref = docs.select(
+        "doc_id",
+        "n",
+        F.explode(F.slice(F.col("toks"), F.lit(1), plen)).alias("token"),
+    )
+    n_cand = (
+        pref.alias("x")
+        .join(pref.alias("y"), "token")
+        .filter(
+            (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (5 * F.col("x.n") >= 4 * F.col("y.n"))
+            & (5 * F.col("y.n") >= 4 * F.col("x.n"))
+        )
+        .select("x.doc_id", "y.doc_id")
+        .distinct()
+        .count()
+    )
+    n_docs = d.count()
+    all_pairs = n_docs * (n_docs - 1) // 2
+    assert n_cand < all_pairs * 0.2, (
+        f"prefix join generated {n_cand} of {all_pairs} pairs — not pruning"
+    )
