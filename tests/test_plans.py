@@ -324,3 +324,49 @@ def test_pagerank_iterations_broadcast_rank_vector(spark):
     again."""
     p = plan(spark, "pagerank_nation_trade")
     assert "BroadcastHashJoin" in p, p
+
+
+def test_cdc_merge_windows_only_the_log(spark):
+    """The CDC merge's row_number window must partition by the LOG key —
+    a window over the base snapshot would sort the 100 TB side.  The
+    plan carries exactly one Window, fed by the events subtree."""
+    p = plan(spark, "cdc_merge_upsert")
+    assert "FullOuter" in p, p
+    # WindowGroupLimit = Spark's rk=1 pushdown: each partition keeps only
+    # the per-key winner BEFORE the full window sort materializes
+    assert "WindowGroupLimit" in p, p
+    assert p.count("Window [") == 1, p
+
+
+def test_scd2_shares_one_user_exchange(spark):
+    """lag-compress + lead-interval + version all ride user-keyed
+    partitioning: at most the initial user hash Exchange (the second
+    window re-sorts within the same partitioning)."""
+    p = plan(spark, "scd2_type_history")
+    assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_ewma_is_arrow_grouped_map(spark):
+    """The EWMA recursion must be the Arrow grouped-map operator (one
+    key Exchange), never a row-wise Python eval."""
+    p = plan(spark, "events_ewma")
+    assert "FlatMapGroupsInPandas" in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_equidepth_single_partition_is_bounded(spark):
+    """histogram_equidepth deliberately funnels through one sorted
+    partition (exact ntile on a dimension table); the plan must show
+    the single-partition Exchange so the cost is visible, and the
+    documented scale path (approx cut points) is the swap."""
+    p = plan(spark, "histogram_equidepth")
+    assert "Exchange SinglePartition" in p, p
+
+
+def test_prefix_filter_join_rewidens_verify(spark):
+    """The candidate set is byte-small but CPU-heavy; the plan must
+    carry the explicit re-widening repartition between the distinct and
+    the verify joins (AQE byte-coalescing would serialize the
+    intersections otherwise)."""
+    p = plan(spark, "dedup_prefix_filter_join")
+    assert "REPARTITION_BY_NUM" in p, p
