@@ -12,7 +12,7 @@ data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fletcher_spark.io import load_tables
@@ -201,7 +201,133 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-for _n in ("profile_documents", "skew_report_lineitem", "pagerank_nation_trade"):
+def _labelprop_oracle(iters: int = 2) -> str:
+    """Unroll synchronous label propagation as SQL CTEs: undirected
+    trade edges with exact BIGINT weights, argmax-neighbor-label with
+    (weight desc, label asc) tiebreak, isolated nodes keep their
+    label."""
+    parts = [
+        """e AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*)::BIGINT AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY src, dst
+)""",
+        "sym AS (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e)",
+        "und AS (SELECT src, dst, sum(w) AS w FROM sym GROUP BY src, dst)",
+        "nodes AS (SELECT n_nationkey AS node FROM nation)",
+        "l0 AS (SELECT node, node AS lbl FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""s{k} AS (
+  SELECT und.src AS node, l{p}.lbl AS lbl, sum(und.w) AS wt
+  FROM und JOIN l{p} ON l{p}.node = und.dst
+  GROUP BY und.src, l{p}.lbl
+)"""
+        )
+        parts.append(
+            f"""l{k} AS (
+  SELECT nodes.node, coalesce(pick.lbl, prev.lbl) AS lbl
+  FROM nodes
+  JOIN l{p} prev ON prev.node = nodes.node
+  LEFT JOIN (
+    SELECT node, lbl FROM (
+      SELECT node, lbl,
+             row_number() OVER (PARTITION BY node ORDER BY wt DESC, lbl) AS rk
+      FROM s{k}) WHERE rk = 1) pick ON pick.node = nodes.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT l{iters}.node AS nationkey, n.n_name AS nation,
+       l{iters}.lbl AS community
+FROM l{iters} JOIN nation n ON n.n_nationkey = l{iters}.node
+"""
+    )
+
+
+@query("labelprop_nation_communities", oracle=_labelprop_oracle())
+def labelprop_nation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous label-propagation rounds over the UNDIRECTED
+    nation trade graph — community detection, the third iterative graph
+    algorithm after connected components and PageRank.  Each node
+    adopts the label carrying the largest total edge weight among its
+    neighbors (ties -> smallest label; isolated nodes keep their own).
+
+    Determinism across engines: edge weights are BIGINT trade counts
+    (exact — no float accumulation anywhere), and the argmax is a
+    (weight desc, label asc) row_number, so both engines pick identical
+    labels every round.  Scale shape matches PageRank's: facts shuffle
+    ONCE into the |nations|^2-bounded edge aggregate; each round is a
+    broadcast of the label vector (|nodes| rows, model-sized) against
+    the edge table plus one node-keyed aggregate — at billions of
+    edges swap the broadcast for a src-keyed shuffle join and the
+    rounds still never re-read the facts."""
+    t = load_tables(spark, sf_dir)
+    e = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    und = (
+        e.select("src", "dst", "w")
+        .unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    nodes = t["nation"].select(F.col("n_nationkey").alias("node"))
+    lbl = nodes.select("node", F.col("node").alias("lbl"))
+    wn = Window.partitionBy("node").orderBy(F.col("wt").desc(), F.col("lbl").asc())
+    for _ in range(2):
+        votes = (
+            und.join(
+                F.broadcast(lbl.select(F.col("node").alias("nb"), "lbl")),
+                F.col("nb") == F.col("dst"),
+            )
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.sum("w").alias("wt"))
+        )
+        pick = (
+            votes.select("node", "lbl", F.row_number().over(wn).alias("rk"))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+        lbl = (
+            lbl.select("node", F.col("lbl").alias("prev"))
+            .join(pick.select(F.col("node").alias("pn"), "lbl"),
+                  F.col("pn") == F.col("node"), "left")
+            .select("node", F.coalesce("lbl", "prev").alias("lbl"))
+        )
+    return (
+        lbl.join(t["nation"], F.col("node") == F.col("n_nationkey"))
+        .select(
+            F.col("node").alias("nationkey"),
+            F.col("n_name").alias("nation"),
+            F.col("lbl").alias("community"),
+        )
+    )
+
+
+for _n in (
+    "profile_documents",
+    "skew_report_lineitem",
+    "pagerank_nation_trade",
+    "labelprop_nation_communities",
+):
     INTRODUCED_ROUND[_n] = 5
 
 

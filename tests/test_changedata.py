@@ -128,3 +128,26 @@ def test_equidepth_deciles_balanced_and_ordered(spark):
     for a, b in zip(rows, rows[1:]):
         assert a["hi"] <= b["lo"], "decile value ranges must be ordered"
     assert sum(counts) == load_tables(spark, SF_DIR)["orders"].count()
+
+
+def test_ewma_segmented_matches_direct(spark):
+    """The associative segment reformulation must reproduce the direct
+    per-key fold (same recurrence, different grouping) to float
+    associativity."""
+    from fletcher_spark.queries.changedata import ewma_segmented
+
+    e = load_tables(spark, SF_DIR)["events"].select(
+        "user_id", "ts_us", "event_id", "value"
+    )
+    direct = {
+        r["user_id"]: r
+        for r in registry.QUERIES["events_ewma"](spark, SF_DIR).collect()
+    }
+    seg = {r["user_id"]: r for r in ewma_segmented(e, n_segments=8).collect()}
+    assert set(direct) == set(seg)
+    for uid in direct:
+        assert seg[uid]["n_events"] == direct[uid]["n_events"]
+        # direct rounds to 4dp; compare against the rounded value
+        assert round(seg[uid]["ewma_last"], 4) == pytest.approx(
+            direct[uid]["ewma_last"], abs=1e-4
+        )

@@ -1,0 +1,55 @@
+"""Compare two bench snapshots on their query overlap.
+
+Usage: python tools/bench_diff.py OLD.json NEW.json [ratio_threshold]
+
+Accepts either the driver's BENCH_r{N}.json (with a nested parsed line)
+or a raw BENCH.out line.  Prints total-overlap ratio and every query
+whose new/old ratio exceeds the threshold (default 1.5) in either
+direction — the same regression definition VERDICT reviews use.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _load(path: str) -> dict[str, float]:
+    with open(path) as f:
+        text = f.read().strip()
+    line = text.splitlines()[-1]
+    d = json.loads(line if line.startswith("{") else text)
+    # driver snapshot wraps the parsed line under "parsed"
+    if "queries" not in d and isinstance(d.get("parsed"), dict):
+        d = d["parsed"]
+    q = d.get("queries") or {}
+    # summary lines carry only the slowest; prefer queries_file if noted
+    return {k: float(v) for k, v in q.items()}
+
+
+def main() -> int:
+    old, new = _load(sys.argv[1]), _load(sys.argv[2])
+    thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    common = sorted(set(old) & set(new))
+    if not common:
+        print("no overlapping queries")
+        return 1
+    t_old, t_new = sum(old[k] for k in common), sum(new[k] for k in common)
+    print(
+        f"overlap: {len(common)} queries; old {t_old:.1f}s -> new {t_new:.1f}s "
+        f"({t_new / t_old:.2f}x)"
+    )
+    flagged = [
+        (new[k] / old[k], k, old[k], new[k])
+        for k in common
+        if old[k] > 0.05 and (new[k] / old[k] > thresh or old[k] / new[k] > thresh)
+    ]
+    for r, k, o, n in sorted(flagged, reverse=True):
+        print(f"  {r:5.2f}x  {k}: {o:.2f}s -> {n:.2f}s")
+    if not flagged:
+        print(f"  no per-query change beyond {thresh}x")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
