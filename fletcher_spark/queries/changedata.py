@@ -285,3 +285,70 @@ def ewma_segmented(
     return summaries.groupBy("user_id").applyInPandas(
         _ewma_merge_segments, "user_id long, n_events long, ewma_last double"
     )
+
+
+#: MV cutoff: everything before this is the "stored" aggregate, the
+#: rest is the day's append delta (events span 2024-01).
+_MV_CUT_US = 1_705_363_200_000_000  # 2024-01-16T00:00:00Z in epoch µs
+
+
+@query(
+    "mv_incremental_agg",
+    oracle="""
+SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+       round(max(value), 4)     AS max_value,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS avg_value
+FROM events GROUP BY user_id, event_type
+""",
+)
+def mv_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: refresh a stored
+    groupBy aggregate under appends by merging PARTIAL aggregates —
+    base (pre-cutoff, standing in for the stored MV) ⊕ delta
+    (post-cutoff append) — instead of re-scanning history.  Only
+    MERGEABLE aggregates are stored (count, sum, max); avg is derived
+    at read time from sum/count, never merged — the classic
+    decomposition every incremental-view engine uses.
+
+    The oracle is the FULL recompute over all events: passing means the
+    merge is exactly the partial+final split Spark itself performs
+    inside any hash aggregate, applied across time instead of across
+    partitions.  At 100 TB the base side is a stored table scanned at
+    |groups| size (not |events|), and the refresh cost is the delta's."""
+    e = load_tables(spark, sf_dir)["events"]
+
+    def _partial(df: DataFrame) -> DataFrame:
+        # DECIMAL sums: exact and association-free, so base ⊕ delta is
+        # bit-identical to the full recompute — float partials would
+        # drift in the last bits and flip a round() at the boundary
+        # (observed at sf0.01); this is the same money-math rule
+        # decimal_exact_money pins
+        return df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+            F.max("value").alias("mx"),
+        )
+
+    base = _partial(e.filter(F.col("ts_us") < _MV_CUT_US))
+    delta = _partial(e.filter(F.col("ts_us") >= _MV_CUT_US))
+    return (
+        base.unionAll(delta)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("s").cast("double"), 4).alias("sum_value"),
+            F.round(F.max("mx"), 4).alias("max_value"),
+            # avg at 6dp, not 4: the exact rational (2-decimal sum / n) can
+            # land on a .xxxx5 tie at 4dp, where Spark (shortest-string
+            # HALF_UP) and DuckDB (binary) round differently; at 6dp the
+            # value is exactly representable for every n ≤ corpus group
+            # size, so there is no tie to disagree on
+            F.round(F.sum("s").cast("double") / F.sum("n"), 6).alias("avg_value"),
+        )
+    )
+
+
+INTRODUCED_ROUND["mv_incremental_agg"] = 5

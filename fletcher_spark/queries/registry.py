@@ -79,4 +79,5 @@ def load_all() -> None:
         analytic,
         profiling,
         changedata,
+        governance,
     )
