@@ -60,6 +60,15 @@ class FrStr:
     def rfind(self, sub: str) -> Column:
         return S.rfind(self._c, sub)
 
+    def index(self, sub: str, start: int = 0) -> Column:
+        return S.index(self._c, sub, start)
+
+    def rindex(self, sub: str) -> Column:
+        return S.rindex(self._c, sub)
+
+    def utf8_size(self) -> Column:
+        return S.utf8_size(self._c)
+
     def len(self) -> Column:
         return S.length(self._c)
 

@@ -424,6 +424,31 @@ def rfind(col: Column | str, sub: str) -> Column:
     return F.when(rev_pos < 0, F.lit(-1)).otherwise(F.length(c) - F.lit(len(sub)) - rev_pos)
 
 
+def index(col: Column | str, sub: str, start: int = 0) -> Column:
+    """Python ``str.index`` semantics, SQL-adapted: like :func:`find`
+    but a MISSING substring yields NULL instead of raising — a row-wise
+    exception cannot abort a distributed job, so absence is encoded in
+    the result (documented deviation; reference pandas fallback raises,
+    /root/reference/tests/test_text.py test_index)."""
+    pos = find(col, sub, start)
+    return F.when(pos < 0, F.lit(None)).otherwise(pos)
+
+
+def rindex(col: Column | str, sub: str) -> Column:
+    """Python ``str.rindex`` with the same NULL-for-missing adaptation
+    as :func:`index` (reference test_text.py test_rindex)."""
+    pos = rfind(col, sub)
+    return F.when(pos < 0, F.lit(None)).otherwise(pos)
+
+
+def utf8_size(col: Column | str) -> Column:
+    """Byte length of the UTF-8 encoding — the reference's
+    ``utf8_size`` kernel (fletcher numba strings; test_text.py
+    test_utf8_size).  ``octet_length`` vs ``length``: bytes vs
+    codepoints."""
+    return F.octet_length(_c(col))
+
+
 # --------------------------------------------------------------------------
 # repeat / translate / split family  (tier: builtin)
 # --------------------------------------------------------------------------

@@ -352,3 +352,77 @@ def mv_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 INTRODUCED_ROUND["mv_incremental_agg"] = 5
+
+
+@query(
+    "temporal_state_join",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts)::BIGINT AS ts_us, event_id, value
+  FROM events),
+chg AS (
+  SELECT user_id, event_type, ts_us,
+         lag(event_type) OVER w AS prev_type
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+s AS (
+  SELECT user_id, event_type, ts_us AS valid_from_us
+  FROM chg WHERE prev_type IS NULL OR prev_type <> event_type),
+h AS (
+  SELECT user_id, event_type AS state_type, valid_from_us,
+         lead(valid_from_us) OVER w AS valid_to_us,
+         CAST(row_number() OVER w AS BIGINT) AS version
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_us))
+SELECT h.user_id, h.version, h.state_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS sum_value
+FROM e JOIN h
+  ON e.user_id = h.user_id
+ AND e.ts_us >= h.valid_from_us
+ AND (h.valid_to_us IS NULL OR e.ts_us < h.valid_to_us)
+GROUP BY h.user_id, h.version, h.state_type
+""",
+)
+def temporal_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (effective-dated) dimension join: attach to every fact
+    the SCD2 state version valid AT ITS EVENT TIME —
+    ``fact.ts ∈ [valid_from, valid_to)`` — then aggregate per version.
+    Because :func:`scd2_type_history`'s intervals tile each key's
+    timeline exactly, every fact matches exactly one version (asserted
+    in tests/test_changedata.py).
+
+    Join shape: an equi-join on the KEY carries the shuffle; the
+    interval predicate is evaluated inside the per-key join — never a
+    BroadcastNestedLoop over the corpus (plan-asserted).  Per-key
+    interval counts are bounded by that key's change count, so the
+    worst case is a hot key's events × its intervals — the same skew
+    surface as any fact-dimension join, handled by the same remedies
+    (salting on version ranges)."""
+    e = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "ts_us", "event_id", "value"
+    )
+    h = scd2_type_history(spark, sf_dir).select(
+        F.col("user_id").alias("h_user"),
+        F.col("event_type").alias("state_type"),
+        "valid_from_us",
+        "valid_to_us",
+        "version",
+    )
+    return (
+        e.join(
+            h,
+            (F.col("user_id") == F.col("h_user"))
+            & (F.col("ts_us") >= F.col("valid_from_us"))
+            & (F.col("valid_to_us").isNull() | (F.col("ts_us") < F.col("valid_to_us"))),
+        )
+        .groupBy("user_id", "version", "state_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+INTRODUCED_ROUND["temporal_state_join"] = 5

@@ -151,3 +151,23 @@ def test_ewma_segmented_matches_direct(spark):
         assert round(seg[uid]["ewma_last"], 4) == pytest.approx(
             direct[uid]["ewma_last"], abs=1e-4
         )
+
+
+def test_temporal_join_covers_every_event_once(spark):
+    """Interval tiling ⇒ the temporal join is a PARTITION of the fact
+    table: per-version counts sum to the event count exactly (no event
+    dropped, none double-matched)."""
+    out = registry.QUERIES["temporal_state_join"](spark, SF_DIR)
+    total = sum(r["n_events"] for r in out.collect())
+    assert total == load_tables(spark, SF_DIR)["events"].count()
+
+
+def test_temporal_join_no_nested_loop(spark):
+    plan = (
+        registry.QUERIES["temporal_state_join"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoop" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan

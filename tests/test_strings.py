@@ -297,3 +297,23 @@ def test_split_rsplit(sdf):
     check(sdf, S.rsplit("s", " ", 1), lambda s: s.rsplit(" ", 1))
     check(sdf, S.rsplit("s", "a", 2), lambda s: s.rsplit("a", 2))
     check(sdf, S.split("s", "b"), lambda s: s.split("b"))
+
+
+def test_index_rindex_null_for_missing(spark):
+    """str.index/rindex SQL adaptation: position when present, NULL when
+    absent (a distributed job cannot raise row-wise; reference raises —
+    documented deviation).  utf8_size counts BYTES, not codepoints."""
+    from fletcher_spark.operators import strings as S
+
+    df = spark.createDataFrame(
+        [("abcabc",), ("xyz",), ("café",)], "s string"
+    )
+    rows = df.select(
+        S.index("s", "bc").alias("i"),
+        S.rindex("s", "bc").alias("ri"),
+        S.utf8_size("s").alias("b"),
+        F.length("s").alias("cp"),
+    ).collect()
+    assert (rows[0]["i"], rows[0]["ri"]) == (1, 4)
+    assert rows[1]["i"] is None and rows[1]["ri"] is None
+    assert rows[2]["b"] == 5 and rows[2]["cp"] == 4  # é is 2 bytes
