@@ -1,8 +1,8 @@
 """Change-data-capture / slowly-changing-dimension / recursive-state
 queries (registered round 5).
 
-Three warehouse-maintenance shapes a 100 TB training-data platform
-needs around its corpus tables, none expressible as a single built-in
+The warehouse-maintenance shapes a 100 TB training-data platform needs
+around its corpus tables, none expressible as a single built-in
 operator:
 
 * ``cdc_merge_upsert`` — MERGE a change log into a base snapshot
@@ -10,11 +10,18 @@ operator:
   alternative to rewriting the full table per ingest.
 * ``scd2_type_history`` — type-2 effective-dated history (valid-from /
   valid-to intervals + is_current) built from an event stream.
+* ``temporal_state_join`` — facts joined to the SCD2 interval valid at
+  their event time (the effective-dated dimension join).
+* ``mv_incremental_agg`` — materialized-view refresh by merging
+  mergeable partial aggregates (base ⊕ delta) instead of re-scanning
+  history; sums are DECIMAL so the merge is bit-identical to a full
+  recompute.
 * ``events_ewma`` — exponentially-weighted moving average per key: a
   genuinely recursive per-group fold (each output depends on the
   previous), done as Arrow-batched ``applyInPandas`` because no
   Catalyst window frame expresses recursion without overflow-prone
-  closed forms.
+  closed forms.  ``ewma_segmented`` is its hot-key-parallel
+  reformulation (associative segment summaries).
 
 Reference parity: fletcher itself stops at column compute; these cover
 the surrounding table-maintenance operations its users run upstream

@@ -119,3 +119,61 @@ from fletcher_spark.queries.registry import INTRODUCED_ROUND as _IR  # noqa: E40
 
 _IR["io_jsonl_roundtrip"] = 4
 _IR["io_csv_roundtrip"] = 4
+
+
+@query(
+    "dataset_checksum",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag,
+         ('0x' || substr(md5(
+            CAST(l_orderkey AS VARCHAR) || '|' ||
+            CAST(l_linenumber AS VARCHAR) || '|' ||
+            CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '|' ||
+            l_returnflag || '|' ||
+            CAST(CAST(l_shipdate AS DATE) AS VARCHAR)
+         ), 1, 14))::BIGINT AS h
+  FROM lineitem)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT)            AS n_rows,
+       bit_xor(h)                          AS xor_check,
+       CAST(sum(h % 2147483647) AS BIGINT) AS sum_check
+FROM r GROUP BY l_returnflag
+""",
+)
+def dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum per partition group — how a
+    100 TB copy/migration is verified WITHOUT sorting either side: xor
+    and modular-sum of per-row md5-derived 56-bit hashes are invariant
+    under row order and partitioning, so source and replica compare by
+    |groups| tiny rows.  xor alone cancels duplicated row PAIRS; the
+    modular sum (and count) close that hole — a row duplicated twice
+    shifts sum_check and n_rows even when xor_check survives.
+
+    Map-only hash + one hash-aggregate; identical md5 bits in both
+    engines (the repo's standard cross-engine hash family).  The row
+    canonicalization sticks to integer/string/date columns — float
+    formatting differs across engines and belongs in a decimal cast if
+    it must be covered."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    repr_ = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast("long").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_shipdate").cast("date").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(repr_), 1, 14), 16, 10).cast("long")
+    return (
+        li.select("l_returnflag", h.alias("h"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("xor_check"),
+            F.sum(F.col("h") % 2147483647).alias("sum_check"),
+        )
+    )
+
+
+_IR["dataset_checksum"] = 5

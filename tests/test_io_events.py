@@ -96,3 +96,57 @@ def test_write_training_shards_deterministic(spark, tmp_path):
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     want = sorted(r["doc_id"] for r in docs.collect())
     assert got == want
+
+
+def test_dataset_checksum_order_invariant_and_mutation_sensitive(spark, tmp_path):
+    """The checksum's two claims: identical content in ANY partitioning
+    / row order produces identical (n_rows, xor, sum) per group; a
+    single mutated row changes the checksum while preserving counts."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from fletcher_spark.io import load_tables
+    from fletcher_spark.queries import registry
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+
+    def _sfdir_with_lineitem(df, name):
+        d = str(tmp_path / name)
+        os.makedirs(d, exist_ok=True)
+        df.write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        for t in (
+            "region nation customer supplier part orders events documents embeddings"
+        ).split():
+            os.symlink(
+                os.path.join(SF_DIR, f"{t}.parquet"), os.path.join(d, f"{t}.parquet")
+            )
+        return d
+
+    def _check(sf_dir):
+        return {
+            r["l_returnflag"]: (r["n_rows"], r["xor_check"], r["sum_check"])
+            for r in registry.QUERIES["dataset_checksum"](spark, sf_dir).collect()
+        }
+
+    base = _check(SF_DIR)
+    li = load_tables(spark, SF_DIR)["lineitem"]
+
+    # same rows, totally different physical layout and order
+    shuffled = _sfdir_with_lineitem(
+        li.repartition(7, "l_partkey").sortWithinPartitions("l_suppkey"), "shuf"
+    )
+    assert _check(shuffled) == base, "checksum must be layout-invariant"
+
+    # mutate exactly one existing row's quantity
+    k = li.select(F.min("l_orderkey")).collect()[0][0]
+    mutated = li.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") == k, F.col("l_quantity") + 1).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    mut = _check(_sfdir_with_lineitem(mutated, "mut"))
+    assert mut != base, "a mutated row must change the checksum"
+    assert sum(v[0] for v in mut.values()) == sum(v[0] for v in base.values())
