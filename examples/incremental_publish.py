@@ -65,8 +65,16 @@ def main() -> None:
         )
     )
     n_base, n_merged = base.count(), merged.count()
+    n_tombstoned = (
+        last.filter(F.col("event_type") == "error")
+        .join(base, last.user_id == base.c_custkey, "left_semi")
+        .count()
+    )
+    n_new_keys = last.join(
+        base, last.user_id == base.c_custkey, "left_anti"
+    ).filter(F.col("event_type") != "error").count()
     print(f"merge: base {n_base} rows -> published {n_merged} "
-          f"({n_base - n_merged} tombstoned)")
+          f"({n_tombstoned} tombstoned, {n_new_keys} new keys)")
 
     # 2. Z-order the published snapshot by (nationkey, acctbal) so scans
     #    filtering on either column prune files via min/max stats.
@@ -93,7 +101,8 @@ def main() -> None:
         .collect()[0]
     )
     print(f"audit: {diff['kept']}/{diff['base_keys']} base keys present "
-          f"(difference = tombstones), published total {pub.count()}")
+          f"(missing = tombstoned), published total {pub.count()}")
+    assert diff["base_keys"] - diff["kept"] == n_tombstoned
     spark.stop()
 
 

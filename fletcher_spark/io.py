@@ -184,14 +184,22 @@ def zorder_value(df: DataFrame, col_a: str, col_b: str, bits: int = 8) -> Column
             F.max(col_b).cast("double"),
         ).collect()[0]
     )
+    if lo_a is None or lo_b is None:
+        # empty input or an all-NULL cluster column: no meaningful
+        # ordering exists; a constant key keeps the write valid
+        return F.lit(0).cast("long")
 
     def _grid(c: str, lo: float, hi: float) -> Column:
         span = (hi - lo) or 1.0
         scaled = (F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
-        return F.least(
-            F.lit((1 << bits) - 1),
+        # NULL values cluster at grid cell 0 — the coalesce must run
+        # BEFORE least(), which skips NULL operands and would otherwise
+        # send NULL rows silently into the top corner
+        cell = F.coalesce(
             F.floor(scaled * ((1 << bits) - 1) + 0.5).cast("long"),
+            F.lit(0).cast("long"),
         )
+        return F.least(F.lit((1 << bits) - 1).cast("long"), cell)
 
     ga, gb = _grid(col_a, lo_a, hi_a), _grid(col_b, lo_b, hi_b)
     one = F.lit(1).cast("long")

@@ -276,14 +276,34 @@ def ewma_segmented(
     10^9/S per task instead of one serial 10^9-row task; the merge is
     model-sized.
 
+    Segment assignment is an integer TIME-RANGE bucket computed from a
+    per-key (min, max) hash aggregate joined back — deliberately NOT an
+    ntile window, which would sort the whole hot key in one task and
+    reintroduce the serial bottleneck this function removes.  Ties in
+    ts_us land in the same bucket, so (seg, ts_us, event_id) order
+    equals the global (ts_us, event_id) order.  Segments are
+    time-balanced, not count-balanced — acceptable for the parallelism
+    goal; swap in approx-quantile boundaries for heavy burst skew.
+
     Exactness: segment folds perform the same multiply-adds in the same
     order; only the regrouping differs, so results match the direct
     fold to float associativity (~1e-12 relative — asserted in
     tests/test_changedata.py).  Expects columns
     (user_id, ts_us, event_id, value)."""
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    seg = df.select(
-        "user_id", "ts_us", "event_id", "value", F.ntile(n_segments).over(w).alias("seg")
+    rng = df.groupBy("user_id").agg(
+        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
+    )
+    seg = (
+        df.join(rng, "user_id")
+        .select(
+            "user_id",
+            "ts_us",
+            "event_id",
+            "value",
+            F.expr(
+                f"CAST(((ts_us - lo) * {int(n_segments)}) DIV (hi - lo + 1) AS INT)"
+            ).alias("seg"),
+        )
     )
     summaries = seg.groupBy("user_id", "seg").applyInPandas(
         _ewma_segment_summary,

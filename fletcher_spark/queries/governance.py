@@ -69,7 +69,7 @@ WITH q AS (
 )
 SELECT CAST(min(grp) AS BIGINT)                         AS min_group,
        CAST(count(*) FILTER (WHERE grp < 5) AS BIGINT)  AS groups_below_k,
-       CAST(sum(grp) FILTER (WHERE grp < 5) AS BIGINT)  AS rows_below_k,
+       COALESCE(CAST(sum(grp) FILTER (WHERE grp < 5) AS BIGINT), 0) AS rows_below_k,
        CAST(count(*) AS BIGINT)                         AS n_groups,
        CAST(sum(grp) AS BIGINT)                         AS n_rows
 FROM q

@@ -119,3 +119,23 @@ def test_zorder_roundtrip_preserves_rows(spark, layouts):
     a = df.agg(F.sum("o_totalprice")).collect()[0][0]
     b = back.agg(F.sum("o_totalprice")).collect()[0][0]
     assert a == pytest.approx(b)
+
+
+def test_zorder_empty_and_null_inputs(spark, tmp_path):
+    """An empty delta snapshot must write (not crash), and NULL cluster
+    values must land in grid cell 0, not the top corner."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame([], "a int, b int, x string")
+    p = os.path.join(str(tmp_path), "empty")
+    write_zordered(empty, p, "a", "b", n_files=2)
+    assert spark.read.parquet(p).count() == 0
+
+    withnull = spark.createDataFrame(
+        [(None, 3, "n"), (0, 0, "lo"), (3, 3, "hi")], "a int, b int, x string"
+    )
+    z = withnull.withColumn("z", zorder_value(withnull, "a", "b", bits=2)).collect()
+    byx = {r["x"]: r["z"] for r in z}
+    assert byx["n"] < byx["hi"], "NULL row must not cluster into the max corner"

@@ -42,7 +42,7 @@ def main() -> int:
     flagged = [
         (new[k] / old[k], k, old[k], new[k])
         for k in common
-        if old[k] > 0.05 and (new[k] / old[k] > thresh or old[k] / new[k] > thresh)
+        if old[k] > 0.05 and new[k] > 0 and (new[k] / old[k] > thresh or old[k] / new[k] > thresh)
     ]
     for r, k, o, n in sorted(flagged, reverse=True):
         print(f"  {r:5.2f}x  {k}: {o:.2f}s -> {n:.2f}s")
