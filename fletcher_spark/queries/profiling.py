@@ -322,11 +322,81 @@ def labelprop_nation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_cooccurrence_lift",
+    oracle="""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT count(DISTINCT user_id) AS n FROM events),
+s AS (SELECT event_type, count(*) AS c FROM ut GROUP BY event_type),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_co
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY type_a, type_b)
+SELECT p.type_a, p.type_b, CAST(p.n_co AS BIGINT) AS n_co,
+       round(p.n_co::DOUBLE / nu.n, 4) AS support,
+       round((p.n_co::DOUBLE * nu.n) / (sa.c * sb.c), 4) AS lift
+FROM p
+JOIN s sa ON sa.event_type = p.type_a
+JOIN s sb ON sb.event_type = p.type_b, nu
+""",
+)
+def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for every unordered pair of event
+    types, the number of users exhibiting both, the pair's support, and
+    its LIFT (P(ab)/(P(a)P(b)) — >1 means the behaviors attract, <1
+    they repel).  The set-based counterpart of the SEQUENTIAL
+    transition matrix (events_transition_matrix): order within the
+    user's history is deliberately ignored.
+
+    Scale shape: the corpus collapses to the distinct (user, type)
+    pairs FIRST (hash-agg, bounded by |users|x|types|), the pair join
+    runs on that reduced table keyed by user, and the singles table +
+    user count are |types|-sized broadcasts.  Lift's inputs are all
+    exact integers, so the derived doubles are bit-identical across
+    engines."""
+    e = load_tables(spark, sf_dir)["events"]
+    ut = e.select("user_id", "event_type").distinct()
+    singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    n_users = ut.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pairs = (
+        ut.alias("a")
+        .join(ut.alias("b"), "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_co").cast("long").alias("n_co"),
+            F.round(F.col("n_co").cast("double") / F.col("n"), 4).alias("support"),
+            F.round(
+                (F.col("n_co").cast("double") * F.col("n"))
+                / (F.col("ca") * F.col("cb")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
 for _n in (
     "profile_documents",
     "skew_report_lineitem",
     "pagerank_nation_trade",
     "labelprop_nation_communities",
+    "events_cooccurrence_lift",
 ):
     INTRODUCED_ROUND[_n] = 5
 
