@@ -517,3 +517,52 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     # 1 once (both duplicates dropped), 3 and 4 once, 2 TWICE (evicted
     # state allows the post-expiry re-arrival through)
     assert ids == [1, 2, 2, 3, 4], ids
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    """Stream-STATIC join: a streaming fact source enriched against a
+    static dimension (the standard lookup-join in an ingest job; the
+    static side is re-resolvable per micro-batch, no state store).
+    Result must equal the identical batch join."""
+    import pyspark.sql.functions as F
+
+    from fletcher_spark.io import load_tables
+    from tests.conftest import SF_DIR
+
+    t = load_tables(spark, SF_DIR)
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    batch = (
+        t["events"]
+        .join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {r["c_mktsegment"]: r["n"] for r in batch.collect()}
+
+    from fletcher_spark.sources.stream import stream_events
+
+    stream = (
+        stream_events(spark, SF_DIR)
+        .join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_static")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = {
+            r["c_mktsegment"]: r["n"]
+            for r in spark.sql("SELECT * FROM stream_static").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want
