@@ -201,3 +201,119 @@ def resize_images(
             )
 
     return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+# -- real header parsing (no image libraries) -----------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_dimensions(bin_col: Column | str) -> tuple[Column, Column]:
+    """(width, height) from a PNG payload, parsed JVM-SIDE: the IHDR
+    chunk is at a FIXED offset (8-byte signature + 4-byte length +
+    'IHDR'), so width/height are big-endian u32 at bytes 17-20 / 21-24
+    — extracted with substring + hex + conv inside codegen, no Python
+    and no decode.  NULL for non-PNG payloads."""
+    c = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    is_png = F.substring(c, 1, 8) == F.lit(_PNG_SIG)
+
+    def be32(pos: int) -> Column:
+        return F.conv(F.hex(F.substring(c, pos, 4)), 16, 10).cast("int")
+
+    return (
+        F.when(is_png, be32(17)).alias("width"),
+        F.when(is_png, be32(21)).alias("height"),
+    )
+
+
+def gif_dimensions(bin_col: Column | str) -> tuple[Column, Column]:
+    """(width, height) from a GIF payload: little-endian u16 at bytes
+    7-8 / 9-10 after the 'GIF87a'/'GIF89a' signature.  JVM-side."""
+    c = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    is_gif = F.substring(c, 1, 3) == F.lit(b"GIF")
+
+    def le16(pos: int) -> Column:
+        lo = F.conv(F.hex(F.substring(c, pos, 1)), 16, 10).cast("int")
+        hi = F.conv(F.hex(F.substring(c, pos + 1, 1)), 16, 10).cast("int")
+        return lo + hi * 256
+
+    return (
+        F.when(is_gif, le16(7)).alias("width"),
+        F.when(is_gif, le16(9)).alias("height"),
+    )
+
+
+def _jpeg_dims_py(payload: bytes) -> tuple[int | None, int | None]:
+    """Scan JPEG segments for the first SOF marker (C0-CF except
+    C4/C8/CC); dimensions are big-endian u16 at +5/+3 into the segment.
+    Variable-length segment chain → not a fixed offset, hence the
+    Python tier."""
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None, None
+    i = 2
+    n = len(payload)
+    while i + 4 <= n and payload[i] == 0xFF:
+        marker = payload[i + 1]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 <= n:
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return w, h
+            return None, None
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            return None, None
+        i += 2 + seg_len
+    return None, None
+
+
+def image_dimensions(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """Per-payload (format, width, height) with the repo's tier policy
+    applied to binary parsing: PNG and GIF dimensions sit at fixed
+    offsets → pure codegen expressions; JPEG needs a segment scan →
+    Arrow-batched ``mapInPandas``, applied ONLY to rows the cheap
+    JVM magic-byte check routes there.  Unknown formats yield NULLs.
+    """
+    pw, ph = png_dimensions(bin_col)
+    gw, gh = gif_dimensions(bin_col)
+    c = F.col(bin_col)
+    fmt = (
+        F.when(F.substring(c, 1, 8) == F.lit(_PNG_SIG), F.lit("png"))
+        .when(F.substring(c, 1, 3) == F.lit(b"GIF"), F.lit("gif"))
+        .when(F.substring(c, 1, 2) == F.lit(b"\xff\xd8"), F.lit("jpeg"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    base = df.select(
+        id_col, bin_col, fmt.alias("format"), pw.alias("w0"), ph.alias("h0"),
+        gw.alias("gw"), gh.alias("gh"),
+    )
+
+    out_schema = f"{id_col} long, format string, width int, height int"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            w, h = [], []
+            for fmt_v, payload, w0, h0, gw_, gh_ in zip(
+                pdf["format"], pdf[bin_col], pdf["w0"], pdf["h0"], pdf["gw"], pdf["gh"]
+            ):
+                if fmt_v == "jpeg":
+                    jw, jh = _jpeg_dims_py(bytes(payload))
+                    w.append(jw), h.append(jh)
+                elif fmt_v == "png":
+                    w.append(w0), h.append(h0)
+                elif fmt_v == "gif":
+                    w.append(gw_), h.append(gh_)
+                else:
+                    w.append(None), h.append(None)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": pdf["format"],
+                    "width": pd.array(w, dtype="Int32"),
+                    "height": pd.array(h, dtype="Int32"),
+                }
+            )
+
+    return base.mapInPandas(batches, out_schema)

@@ -453,3 +453,63 @@ def temporal_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 INTRODUCED_ROUND["temporal_state_join"] = 5
+
+
+@query(
+    "events_rfm_segments",
+    oracle="""
+WITH m AS (
+  SELECT user_id,
+         max(epoch_us(ts))::BIGINT AS recency_us,
+         count(*)::BIGINT AS frequency,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+  FROM events GROUP BY user_id),
+s AS (
+  SELECT user_id,
+         CAST(ntile(5) OVER (ORDER BY recency_us, user_id) AS BIGINT) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY frequency, user_id)  AS BIGINT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY monetary, user_id)   AS BIGINT) AS m_score
+  FROM m)
+SELECT user_id, r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'new_or_returning'
+            ELSE 'core' END AS segment
+FROM s
+""",
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic composite: per-key aggregate
+    (Recency = last activity, Frequency = event count, Monetary =
+    decimal-exact value sum) → per-metric quintile scores → rule-based
+    segment labels.  The monetary sum is DECIMAL so the quantile
+    ORDERING can never disagree across engines on float summation
+    noise; every ntile gets a user_id tiebreak.
+
+    The three ntiles are global sorts over the per-key AGGREGATE (one
+    row per user — dimension-sized, not corpus-sized); at a corpus
+    where even the aggregate is huge, swap ntile for approx_percentile
+    cut points + a map-side bucket assignment, the same trade
+    histogram_equidepth documents."""
+    e = load_tables(spark, sf_dir)["events"]
+    m = e.groupBy("user_id").agg(
+        F.max("ts_us").alias("recency_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("monetary"),
+    )
+    s = m.select(
+        "user_id",
+        F.ntile(5).over(Window.orderBy("recency_us", "user_id")).cast("long").alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "user_id")).cast("long").alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "user_id")).cast("long").alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4), "champion")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk_loyal")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new_or_returning")
+        .otherwise("core")
+    )
+    return s.select("user_id", "r_score", "f_score", "m_score", seg.alias("segment"))
+
+
+INTRODUCED_ROUND["events_rfm_segments"] = 5

@@ -123,3 +123,62 @@ def test_resize_composes_with_decode(payloads):
         assert (r["width"], r["height"]) == (64, 64)
         assert abs(r["scale"] - round(min(64 / d["width"], 64 / d["height"]), 6)) < 1e-9
         assert r["feat"] == d["feat"]
+
+
+def test_image_dimensions_real_headers(spark):
+    """REAL byte-level parsing, no image libraries: hand-constructed
+    valid PNG / GIF / JPEG headers with known dimensions must parse
+    exactly; junk bytes yield NULLs.  PNG and GIF stay JVM-side
+    (asserted via the pure-column helpers), JPEG goes through the
+    Arrow batch scan."""
+    import struct
+    import zlib
+
+    from fletcher_spark.pipeline.multimodal import (
+        image_dimensions,
+        png_dimensions,
+    )
+
+    def png_bytes(w, h):
+        ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
+        chunk = b"IHDR" + ihdr
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr))
+            + chunk
+            + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+        )
+
+    def gif_bytes(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+    def jpeg_bytes(w, h):
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(
+            ">HH", h, w
+        ) + b"\x01\x11\x00"
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+    rows = [
+        (1, bytearray(png_bytes(640, 480))),
+        (2, bytearray(gif_bytes(320, 200))),
+        (3, bytearray(jpeg_bytes(1024, 768))),
+        (4, bytearray(b"not an image at all, just bytes")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["format"], r["width"], r["height"])
+        for r in image_dimensions(df).collect()
+    }
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("gif", 320, 200)
+    assert got[3] == ("jpeg", 1024, 768)
+    assert got[4] == (None, None, None)
+
+    # the PNG path alone is pure column expressions (no Python in plan)
+    pw, ph = png_dimensions("payload")
+    png_only = df.select("doc_id", pw, ph)
+    plan = png_only._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+    r = {x["doc_id"]: (x["width"], x["height"]) for x in png_only.collect()}
+    assert r[1] == (640, 480)
