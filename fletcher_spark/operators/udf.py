@@ -272,8 +272,13 @@ def cogroup_order_stats(orders, lineitem):
             {"o_orderkey": [key[0]], "n_items": [n], "price_gap": [gap]}
         )
 
+    # explicit key repartitions: the cogroup's own Exchanges get
+    # AQE-coalesced by BYTES into single tasks for what is a CPU-bound
+    # per-group Python stage (same fix as queries/changedata.events_ewma)
+    n = orders.sparkSession.sparkContext.defaultParallelism
     return (
-        orders.groupBy("o_orderkey")
-        .cogroup(lineitem.groupBy("l_orderkey"))
+        orders.repartition(n, "o_orderkey")
+        .groupBy("o_orderkey")
+        .cogroup(lineitem.repartition(n, "l_orderkey").groupBy("l_orderkey"))
         .applyInPandas(stats, "o_orderkey long, n_items long, price_gap double")
     )
