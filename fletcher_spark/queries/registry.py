@@ -80,4 +80,5 @@ def load_all() -> None:
         profiling,
         changedata,
         governance,
+        search,
     )

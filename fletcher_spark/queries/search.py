@@ -1,0 +1,148 @@
+"""Lexical retrieval queries (registered round 5): positional phrase
+matching and BM25 ranking — the search-engine pillar next to the
+similarity stack's ANN (vector) retrieval.
+
+Both run index-STYLE algorithms on the fly (positional join, posting
+aggregation); the docstrings note where the precomputed table goes at
+100 TB.  All scores derive from exact integer counts, so the doubles
+are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fletcher_spark.io import load_tables, spread
+from fletcher_spark.queries.registry import INTRODUCED_ROUND, query
+
+#: demo phrase + ranked query over the corpus vocabulary
+_PHRASE = ("hash", "join")
+_QUERY_TERMS = ("hash", "join", "vector")
+_K1, _B = 1.2, 0.75
+
+
+@query(
+    "search_phrase_positional",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(range(1, len(ws)),
+                i -> ws[i] = '{_PHRASE[0]}' AND ws[i + 1] = '{_PHRASE[1]}'))
+            AS BIGINT) AS n_hits
+FROM w
+WHERE len(list_filter(range(1, len(ws)),
+          i -> ws[i] = '{_PHRASE[0]}' AND ws[i + 1] = '{_PHRASE[1]}')) > 0
+""",
+)
+def search_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase matching via a POSITIONAL index: explode each doc
+    to (doc_id, position, token) postings, self-join position p with
+    p+1 on the two phrase terms, count hits per doc.  This is how an
+    inverted index with positions answers phrase queries — and unlike
+    substring counting it is correct for self-overlapping phrase chains
+    ("hash join hash join" = 2 hits; non-overlapping substring search
+    of ' hash join ' finds 1, because the trailing delimiter of one
+    match is the leading delimiter of the next).  The oracle states the
+    same semantics as a per-document array scan — a deliberately
+    different algorithm.
+
+    Scale shape: the postings explode is map-only and pre-FILTERED to
+    the two phrase terms before the position join, so the join input is
+    |postings-of-terms|, not |corpus tokens|; at 100 TB the postings
+    table is the precomputed artifact (bucketed by term) and this query
+    reads two postings lists."""
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    post = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).filter(F.col("tok").isin(*_PHRASE))
+    a = post.filter(F.col("tok") == _PHRASE[0]).select("doc_id", F.col("pos").alias("pa"))
+    b = post.filter(F.col("tok") == _PHRASE[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, (a.doc_id == b.doc_b) & (b.pb == a.pa + 1))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+    return f"""
+WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+dl AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM w),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, u.t AS term, count(*)::BIGINT AS tf
+  FROM w, unnest(ws) AS u(t)
+  WHERE u.t IN ({terms})
+  GROUP BY doc_id, u.t),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * ({_K1} + 1))
+             / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / stats.avgdl)))
+           AS score
+  FROM tf
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id, stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS bm25
+FROM sc ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+@query("search_bm25_topk", oracle=_bm25_oracle())
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a 3-term query — the standard lexical ranking
+    (idf = ln(1 + (N - df + ½)/(df + ½)), tf saturation k1 = 1.2,
+    length normalization b = 0.75).  Every input (tf, df, dl, N) is an
+    exact integer and avgdl an exact-integer ratio, so the score
+    doubles agree across engines bit for bit.
+
+    Scale shape: term-filtered postings (tf) + a |terms|-row df table
+    and a 1-row corpus stat, both broadcast; per-doc score is one
+    hash-agg over ≤|terms| rows per doc and the top-10 is
+    TakeOrderedAndProject.  At 100 TB tf/df/dl are the precomputed
+    index tables (the same artifacts tfidf_doc_topk builds) and the
+    query never touches raw text."""
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    w = d.select("doc_id", ws.alias("ws"))
+    dl = w.select("doc_id", F.size("ws").cast("long").alias("dl")).persist()
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        w.select("doc_id", F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (_K1 + 1))
+                / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+            ).alias("c"),
+        )
+    )
+    sc = contrib.groupBy("doc_id").agg(F.sum("c").alias("score"))
+    return (
+        sc.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", F.round("score", 4).alias("bm25"))
+    )
+
+
+for _n in ("search_phrase_positional", "search_bm25_topk"):
+    INTRODUCED_ROUND[_n] = 5

@@ -1,0 +1,83 @@
+"""Lexical-retrieval semantics: the positional phrase matcher counts
+self-overlapping chains correctly, and BM25 ranks a higher-tf doc above
+a lower-tf doc of equal length.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from fletcher_spark.queries import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def test_phrase_counts_overlapping_chains(spark):
+    """'hash join hash join' contains the phrase TWICE positionally;
+    non-overlapping substring counting of ' hash join ' would find one.
+    Replayed through the same positional-join shape the registered
+    query uses (via a planted frame)."""
+    from fletcher_spark.queries.search import _PHRASE
+
+    rows = [
+        (1, "hash join hash join"),
+        (2, "hash join end"),
+        (3, "join hash"),
+        (4, "nothing here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    post = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).filter(F.col("tok").isin(*_PHRASE))
+    a = post.filter(F.col("tok") == _PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = post.filter(F.col("tok") == _PHRASE[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in a.join(b, (a.doc_id == b.doc_b) & (b.pb == a.pa + 1))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {1: 2, 2: 1}
+
+
+def test_bm25_orders_by_tf_at_equal_length(spark):
+    rows = registry.QUERIES["search_bm25_topk"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_phrase_query_matches_naive_scan(spark):
+    """Registered query result == per-document array scan computed
+    independently in Spark (the oracle's algorithm, run on the engine
+    under test)."""
+    from fletcher_spark.io import load_tables
+    from fletcher_spark.queries.search import _PHRASE
+
+    got = {
+        (r["doc_id"], r["n_hits"])
+        for r in registry.QUERIES["search_phrase_positional"](
+            spark, SF_DIR
+        ).collect()
+    }
+    d = load_tables(spark, SF_DIR)["documents"]
+    ws = F.split("text", " ")
+    hits = F.size(
+        F.filter(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: (F.element_at(ws, i + 1) == _PHRASE[0])
+            & (F.element_at(ws, i + 2) == _PHRASE[1]),
+        )
+    )
+    want = {
+        (r["doc_id"], r["n"])
+        for r in d.select("doc_id", hits.alias("n")).filter(F.col("n") > 0).collect()
+    }
+    assert got == want
