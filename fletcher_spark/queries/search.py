@@ -95,27 +95,14 @@ FROM sc ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
-@query("search_bm25_topk", oracle=_bm25_oracle())
-def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-10 for a 3-term query — the standard lexical ranking
-    (idf = ln(1 + (N - df + ½)/(df + ½)), tf saturation k1 = 1.2,
-    length normalization b = 0.75).  Every input (tf, df, dl, N) is an
-    exact integer and avgdl an exact-integer ratio, so the score
-    doubles agree across engines bit for bit.
-
-    Scale shape: term-filtered postings (tf) + a |terms|-row df table
-    and a 1-row corpus stat, both broadcast; per-doc score is one
-    hash-agg over ≤|terms| rows per doc and the top-10 is
-    TakeOrderedAndProject.  At 100 TB tf/df/dl are the precomputed
-    index tables (the same artifacts tfidf_doc_topk builds) and the
-    query never touches raw text."""
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) BM25 table for _QUERY_TERMS — shared by the
+    top-k query and the hybrid RRF fusion."""
     d = spread(load_tables(spark, sf_dir)["documents"])
     ws = F.filter(F.split("text", " "), lambda x: x != "")
     w = d.select("doc_id", ws.alias("ws"))
     dl = w.select("doc_id", F.size("ws").cast("long").alias("dl")).persist()
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    )
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
     tf = (
         w.select("doc_id", F.explode("ws").alias("term"))
         .filter(F.col("term").isin(*_QUERY_TERMS))
@@ -136,7 +123,24 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c"),
         )
     )
-    sc = contrib.groupBy("doc_id").agg(F.sum("c").alias("score"))
+    return contrib.groupBy("doc_id").agg(F.sum("c").alias("score"))
+
+
+@query("search_bm25_topk", oracle=_bm25_oracle())
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a 3-term query — the standard lexical ranking
+    (idf = ln(1 + (N - df + ½)/(df + ½)), tf saturation k1 = 1.2,
+    length normalization b = 0.75).  Every input (tf, df, dl, N) is an
+    exact integer and avgdl an exact-integer ratio, so the score
+    doubles agree across engines bit for bit.
+
+    Scale shape: term-filtered postings (tf) + a |terms|-row df table
+    and a 1-row corpus stat, both broadcast; per-doc score is one
+    hash-agg over ≤|terms| rows per doc and the top-10 is
+    TakeOrderedAndProject.  At 100 TB tf/df/dl are the precomputed
+    index tables (the same artifacts tfidf_doc_topk builds) and the
+    query never touches raw text."""
+    sc = _bm25_scores(spark, sf_dir)
     return (
         sc.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(10)
@@ -144,5 +148,126 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-for _n in ("search_phrase_positional", "search_bm25_topk"):
+_RRF_K, _LEG_TOPK = 60, 20
+
+
+def _hybrid_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+    dot = ("list_reduce(list_transform(range(1, 65), "
+           "i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+    cos = (f"{dot.format(a='v.ev', b='q.ev')} / "
+           f"(sqrt({dot.format(a='v.ev', b='v.ev')})"
+           f" * sqrt({dot.format(a='q.ev', b='q.ev')}))")
+    return f"""
+WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+dl AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM w),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, u.t AS term, count(*)::BIGINT AS tf
+  FROM w, unnest(ws) AS u(t) WHERE u.t IN ({terms})
+  GROUP BY doc_id, u.t),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+lex AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * ({_K1} + 1))
+             / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / stats.avgdl))) AS score
+  FROM tf JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id, stats
+  GROUP BY tf.doc_id),
+rl AS (
+  SELECT doc_id, rk FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+    FROM lex) WHERE rk <= {_LEG_TOPK}),
+v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
+      FROM embeddings),
+q AS (SELECT ev FROM v ORDER BY vec_id LIMIT 1),
+cosine AS (SELECT v.vec_id AS doc_id, {cos} AS c FROM v, q),
+rv AS (
+  SELECT doc_id, rk FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rk
+    FROM cosine) WHERE rk <= {_LEG_TOPK})
+SELECT coalesce(rl.doc_id, rv.doc_id) AS doc_id,
+       round(coalesce(1.0 / ({_RRF_K} + rl.rk), 0)
+             + coalesce(1.0 / ({_RRF_K} + rv.rk), 0), 6) AS rrf
+FROM rl FULL OUTER JOIN rv ON rl.doc_id = rv.doc_id
+ORDER BY coalesce(1.0 / ({_RRF_K} + rl.rk), 0)
+         + coalesce(1.0 / ({_RRF_K} + rv.rk), 0) DESC,
+         coalesce(rl.doc_id, rv.doc_id)
+LIMIT 10
+"""
+
+
+@query("search_hybrid_rrf", oracle=_hybrid_oracle())
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion — the standard RAG
+    stack: a LEXICAL leg (BM25 over the query terms) and a VECTOR leg
+    (cosine against the query embedding) each produce a top-20 ranking,
+    fused as score = Σ 1/(60 + rank).  Rank fusion needs no score
+    calibration between legs — exactly why RRF is the default when
+    combining BM25 (unbounded) with cosine ([-1, 1]).
+
+    Determinism: ranks are integers from tie-broken orderings, so the
+    fused doubles are identical sums in both engines.  Scale shape:
+    each leg is its own pipeline ending in a top-k (the rank windows
+    run over leg RESULTS, not the corpus); fusion is a 2x20-row outer
+    join.  doc_id and vec_id share the id space here; in production
+    the vector leg is the IVF/PQ path (ann_ivf_probe, ann_pq_adc)
+    instead of exact cosine."""
+    from pyspark.sql import Window
+
+    from fletcher_spark.operators import kmeans as KM
+
+    lex = _bm25_scores(spark, sf_dir)
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    rl = (
+        lex.select("doc_id", F.row_number().over(wl).alias("rk"))
+        .filter(F.col("rk") <= _LEG_TOPK)
+    )
+
+    v = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("ev")
+    )
+    qrow = v.orderBy("vec_id").limit(1).collect()[0]
+    qlit = F.lit([float(x) for x in qrow["ev"]])
+    dot = F.aggregate(
+        F.zip_with(F.col("ev"), qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_v = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("ev"), F.col("ev"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    qnorm = sum(float(x) * float(x) for x in qrow["ev"]) ** 0.5
+    cosine = v.select(
+        F.col("vec_id").alias("doc_id"), (dot / (norm_v * F.lit(qnorm))).alias("c")
+    )
+    wv = Window.orderBy(F.col("c").desc(), F.col("doc_id").asc())
+    rv = (
+        cosine.select("doc_id", F.row_number().over(wv).alias("rk"))
+        .filter(F.col("rk") <= _LEG_TOPK)
+    )
+
+    rl2 = rl.select(F.col("doc_id").alias("ld"), F.col("rk").alias("lr"))
+    rv2 = rv.select(F.col("doc_id").alias("vd"), F.col("rk").alias("vr"))
+    fused = rl2.join(rv2, rl2.ld == rv2.vd, "full_outer").select(
+        F.coalesce("ld", "vd").alias("doc_id"),
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("lr")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("vr")), F.lit(0.0))
+        ).alias("rrf_raw"),
+    )
+    return (
+        fused.orderBy(F.col("rrf_raw").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", F.round("rrf_raw", 6).alias("rrf"))
+    )
+
+
+for _n in ("search_phrase_positional", "search_bm25_topk", "search_hybrid_rrf"):
     INTRODUCED_ROUND[_n] = 5

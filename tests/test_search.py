@@ -81,3 +81,16 @@ def test_phrase_query_matches_naive_scan(spark):
         for r in d.select("doc_id", hits.alias("n")).filter(F.col("n") > 0).collect()
     }
     assert got == want
+
+
+def test_hybrid_rrf_fuses_both_legs(spark):
+    """The fused top-10 must descend in rrf with a doc_id tiebreak and
+    score every doc within the achievable RRF bounds (two-leg max is
+    1/61 + 1/61); value-level leg correctness is the oracle's job."""
+    rows = registry.QUERIES["search_hybrid_rrf"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    scores = [r["rrf"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # bounds: best possible = 1/61 + 1/61, worst listed > 0
+    assert scores[0] <= round(2 / 61, 6) + 1e-9
+    assert scores[-1] > 0
