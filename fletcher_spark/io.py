@@ -99,6 +99,23 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def widen_by_key(df: DataFrame, *keys: str) -> DataFrame:
+    """Explicit key-repartition to the session's task slots — the
+    standing remedy for AQE's byte-based coalescing of CPU-bound
+    stages (SCALE.md "AQE byte-coalescing vs CPU-bound stages").
+
+    AQE sizes post-shuffle partitions by bytes; a grouped-map/cogroup/
+    set-intersection stage over byte-small rows gets folded into one
+    or two tasks and serializes.  An explicit ``repartition(n, keys)``
+    is exempt from coalescing and, keyed on the grouping columns,
+    satisfies the downstream distribution requirement — so it replaces
+    (not adds to) the Exchange the grouped op would insert.  Apply to
+    every Arrow/Python or per-row-set-op stage fed by a shuffle.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *keys)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

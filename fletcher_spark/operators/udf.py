@@ -272,13 +272,11 @@ def cogroup_order_stats(orders, lineitem):
             {"o_orderkey": [key[0]], "n_items": [n], "price_gap": [gap]}
         )
 
-    # explicit key repartitions: the cogroup's own Exchanges get
-    # AQE-coalesced by BYTES into single tasks for what is a CPU-bound
-    # per-group Python stage (same fix as queries/changedata.events_ewma)
-    n = orders.sparkSession.sparkContext.defaultParallelism
+    from fletcher_spark.io import widen_by_key
+
     return (
-        orders.repartition(n, "o_orderkey")
+        widen_by_key(orders, "o_orderkey")
         .groupBy("o_orderkey")
-        .cogroup(lineitem.repartition(n, "l_orderkey").groupBy("l_orderkey"))
+        .cogroup(widen_by_key(lineitem, "l_orderkey").groupBy("l_orderkey"))
         .applyInPandas(stats, "o_orderkey long, n_items long, price_gap double")
     )

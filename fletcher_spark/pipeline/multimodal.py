@@ -273,8 +273,9 @@ def image_dimensions(
     """Per-payload (format, width, height) with the repo's tier policy
     applied to binary parsing: PNG and GIF dimensions sit at fixed
     offsets → pure codegen expressions; JPEG needs a segment scan →
-    Arrow-batched ``mapInPandas``, applied ONLY to rows the cheap
-    JVM magic-byte check routes there.  Unknown formats yield NULLs.
+    Arrow-batched ``mapInPandas`` applied to the JPEG-filtered slice
+    ONLY, so PNG/GIF/unknown payload bytes never cross into Python.
+    Unknown formats yield NULLs.
     """
     pw, ph = png_dimensions(bin_col)
     gw, gh = gif_dimensions(bin_col)
@@ -285,9 +286,21 @@ def image_dimensions(
         .when(F.substring(c, 1, 2) == F.lit(b"\xff\xd8"), F.lit("jpeg"))
         .otherwise(F.lit(None).cast("string"))
     )
-    base = df.select(
-        id_col, bin_col, fmt.alias("format"), pw.alias("w0"), ph.alias("h0"),
-        gw.alias("gw"), gh.alias("gh"),
+    tagged = df.select(id_col, bin_col, fmt.alias("format"))
+
+    # JVM tier: PNG/GIF/unknown never touch Python — their payloads
+    # stay out of the Arrow transfer entirely
+    jvm_part = tagged.filter(
+        F.col("format").isNull() | (F.col("format") != "jpeg")
+    ).select(
+        id_col,
+        "format",
+        F.when(F.col("format") == "png", pw)
+        .when(F.col("format") == "gif", gw)
+        .alias("width"),
+        F.when(F.col("format") == "png", ph)
+        .when(F.col("format") == "gif", gh)
+        .alias("height"),
     )
 
     out_schema = f"{id_col} long, format string, width int, height int"
@@ -295,25 +308,21 @@ def image_dimensions(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             w, h = [], []
-            for fmt_v, payload, w0, h0, gw_, gh_ in zip(
-                pdf["format"], pdf[bin_col], pdf["w0"], pdf["h0"], pdf["gw"], pdf["gh"]
-            ):
-                if fmt_v == "jpeg":
-                    jw, jh = _jpeg_dims_py(bytes(payload))
-                    w.append(jw), h.append(jh)
-                elif fmt_v == "png":
-                    w.append(w0), h.append(h0)
-                elif fmt_v == "gif":
-                    w.append(gw_), h.append(gh_)
-                else:
-                    w.append(None), h.append(None)
+            for payload in pdf[bin_col]:
+                jw, jh = _jpeg_dims_py(bytes(payload))
+                w.append(jw), h.append(jh)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "format": pdf["format"],
+                    "format": "jpeg",
                     "width": pd.array(w, dtype="Int32"),
                     "height": pd.array(h, dtype="Int32"),
                 }
             )
 
-    return base.mapInPandas(batches, out_schema)
+    jpeg_part = (
+        tagged.filter(F.col("format") == "jpeg")
+        .select(id_col, bin_col)
+        .mapInPandas(batches, out_schema)
+    )
+    return jvm_part.unionByName(jpeg_part)

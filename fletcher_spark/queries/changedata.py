@@ -213,15 +213,11 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     one task — for power-law keys pre-split by day and merge the
     per-segment (ewma, weight) pairs, the same remedy the salted join
     (queries/relational.py:join_salted_skew) demonstrates."""
+    from fletcher_spark.io import widen_by_key
+
     e = load_tables(spark, sf_dir)["events"]
-    # explicit key-repartition: the grouped map's own Exchange gets
-    # AQE-coalesced by BYTES (measured 2 tasks for a CPU-bound stage);
-    # an explicit repartition is respected and satisfies the grouping
-    # distribution, so the Arrow transfer + per-group folds run wide
-    n = e.sparkSession.sparkContext.defaultParallelism
     return (
-        e.select("user_id", "ts_us", "event_id", "value")
-        .repartition(n, "user_id")
+        widen_by_key(e.select("user_id", "ts_us", "event_id", "value"), "user_id")
         .groupBy("user_id")
         .applyInPandas(_ewma_group, "user_id long, n_events long, ewma_last double")
     )

@@ -870,12 +870,11 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .distinct()
     )
-    # verify is per-row compute (two set intersections per pair) on a
-    # BYTE-small row set — AQE's byte-based coalescing folds it into
-    # one partition and serializes the stage; re-widen explicitly
-    cand = cand.repartition(
-        spark.sparkContext.defaultParallelism, "id1", "id2"
-    )
+    from fletcher_spark.io import widen_by_key
+
+    # verify is per-row set-intersection compute on byte-small rows —
+    # exactly the stage widen_by_key exists for
+    cand = widen_by_key(cand, "id1", "id2")
     da = docs.select(
         F.col("doc_id").alias("id1"), F.col("toks").alias("ta"), F.col("n").alias("na")
     )

@@ -135,9 +135,9 @@ WITH r AS (
          ), 1, 14))::BIGINT AS h
   FROM lineitem)
 SELECT l_returnflag,
-       CAST(count(*) AS BIGINT)            AS n_rows,
-       bit_xor(h)                          AS xor_check,
-       CAST(sum(h % 2147483647) AS BIGINT) AS sum_check
+       CAST(count(*) AS BIGINT)              AS n_rows,
+       bit_xor(h)                            AS xor_check,
+       CAST(sum(h) % 2147483647 AS BIGINT)   AS sum_check
 FROM r GROUP BY l_returnflag
 """,
 )
@@ -148,7 +148,9 @@ def dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     under row order and partitioning, so source and replica compare by
     |groups| tiny rows.  xor alone cancels duplicated row PAIRS; the
     modular sum (and count) close that hole — a row duplicated twice
-    shifts sum_check and n_rows even when xor_check survives.
+    shifts sum_check and n_rows even when xor_check survives.  The sum
+    accumulates in DECIMAL(38,0) (exact at any real row count — a
+    64-bit accumulator overflows), then reduces mod 2^31-1.
 
     Map-only hash + one hash-aggregate; identical md5 bits in both
     engines (the repo's standard cross-engine hash family).  The row
@@ -171,7 +173,14 @@ def dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.expr("bit_xor(h)").alias("xor_check"),
-            F.sum(F.col("h") % 2147483647).alias("sum_check"),
+            # sum in DECIMAL(38,0): exact at any real row count (a
+            # LongType sum of 56-bit hashes overflows past ~128 rows x
+            # 2^56; a per-row mod still overflows past ~4e9 rows); the
+            # final mod keeps the emitted check BIGINT-sized, matching
+            # the oracle's exact HUGEINT sum % p
+            (F.sum(F.col("h").cast("decimal(38,0)")) % 2147483647)
+            .cast("long")
+            .alias("sum_check"),
         )
     )
 

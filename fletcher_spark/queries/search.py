@@ -22,6 +22,26 @@ _QUERY_TERMS = ("hash", "join", "vector")
 _K1, _B = 1.2, 0.75
 
 
+def phrase_hits(docs: DataFrame, phrase: tuple[str, str]) -> DataFrame:
+    """(doc_id, n_hits) for an exact two-token phrase via the positional
+    postings join — factored out so tests exercise the SAME join the
+    registered query runs."""
+    post = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).filter(F.col("tok").isin(*phrase))
+    a = post.filter(F.col("tok") == phrase[0]).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = post.filter(F.col("tok") == phrase[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, (a.doc_id == b.doc_b) & (b.pb == a.pa + 1))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 @query(
     "search_phrase_positional",
     oracle=f"""
@@ -53,24 +73,21 @@ def search_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is the precomputed artifact (bucketed by term) and this query
     reads two postings lists."""
     d = spread(load_tables(spark, sf_dir)["documents"])
-    post = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    ).filter(F.col("tok").isin(*_PHRASE))
-    a = post.filter(F.col("tok") == _PHRASE[0]).select("doc_id", F.col("pos").alias("pa"))
-    b = post.filter(F.col("tok") == _PHRASE[1]).select(
-        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
-    )
-    return (
-        a.join(b, (a.doc_id == b.doc_b) & (b.pb == a.pa + 1))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
+    return phrase_hits(d, _PHRASE)
 
 
-def _bm25_oracle() -> str:
+def _bm25_lex_ctes(final_name: str = "lex") -> str:
+    """The lexical scoring CTE chain, shared by _bm25_oracle and
+    _hybrid_oracle so the two oracles cannot drift.  BM25 constants are
+    interpolated pre-computed and CAST AS DOUBLE: a bare ``1.2`` is a
+    DuckDB DECIMAL literal with exact-decimal arithmetic, which differs
+    from Spark's binary doubles in the last ulps."""
     terms = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
-    return f"""
-WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+    k1 = f"CAST({_K1} AS DOUBLE)"
+    k1p1 = f"CAST({_K1 + 1} AS DOUBLE)"
+    one_minus_b = f"CAST({1 - _B} AS DOUBLE)"
+    b = f"CAST({_B} AS DOUBLE)"
+    return f"""w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
            FROM documents),
 dl AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM w),
 stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
@@ -80,16 +97,21 @@ tf AS (
   WHERE u.t IN ({terms})
   GROUP BY doc_id, u.t),
 df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
-sc AS (
+{final_name} AS (
   SELECT tf.doc_id,
          sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
-             * (tf.tf * ({_K1} + 1))
-             / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / stats.avgdl)))
+             * (tf.tf * {k1p1})
+             / (tf.tf + {k1} * ({one_minus_b} + {b} * dl.dl / stats.avgdl)))
            AS score
   FROM tf
   JOIN df ON df.term = tf.term
   JOIN dl ON dl.doc_id = tf.doc_id, stats
-  GROUP BY tf.doc_id)
+  GROUP BY tf.doc_id)"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+WITH {_bm25_lex_ctes("sc")}
 SELECT doc_id, round(score, 4) AS bm25
 FROM sc ORDER BY score DESC, doc_id LIMIT 10
 """
@@ -101,7 +123,9 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_tables(spark, sf_dir)["documents"])
     ws = F.filter(F.split("text", " "), lambda x: x != "")
     w = d.select("doc_id", ws.alias("ws"))
-    dl = w.select("doc_id", F.size("ws").cast("long").alias("dl")).persist()
+    # dl is a cheap projection used twice; persisting it would leak a
+    # cached frame per invocation in a long-lived driver session
+    dl = w.select("doc_id", F.size("ws").cast("long").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
     tf = (
         w.select("doc_id", F.explode("ws").alias("term"))
@@ -119,7 +143,7 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
                 * (F.col("tf") * (_K1 + 1))
-                / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+                / (F.col("tf") + _K1 * ((1 - _B) + _B * F.col("dl") / F.col("avgdl")))
             ).alias("c"),
         )
     )
@@ -131,8 +155,9 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 for a 3-term query — the standard lexical ranking
     (idf = ln(1 + (N - df + ½)/(df + ½)), tf saturation k1 = 1.2,
     length normalization b = 0.75).  Every input (tf, df, dl, N) is an
-    exact integer and avgdl an exact-integer ratio, so the score
-    doubles agree across engines bit for bit.
+    exact integer and the oracle's BM25 constants are cast to DOUBLE
+    (a bare 1.2 is exact-DECIMAL in DuckDB), so both engines run the
+    same double arithmetic; round(4) absorbs any residual ulp.
 
     Scale shape: term-filtered postings (tf) + a |terms|-row df table
     and a 1-row corpus stat, both broadcast; per-doc score is one
@@ -152,30 +177,13 @@ _RRF_K, _LEG_TOPK = 60, 20
 
 
 def _hybrid_oracle() -> str:
-    terms = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
     dot = ("list_reduce(list_transform(range(1, 65), "
            "i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
     cos = (f"{dot.format(a='v.ev', b='q.ev')} / "
            f"(sqrt({dot.format(a='v.ev', b='v.ev')})"
            f" * sqrt({dot.format(a='q.ev', b='q.ev')}))")
     return f"""
-WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-           FROM documents),
-dl AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM w),
-stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
-tf AS (
-  SELECT doc_id, u.t AS term, count(*)::BIGINT AS tf
-  FROM w, unnest(ws) AS u(t) WHERE u.t IN ({terms})
-  GROUP BY doc_id, u.t),
-df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
-lex AS (
-  SELECT tf.doc_id,
-         sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
-             * (tf.tf * ({_K1} + 1))
-             / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / stats.avgdl))) AS score
-  FROM tf JOIN df ON df.term = tf.term
-  JOIN dl ON dl.doc_id = tf.doc_id, stats
-  GROUP BY tf.doc_id),
+WITH {_bm25_lex_ctes("lex")},
 rl AS (
   SELECT doc_id, rk FROM (
     SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
@@ -216,8 +224,6 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vector leg is the IVF/PQ path (ann_ivf_probe, ann_pq_adc)
     instead of exact cosine."""
     from pyspark.sql import Window
-
-    from fletcher_spark.operators import kmeans as KM
 
     lex = _bm25_scores(spark, sf_dir)
     wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())

@@ -1,6 +1,7 @@
 """Lexical-retrieval semantics: the positional phrase matcher counts
-self-overlapping chains correctly, and BM25 ranks a higher-tf doc above
-a lower-tf doc of equal length.
+self-overlapping chains correctly (through the query's own join via
+phrase_hits), the naive array-scan agrees, and the BM25/RRF rankings
+are well-formed; value-level scoring parity is the DuckDB oracle's job.
 """
 
 from __future__ import annotations
@@ -16,9 +17,8 @@ registry.load_all()
 def test_phrase_counts_overlapping_chains(spark):
     """'hash join hash join' contains the phrase TWICE positionally;
     non-overlapping substring counting of ' hash join ' would find one.
-    Replayed through the same positional-join shape the registered
-    query uses (via a planted frame)."""
-    from fletcher_spark.queries.search import _PHRASE
+    Runs the registered query's own join (phrase_hits) on a planted frame."""
+    from fletcher_spark.queries.search import _PHRASE, phrase_hits
 
     rows = [
         (1, "hash join hash join"),
@@ -27,26 +27,11 @@ def test_phrase_counts_overlapping_chains(spark):
         (4, "nothing here"),
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string")
-    post = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    ).filter(F.col("tok").isin(*_PHRASE))
-    a = post.filter(F.col("tok") == _PHRASE[0]).select(
-        "doc_id", F.col("pos").alias("pa")
-    )
-    b = post.filter(F.col("tok") == _PHRASE[1]).select(
-        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
-    )
-    got = {
-        r["doc_id"]: r["n"]
-        for r in a.join(b, (a.doc_id == b.doc_b) & (b.pb == a.pa + 1))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    got = {r["doc_id"]: r["n_hits"] for r in phrase_hits(d, _PHRASE).collect()}
     assert got == {1: 2, 2: 1}
 
 
-def test_bm25_orders_by_tf_at_equal_length(spark):
+def test_bm25_top10_is_ranked_descending(spark):
     rows = registry.QUERIES["search_bm25_topk"](spark, SF_DIR).collect()
     assert len(rows) == 10
     scores = [r["bm25"] for r in rows]

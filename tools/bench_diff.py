@@ -39,6 +39,9 @@ def main() -> int:
         f"overlap: {len(common)} queries; old {t_old:.1f}s -> new {t_new:.1f}s "
         f"({t_new / t_old:.2f}x)"
     )
+    for k in common:
+        if old[k] > 0.05 and new[k] == 0:
+            print(f"  WARN  {k}: old {old[k]:.2f}s -> new 0.0s (missing/failed timing?)")
     flagged = [
         (new[k] / old[k], k, old[k], new[k])
         for k in common
