@@ -32,6 +32,7 @@ from fletcher_spark.io import (
     write_training_shards,
     write_zordered,
     zorder_value,
+    widen_by_key,
 )
 from fletcher_spark.accessor import fr_str
 from fletcher_spark.plans import lint_plan, assert_scale_safe
@@ -48,6 +49,7 @@ __all__ = [
     "write_training_shards",
     "write_zordered",
     "zorder_value",
+    "widen_by_key",
     "fr_str",
     "lint_plan",
     "assert_scale_safe",
