@@ -912,3 +912,50 @@ def batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.sum("n_tokens") / (F.max("n_tokens") * F.count(F.lit(1))), 4
         ).alias("pad_frac"),
     )
+
+
+@query(
+    "sample_weighted_aes",
+    oracle="""
+WITH k AS (
+  SELECT doc_id, n_chars,
+         ln(('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+            / 72057594037927936.0) / n_chars AS aes_key
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM k ORDER BY aes_key DESC, doc_id LIMIT 50
+""",
+)
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential keys (the
+    Efraimidis–Spirakis A-ES scheme): each row draws u ∈ (0,1) and is
+    ranked by ln(u)/w — the top-k under that key is an exact weighted
+    sample without replacement, computed in ONE distributed pass with a
+    TakeOrderedAndProject (no sequential draws, no rejection loop).
+    Here w = n_chars, i.e. length-proportional corpus subsampling.
+
+    u is md5-derived (seeded, per-row), so the sample is REPRODUCIBLE
+    and engine-portable — reshard-stable like split_train_holdout, and
+    the oracle replays the identical keys.  At 100 TB this shape is
+    how a weighted training subset is drawn: map-only key projection +
+    top-k; for k too large for one TakeOrdered, switch to a key
+    threshold from a quantile sketch."""
+    d = load_tables(spark, sf_dir)["documents"]
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("aes:"), F.col("doc_id").cast("string"))), 1, 14),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 56))
+    key = F.log(u) / F.col("n_chars")
+    return (
+        d.filter(F.col("n_chars") > 0)
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"), key.alias("k"))
+        .orderBy(F.col("k").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .select("doc_id", "n_chars")
+    )
+
+
+from fletcher_spark.queries.registry import INTRODUCED_ROUND as _IR  # noqa: E402
+
+_IR["sample_weighted_aes"] = 5

@@ -119,3 +119,28 @@ def test_mix_weights_sum_to_one(spark):
     assert abs(total - 1.0) < 1e-3
     assert all(r["alloc"] >= 0 for r in out)
     assert sum(r["alloc"] for r in out) <= 1000
+
+
+def test_weighted_aes_sample_biases_toward_weight(spark):
+    """A-ES sample semantics: the length-weighted sample's average
+    n_chars must exceed the corpus average (long docs are favored),
+    and the draw is reproducible run to run."""
+    import pyspark.sql.functions as F
+
+    from fletcher_spark.io import load_tables
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    a = registry.QUERIES["sample_weighted_aes"](spark, SF_DIR).collect()
+    b = registry.QUERIES["sample_weighted_aes"](spark, SF_DIR).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    sample_mean = sum(r["n_chars"] for r in a) / len(a)
+    corpus_mean = (
+        load_tables(spark, SF_DIR)["documents"]
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    assert sample_mean > corpus_mean, (
+        f"length-weighted sample mean {sample_mean} must exceed corpus "
+        f"mean {corpus_mean}"
+    )
