@@ -810,10 +810,30 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-false-negative filter — every qualifying pair provably shares a
     prefix token.  Prefix length uses integer arithmetic
     (``n − ((4n+4) div 5) + 1`` for t = 4/5) so both engines agree
-    without float-ceil edge cases.  Shape: token explode → hash-agg
-    df → doc-keyed sort (rarity is a broadcast-sized join of token→df)
-    → prefix explode → bucketed pair join → array-intersect verify on
-    candidates only."""
+    without float-ceil edge cases.
+
+    Two further exactness-preserving refinements from the PPJoin paper
+    (Xiao et al., WWW'08):
+
+    * **positional filter** — a pair first meeting at prefix positions
+      (pa, pb) can overlap at most ``1 + min(na − pa, nb − pb)``
+      tokens; requiring that bound ≥ ``ceil(t/(1+t)·(na+nb))`` (the
+      overlap a Jaccard ≥ t pair must have) prunes candidates the
+      plain prefix filter keeps.  At t = 4/5 the bound subsumes the
+      SSJoin length filter (at pa = pb = 1 it reduces to
+      ``5·min ≥ 4·max``), and both are integer-pure.
+    * **distributed rarity ranking** — tid assignment partitions by
+      ``df`` (per-df rank is an ordinary keyed window) and adds
+      cumulative offsets from the df histogram, so no vocabulary-sized
+      single-task sort exists anywhere; the only driver-side object is
+      the histogram of distinct df values (bounded by n_docs, tiny in
+      practice).  Any consistent total order yields the same final
+      pairs — rarity order is a candidate-count optimization, so the
+      DuckDB oracle's simpler global sort stays output-identical.
+
+    Shape: token explode → hash-agg df → distributed rarity rank →
+    prefix posexplode → bucketed pair join with positional bound →
+    array-intersect verify on surviving candidates only."""
     d = spread(load_tables(spark, sf_dir)["documents"])
     # split once into its own projection: inlined under the Generate the
     # optimizer re-evaluates split(text) four times per row (2 slices +
@@ -832,10 +852,28 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token -> dense int id in RARITY order (df asc, token asc): sorting
     # a doc's ids ascending IS the prefix order, and the verify stage
     # intersects small int arrays instead of shuffling string arrays.
-    # The window is global but vocabulary-sized (dimension data).
-    ids = freq.select(
-        "token",
-        F.row_number().over(Window.orderBy("df", "token")).alias("tid"),
+    # Distributed assignment: rank within each df class (keyed window),
+    # then add the running count of all rarer tokens — the cumsum runs
+    # over the df HISTOGRAM (one row per distinct df value), never the
+    # vocabulary itself.
+    hist = freq.groupBy("df").agg(F.count(F.lit(1)).alias("cnt"))
+    offs = hist.select(
+        "df",
+        (
+            F.sum("cnt").over(
+                Window.orderBy("df").rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("off"),
+    ).fillna(0, ["off"])
+    ids = (
+        freq.join(F.broadcast(offs), "df")
+        .select(
+            "token",
+            (
+                F.col("off")
+                + F.row_number().over(Window.partitionBy("df").orderBy("token"))
+            ).alias("tid"),
+        )
     )
     docs = (
         tok.join(ids, "token")
@@ -854,18 +892,23 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref = docs.select(
         "doc_id",
         "n",
-        F.explode(F.slice(F.col("toks"), F.lit(1), plen)).alias("tid"),
+        F.posexplode(F.slice(F.col("toks"), F.lit(1), plen)).alias("p", "tid"),
     )
-    # size filter (SSJoin): a pair can only reach t when the smaller
-    # set has at least t x the larger set's tokens — join-time integer
-    # predicate, prunes cross-length candidates before dedup/verify
+    # positional filter (PPJoin): a pair meeting at 0-based prefix
+    # positions (pa, pb) overlaps at most 1 + min(na-pa-1, nb-pb-1)
+    # tokens beyond nothing — i.e. min(na - pa, nb - pb) counting the
+    # shared one — and Jaccard >= 4/5 forces overlap >=
+    # ceil((4/9)(na+nb)) = (4(na+nb)+8) div 9.  Integer-pure on both
+    # sides; at pa = pb = 0 it reduces to the SSJoin size filter
+    # 5*min(na,nb) >= 4*max(na,nb), so no separate size predicate is
+    # needed.
+    ub = F.least(F.col("a.n") - F.col("a.p"), F.col("b.n") - F.col("b.p"))
     cand = (
         pref.alias("a")
         .join(pref.alias("b"), "tid")
         .filter(
             (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (5 * F.col("a.n") >= 4 * F.col("b.n"))
-            & (5 * F.col("b.n") >= 4 * F.col("a.n"))
+            & (9 * ub >= 4 * (F.col("a.n") + F.col("b.n")))
         )
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .distinct()
