@@ -81,4 +81,5 @@ def load_all() -> None:
         changedata,
         governance,
         search,
+        sketches,
     )

@@ -1,0 +1,417 @@
+"""Mergeable-sketch and graph-analytics queries (registered round 6).
+
+Three operators a 100 TB pipeline leans on when exact state is too big:
+
+* ``sketch_cms_heavyhitters`` — Count-Min Sketch frequency estimation.
+  The sketch is a (depth × width) counter grid; Spark's map-side
+  partial aggregation IS the sketch merge (every partition builds its
+  local grid, the shuffle adds grids cell-wise), so the full pass over
+  the fact table reduces to ``depth × width`` rows regardless of input
+  size.  Estimates are deterministic given the hash family, so the
+  DuckDB oracle reproduces them bit-for-bit — including the
+  overestimation error, which the query surfaces next to exact counts.
+* ``sketch_bloom_membership`` — explicit Bloom-filter build + probe
+  (complementing the *runtime* Bloom join pruning Spark injects, which
+  tests/test_runtime_filters.py covers).  The built filter is the
+  DISTINCT set of set bit positions — at m = 16 Ki bits it broadcasts,
+  and membership is a count-of-matched-positions == k predicate.
+  False negatives are impossible by construction; the query's
+  ``verdict`` column proves it on real data (no ``fn`` row can appear
+  unless the implementation is wrong — making the query self-checking).
+* ``graph_triangle_count`` — triangle counting with DEGREE ORDERING
+  (orient each undirected edge from the lower-(degree, id) endpoint to
+  the higher one, then join wedges against oriented edges).  Degree
+  orientation is what makes DataFrame triangle counting viable on
+  skewed graphs: every wedge pivot fans out over out-degree, and
+  orientation caps out-degree at O(sqrt(|E|)) — the arboricity bound —
+  instead of the raw degree of hub nodes.
+
+Hash family: ``int(hex8(md5(seed || '|' || key)))`` — the repo's
+standard engine-portable hash (Spark ``conv(substring(md5(..),1,8),
+16,10)`` == DuckDB ``('0x' || substr(md5(..),1,8))::BIGINT``).
+Reference surface: fletcher has no sketch module; these extend the
+LLM-pipeline tier (SURVEY.md §6) with the standard streaming-summary
+primitives (Cormode & Muthukrishnan '05; Bloom '70).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fletcher_spark.io import load_tables
+from fletcher_spark.queries.registry import INTRODUCED_ROUND, query
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+def _h(seed, key_col, mod):
+    """Engine-portable hash: first-8-hex-of-md5(seed|key) mod ``mod``."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(str(seed)), F.lit("|"), key_col.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % mod
+    )
+
+
+def _h_sql(seed, key_expr, mod):
+    return (
+        f"('0x' || substr(md5('{seed}' || '|' || ({key_expr})::VARCHAR), 1, 8))"
+        f"::BIGINT % {mod}"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH cells AS (
+  SELECT j, {_h_sql('{{j}}', 'user_id', _CMS_WIDTH).replace("'{{j}}'", "j::VARCHAR")}
+         AS bucket, count(*) AS c
+  FROM events, range(0, {_CMS_DEPTH}) t(j)
+  GROUP BY j, bucket
+),
+exact AS (
+  SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id
+),
+top AS (
+  SELECT user_id, exact_cnt,
+         row_number() OVER (ORDER BY exact_cnt DESC, user_id) AS rk
+  FROM exact QUALIFY rk <= 10
+),
+probe AS (
+  SELECT user_id, exact_cnt, rk, j,
+         {_h_sql('{{j}}', 'user_id', _CMS_WIDTH).replace("'{{j}}'", "j::VARCHAR")}
+         AS bucket
+  FROM top, range(0, {_CMS_DEPTH}) t(j)
+),
+est AS (
+  SELECT p.user_id, p.exact_cnt, p.rk, min(c.c) AS cms_est
+  FROM probe p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+  GROUP BY p.user_id, p.exact_cnt, p.rk
+)
+SELECT user_id, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS overestimate,
+       CAST(rk AS BIGINT) AS rk
+FROM est
+"""
+
+
+@query("sketch_cms_heavyhitters", oracle=_CMS_ORACLE)
+def sketch_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch ({d}x{w}) over ``events.user_id``, probed at the
+    10 exact heavy hitters: emits exact count, sketch estimate, and the
+    overestimation error per key.
+
+    Build is ONE pass over events: each row explodes into {d} (row,
+    bucket) cells and a single hash-aggregate produces the {d}x{w}
+    grid.  Map-side combine means each partition builds its own local
+    grid and the exchange moves at most ``{d}*{w} * n_partitions``
+    rows — the sketch-merge property, which is also what makes the
+    grid maintainable under Structured Streaming or across corpus
+    shards (cell-wise SUM is the merge).  CMS guarantees
+    ``estimate >= exact`` (the ``overestimate`` column is provably
+    non-negative) and the estimate is deterministic given the hash
+    family, so both engines agree bit-for-bit.  The exact top-10 used
+    as probes keeps the driver comparison meaningful: heavy hitters
+    are where CMS error is relatively smallest.""".format(
+        d=_CMS_DEPTH, w=_CMS_WIDTH
+    )
+    ev = load_tables(spark, sf_dir)["events"]
+    cells = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            _h(j, F.col("user_id"), _CMS_WIDTH).alias("bucket"),
+                        )
+                        for j in range(_CMS_DEPTH)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .select("cell.j", "cell.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = (
+        exact.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_cnt").desc(), F.col("user_id"))
+            ),
+        )
+        .filter(F.col("rk") <= 10)
+    )
+    probe = top.select(
+        "user_id",
+        "exact_cnt",
+        "rk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _h(j, F.col("user_id"), _CMS_WIDTH).alias("bucket"),
+                    )
+                    for j in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select("user_id", "exact_cnt", "rk", "cell.j", "cell.bucket")
+    est = (
+        probe.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id", "exact_cnt", "rk")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overestimate"),
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+_BLOOM_M = 16384
+_BLOOM_K = 3
+
+
+_BLOOM_ORACLE = f"""
+WITH bits AS (
+  SELECT DISTINCT {_h_sql('{{j}}', 'c_custkey', _BLOOM_M).replace("'{{j}}'", "j::VARCHAR")} AS pos
+  FROM customer, range(0, {_BLOOM_K}) t(j)
+),
+mx AS (SELECT max(c_custkey) AS mx FROM customer),
+probes AS (
+  SELECT (i * 97)::BIGINT AS probe_key FROM range(1, 31) t(i)
+  UNION ALL
+  SELECT mx + i * 41 FROM mx, range(1, 11) t(i)
+),
+pp AS (
+  SELECT probe_key, j,
+         {_h_sql('{{j}}', 'probe_key', _BLOOM_M).replace("'{{j}}'", "j::VARCHAR")} AS pos
+  FROM probes, range(0, {_BLOOM_K}) t(j)
+),
+hits AS (
+  SELECT probe_key, count(b.pos) AS nhit
+  FROM pp LEFT JOIN bits b USING (pos) GROUP BY probe_key
+),
+truth AS (
+  SELECT h.probe_key, h.nhit = {_BLOOM_K} AS in_bloom,
+         EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = h.probe_key)
+           AS actual
+  FROM hits h
+)
+SELECT probe_key, in_bloom, actual,
+       CASE WHEN in_bloom AND actual THEN 'tp'
+            WHEN in_bloom AND NOT actual THEN 'fp'
+            WHEN NOT in_bloom AND NOT actual THEN 'tn'
+            ELSE 'fn' END AS verdict
+FROM truth
+"""
+
+
+@query("sketch_bloom_membership", oracle=_BLOOM_ORACLE)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom filter (m = {m} bits, k = {k} hashes) built over
+    the ``customer.c_custkey`` set, probed with 40 arithmetic keys (30
+    low multiples of 97 — mostly present — and 10 beyond ``max(key)``
+    — all absent).  Emits the filter verdict against ground truth.
+
+    The built filter is the DISTINCT set of set bit positions — at
+    most m rows, broadcastable, and mergeable across shards by plain
+    UNION (bitwise-OR is set union of positions).  Membership =
+    "all k probe positions are set", computed as a left join + count.
+    A ``verdict = 'fn'`` row is impossible by construction (every
+    inserted key set all its positions), so the query doubles as a
+    self-check; false positives are real and deterministic — both
+    engines reproduce the same ones because the hash family is md5.
+    At 100 TB the build side is one distinct-aggregate over the key
+    column and the probe side is map-only against the broadcast bit
+    set — the same plan Spark's runtime
+    ``spark.sql.optimizer.runtime.bloomFilter`` injects for join
+    pruning (tests/test_runtime_filters.py), here surfaced as a
+    user-level operator.""".format(m=_BLOOM_M, k=_BLOOM_K)
+    cust = load_tables(spark, sf_dir)["customer"]
+    bits = (
+        cust.select(
+            F.explode(
+                F.array(
+                    *[
+                        _h(j, F.col("c_custkey"), _BLOOM_M).alias(f"p{j}")
+                        for j in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    mx = cust.agg(F.max("c_custkey").alias("mx"))
+    lo = spark.range(1, 31).select((F.col("id") * 97).cast("long").alias("probe_key"))
+    hi = (
+        spark.range(1, 11)
+        .crossJoin(F.broadcast(mx))
+        .select((F.col("mx") + F.col("id") * 41).cast("long").alias("probe_key"))
+    )
+    probes = lo.unionByName(hi)
+    pp = probes.select(
+        "probe_key",
+        F.explode(
+            F.array(
+                *[_h(j, F.col("probe_key"), _BLOOM_M) for j in range(_BLOOM_K)]
+            )
+        ).alias("pos"),
+    )
+    hits = (
+        pp.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("probe_key")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("nhit"))
+    )
+    actual = cust.select(
+        F.col("c_custkey").alias("probe_key"), F.lit(True).alias("actual")
+    ).distinct()
+    truth = (
+        hits.join(F.broadcast(actual), "probe_key", "left")
+        .select(
+            "probe_key",
+            (F.col("nhit") == _BLOOM_K).alias("in_bloom"),
+            F.coalesce(F.col("actual"), F.lit(False)).alias("actual"),
+        )
+    )
+    verdict = (
+        F.when(F.col("in_bloom") & F.col("actual"), "tp")
+        .when(F.col("in_bloom") & ~F.col("actual"), "fp")
+        .when(~F.col("in_bloom") & ~F.col("actual"), "tn")
+        .otherwise("fn")
+    )
+    return truth.withColumn("verdict", verdict)
+
+
+_TRI_ORACLE = """
+WITH trade AS (
+  SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+         greatest(c.c_nationkey, s.s_nationkey) AS v,
+         count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey != s.s_nationkey
+  GROUP BY u, v
+),
+cut AS (SELECT avg(w) AS thr FROM trade),
+e AS (SELECT u, v FROM trade, cut WHERE w > thr),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  ) GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS b
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM o e1 JOIN o e2 ON e2.a = e1.b
+  JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_node AS (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+)
+SELECT n.n_name AS nation, CAST(p.n_triangles AS BIGINT) AS n_triangles
+FROM per_node p JOIN nation n ON n.n_nationkey = p.node
+"""
+
+
+@query("graph_triangle_count", oracle=_TRI_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle counts over the above-average-weight
+    undirected nation trade graph — the clustering-structure metric
+    (and the third graph algorithm after connected components and
+    PageRank).
+
+    Scale shape: the fact tables collapse to a |nations|²-bounded edge
+    aggregate FIRST (one shuffle over lineitem, same as q7/PageRank);
+    everything after runs on the edge table.  Triangles use DEGREE
+    ORDERING — each undirected edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, wedges are built by
+    joining oriented edges head-to-tail, and a third join closes them.
+    Orientation caps every node's out-degree at O(sqrt(|E|))
+    (arboricity bound), which is what stops hub nodes from exploding
+    the wedge join on power-law graphs — the standard trick from the
+    MapReduce triangle literature (Suri & Vassilvitskii, WWW'11).
+    Each triangle is produced exactly once (its orientation-sorted
+    vertex order), so the per-node count is a plain corner explode."""
+    t = load_tables(spark, sf_dir)
+    trade = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    thr = trade.agg(F.avg("w").alias("thr"))
+    e = trade.crossJoin(F.broadcast(thr)).filter(F.col("w") > F.col("thr")).select("u", "v")
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    # orient low-(degree, id) -> high-(degree, id); struct comparison
+    # mirrors the oracle's tuple comparison
+    lower = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    o = (
+        e.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    e1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = o.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = o.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        per_node.join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            per_node["node"] == F.col("n_nationkey"),
+        )
+        .select(F.col("n_name").alias("nation"), F.col("n_triangles").cast("long"))
+    )
+
+
+for _n in (
+    "sketch_cms_heavyhitters",
+    "sketch_bloom_membership",
+    "graph_triangle_count",
+):
+    INTRODUCED_ROUND[_n] = 6
