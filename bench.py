@@ -61,6 +61,15 @@ def main() -> None:
 
     # Warm-up: JVM JIT + codegen + parquet footer caching.
     run("q1_pricing_summary")
+    # ... and the Python/Arrow worker pool (daemon + per-core workers):
+    # otherwise the alphabetically-first pandas-UDF query absorbs the
+    # whole pool spawn (~1.5-2 s) into its measurement.  A trivial
+    # grouped map over 32 driver-local rows touches every executor
+    # thread's worker path at negligible compute cost.
+    warm = spark.range(0, 32, 1, int(cpus)).groupBy("id").applyInPandas(
+        lambda pdf: pdf, schema="id long"
+    )
+    warm.write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):

@@ -130,6 +130,89 @@ def lloyd_centroids(
     return cent
 
 
+def lloyd_centroids_multi(
+    v: DataFrame, id_col: str, vec_cols: list[str], k: int, iters: int
+) -> dict[str, Centroids]:
+    """Train one codebook per column in ``vec_cols`` — the product-
+    quantization case (queries/similarity.py:ann_pq_adc trains m
+    subspace codebooks over the same row set) — in the SAME number of
+    Spark jobs as a single :func:`lloyd_centroids` call.
+
+    Trained independently per column, the m subspaces cost m inits and
+    m aggregation jobs per round, all driver-sequential (~15 small
+    jobs for m=4).  Here each round melts every row into m (subspace,
+    cid, vec) structs inside ONE projection — the per-subspace argmin
+    folds are all map-side, same as :func:`assign_nearest` — and runs
+    ONE (s, cid, i)-keyed average, so the whole training is one init
+    collect plus one aggregate job per round regardless of m.  The
+    arithmetic per subspace is identical to the single-column trainer
+    (init = k lowest-id rows, argmin ties to lowest cid, unordered
+    averages), so results are bit-equal and the SQL oracle that
+    replays per-subspace training stays valid.  Requires all
+    ``vec_cols`` to share one element type (they are slices of one
+    embedding in the PQ case)."""
+    w0 = Window.orderBy(id_col)
+    init_rows = (
+        v.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.row_number().over(w0).cast("long").alias("cid"),
+            *[F.col(c) for c in vec_cols],
+        )
+        .collect()
+    )
+    cents: dict[str, Centroids] = {
+        c: [(int(r["cid"]), [float(x) for x in r[c]]) for r in init_rows]
+        for c in vec_cols
+    }
+    def _dist_fn(col_name: str):
+        # factory closure: a lambda with a default arg would look
+        # 2-ary to transform() and receive the array index instead
+        return lambda cc: F.struct(
+            l2sq(F.col(col_name), cc["cv"]).alias("d2"),
+            cc["cid"].alias("cid"),
+        )
+
+    for _ in range(iters):
+        melted = v.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(si).cast("int").alias("s"),
+                            F.array_min(
+                                F.transform(centroid_literal(cents[c]), _dist_fn(c))
+                            )["cid"].alias("cid"),
+                            F.col(c).alias("vec"),
+                        )
+                        for si, c in enumerate(vec_cols)
+                    ]
+                )
+            ).alias("m")
+        ).select("m.s", "m.cid", "m.vec")
+        packed = (
+            melted.select("s", "cid", F.posexplode("vec").alias("i", "val"))
+            .groupBy("s", "cid", "i")
+            .agg(F.avg("val").alias("cv"))
+            .groupBy("s", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "cv"))),
+                    lambda st: st["cv"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        cents = {c: [] for c in vec_cols}
+        for r in packed:
+            cents[vec_cols[r["s"]]].append(
+                (int(r["cid"]), [float(x) for x in r["cv"]])
+            )
+        for c in cents:
+            cents[c].sort()
+    return cents
+
+
 def lloyd(
     v: DataFrame, id_col: str, vec_col: str, k: int, iters: int
 ) -> DataFrame:

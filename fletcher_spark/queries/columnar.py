@@ -51,23 +51,66 @@ FROM a, m
 )
 def reductions_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full `_reduce` map (sum/min/max/mean/std/var/median/skew/kurt
-    — /root/reference/fletcher/base.py:470-523) in ONE partial+final
-    hash aggregate.  Spark's skewness/kurtosis are population-moment
-    formulas; the oracle derives the same from raw moments."""
+    — /root/reference/fletcher/base.py:470-523).  Spark's
+    skewness/kurtosis are population-moment formulas; the oracle
+    derives the same from raw moments.
+
+    All moment/extreme reductions run in ONE partial+final hash
+    aggregate.  The exact median deliberately does NOT use Spark's
+    ``median()``/``percentile()``: those are buffer-every-value
+    TypedImperativeAggregates — the final merge task receives the
+    whole column, which both blocks whole-stage codegen for the
+    enclosing aggregate and cannot scale past one task's memory.
+    Instead the median comes from a VALUE HISTOGRAM (groupBy value →
+    counts → cumulative rank): exact for any column whose distinct
+    cardinality is tractable (physical measures like quantities,
+    prices, and lengths always are), fully distributed — the only
+    non-parallel step is a cumulative sum over the histogram itself —
+    and even-count middles average per the textbook definition."""
     li = load_tables(spark, sf_dir)["lineitem"]
     q = F.col("l_quantity")
-    return li.agg(
+    base = li.agg(
         F.round(F.sum(q), 4).alias("sum_qty"),
         F.round(F.min(q), 4).alias("min_qty"),
         F.round(F.max(q), 4).alias("max_qty"),
         F.round(F.avg(q), 4).alias("mean_qty"),
         F.round(F.stddev_samp(q), 4).alias("std_qty"),
         F.round(F.var_samp(q), 4).alias("var_qty"),
-        F.round(F.median(q), 4).alias("median_qty"),
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
         F.round(F.skewness(q), 4).alias("skew_qty"),
         F.round(F.kurtosis(q), 4).alias("kurt_qty"),
+    )
+    hist = li.groupBy(q.alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.select(
+        "v",
+        F.sum("c")
+        .over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c").over(Window.partitionBy(F.lit(1))).alias("nn"),
+    )
+    med = cum.agg(
+        F.round(
+            (
+                F.min(F.when(F.col("cum") >= F.expr("(nn + 1) div 2"), F.col("v")))
+                + F.min(F.when(F.col("cum") >= F.expr("(nn + 2) div 2"), F.col("v")))
+            )
+            / 2,
+            4,
+        ).alias("median_qty")
+    )
+    return base.crossJoin(F.broadcast(med)).select(
+        "sum_qty",
+        "min_qty",
+        "max_qty",
+        "mean_qty",
+        "std_qty",
+        "var_qty",
+        "median_qty",
+        "n",
+        "n_supp",
+        "skew_qty",
+        "kurt_qty",
     )
 
 
@@ -589,18 +632,75 @@ FROM lineitem
 )
 def reductions_mode_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-statistic reductions beyond median: mode + interpolated
-    (continuous) and discrete percentiles.  The corpus has a unique
-    mode, so the value is engine-deterministic (ties are not — a
-    production mode() needs an explicit tiebreak policy).  Exact
-    percentiles buffer per group like exact median; the documented
-    100 TB path is approx_percentile (same sketch family as
-    median_approx in operators/agg.py)."""
+    (continuous) percentiles, both computed from a VALUE HISTOGRAM —
+    the same distributed-exact technique as ``reductions_numeric``'s
+    median, instead of Spark's buffer-every-value
+    ``mode()``/``percentile()`` aggregates whose final merge task
+    receives the whole column.
+
+    * mode = arg-max of the histogram with an EXPLICIT tiebreak
+      (highest count, then lowest value) — the corpus mode is unique
+      so the value matches DuckDB's ``mode()``, but unlike the builtin
+      the policy is deterministic under ties by construction;
+    * percentile(p) interpolates between the values at cumulative
+      ranks ``floor/ceil(1 + (n-1)p)`` — the exact ``quantile_cont``
+      definition — where rank lookup is ``min v with cum ≥ r`` over
+      the cumulative histogram.
+
+    The only non-parallel step is the cumulative sum over the
+    histogram itself (distinct-value-sized, never row-sized); columns
+    with intractable distinct cardinality fall back to
+    approx_percentile (operators/agg.py:median_approx)."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    return li.agg(
-        F.mode("l_quantity").alias("mode_qty"),
-        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile("l_quantity", F.lit(0.50)), 4).alias("p50"),
-        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("p75"),
+    hist = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = hist.select(
+        "v",
+        "c",
+        F.sum("c")
+        .over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c").over(Window.partitionBy(F.lit(1))).alias("nn"),
+    )
+
+    # pos/frac are per-row constants (nn is the same on every histogram
+    # row), so floor/ceil rank thresholds can sit inside the aggregate
+    # filters; the interpolation itself combines the aggregated pieces
+    # in a second projection (nested aggregates are illegal).
+    def _pieces(p: float, tag: str):
+        pos = 1 + (F.col("nn") - 1) * F.lit(p)
+        return [
+            F.min(F.when(F.col("cum") >= F.floor(pos), F.col("v"))).alias(
+                f"vlo_{tag}"
+            ),
+            F.min(F.when(F.col("cum") >= F.ceil(pos), F.col("v"))).alias(
+                f"vhi_{tag}"
+            ),
+            F.min(pos - F.floor(pos)).alias(f"frac_{tag}"),
+        ]
+
+    agg = cum.agg(
+        F.max_by("v", F.struct(F.col("c"), (-F.col("v")).alias("nv"))).alias(
+            "mode_qty"
+        ),
+        *_pieces(0.25, "25"),
+        *_pieces(0.50, "50"),
+        *_pieces(0.75, "75"),
+    )
+
+    def _interp(tag: str):
+        return F.round(
+            F.col(f"vlo_{tag}")
+            + F.col(f"frac_{tag}") * (F.col(f"vhi_{tag}") - F.col(f"vlo_{tag}")),
+            4,
+        )
+
+    return agg.select(
+        "mode_qty",
+        _interp("25").alias("p25"),
+        _interp("50").alias("p50"),
+        _interp("75").alias("p75"),
     )
 
 

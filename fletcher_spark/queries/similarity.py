@@ -761,9 +761,10 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(_PQ_M)
         ],
     ).persist()
-    books = [
-        KM.lloyd_centroids(vs, "vec_id", f"sub{s}", _PQ_K, 1) for s in range(_PQ_M)
-    ]
+    books_map = KM.lloyd_centroids_multi(
+        vs, "vec_id", [f"sub{s}" for s in range(_PQ_M)], _PQ_K, 1
+    )
+    books = [books_map[f"sub{s}"] for s in range(_PQ_M)]
     qrow = vs.orderBy("vec_id").limit(1).collect()[0]
 
     best_cols = []

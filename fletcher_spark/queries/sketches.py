@@ -369,6 +369,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("c_nationkey", "s_nationkey").alias("v"),
         )
         .agg(F.count(F.lit(1)).alias("w"))
+        # |nations|²-bounded, but its lineage is the whole fact-table
+        # join chain and the edge set feeds FOUR consumers (threshold,
+        # degree build, orientation, and the three wedge-join aliases)
+        # — uncached, each alias re-runs the chain
+        .persist()
     )
     thr = trade.agg(F.avg("w").alias("thr"))
     e = trade.crossJoin(F.broadcast(thr)).filter(F.col("w") > F.col("thr")).select("u", "v")
@@ -390,6 +395,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower, F.col("u")).otherwise(F.col("v")).alias("a"),
             F.when(lower, F.col("v")).otherwise(F.col("u")).alias("b"),
         )
+        .persist()  # read three times by the wedge/closure joins
     )
     e1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = o.select(F.col("a").alias("y"), F.col("b").alias("z"))
