@@ -26,12 +26,24 @@ Three operators a 100 TB pipeline leans on when exact state is too big:
   orientation caps out-degree at O(sqrt(|E|)) — the arboricity bound —
   instead of the raw degree of hub nodes.
 
+* ``sketch_kmv_distinct`` — k-minimum-values distinct-count sketch.
+  The deterministic alternative to HyperLogLog for cross-engine
+  estimation: the sketch is the k smallest distinct hash values, the
+  estimate is ``(k−1)/u_k`` (u_k = the k-th smallest normalized
+  hash), and union-merge is LOSSLESS — the k smallest hashes of a
+  union are all present in the per-part sketches (each is among its
+  own part's k smallest), so merged == direct-global, which the
+  query's 'ALL' row and test_sketches.py pin.  HLL's estimate depends
+  on implementation-specific register layouts, so it can never be
+  oracle-checked across engines; KMV under the md5 family can.
+
 Hash family: ``int(hex8(md5(seed || '|' || key)))`` — the repo's
 standard engine-portable hash (Spark ``conv(substring(md5(..),1,8),
 16,10)`` == DuckDB ``('0x' || substr(md5(..),1,8))::BIGINT``).
 Reference surface: fletcher has no sketch module; these extend the
 LLM-pipeline tier (SURVEY.md §6) with the standard streaming-summary
-primitives (Cormode & Muthukrishnan '05; Bloom '70).
+primitives (Cormode & Muthukrishnan '05; Bloom '70; Bar-Yossef et
+al. '02 for KMV).
 """
 
 from __future__ import annotations
@@ -415,9 +427,127 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 64
+_KMV_SCALE = 1 << 56  # hashes are 14 hex chars = 56 bits
+
+_KMV_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 14))::BIGINT AS h
+  FROM events
+),
+rk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM d
+),
+tk AS (SELECT * FROM rk WHERE rk <= {_KMV_K}),
+per AS (SELECT event_type, count(*) AS nk, max(h) AS hk FROM tk GROUP BY event_type),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+),
+typed AS (
+  SELECT e.event_type, e.exact_distinct,
+         CASE WHEN p.nk < {_KMV_K} THEN p.nk::DOUBLE
+              ELSE round({_KMV_K - 1}.0 * {_KMV_SCALE} / p.hk, 2) END AS kmv_est
+  FROM ex e JOIN per p USING (event_type)
+),
+mh AS (SELECT DISTINCT h FROM tk),
+mrk AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM mh),
+mtk AS (SELECT count(*) AS nk, max(h) AS hk FROM mrk WHERE rk <= {_KMV_K}),
+mex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events),
+merged AS (
+  SELECT 'ALL' AS event_type, mex.exact_distinct,
+         CASE WHEN mtk.nk < {_KMV_K} THEN mtk.nk::DOUBLE
+              ELSE round({_KMV_K - 1}.0 * {_KMV_SCALE} / mtk.hk, 2) END AS kmv_est
+  FROM mex, mtk
+)
+SELECT event_type, CAST(exact_distinct AS BIGINT) AS exact_distinct, kmv_est,
+       round(100.0 * abs(kmv_est - exact_distinct) / exact_distinct, 2) AS err_pct
+FROM (SELECT * FROM typed UNION ALL SELECT * FROM merged)
+"""
+
+
+@query("sketch_kmv_distinct", oracle=_KMV_ORACLE)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-minimum-values distinct-user sketch per event type (k = {k}),
+    plus an 'ALL' row whose estimate comes from MERGING the per-type
+    sketches — demonstrating the property that makes KMV the
+    distributed distinct sketch: the k smallest hashes of a union are
+    each among their own part's k smallest, so sketch union is
+    lossless (merged == the sketch built directly on the union; the
+    equality is pinned in tests/test_sketches.py).
+
+    Estimate = (k−1)/u_k where u_k is the k-th smallest distinct hash
+    normalized to [0, 1); parts with fewer than k distinct hashes are
+    exact by definition.  Deterministic under the md5 hash family, so
+    — unlike HyperLogLog, whose registers are implementation-specific
+    — both engines reproduce the estimate AND its error bit-for-bit,
+    which is what lets an approximation algorithm pass a value-hash
+    oracle.  Scale shape: one distinct-aggregate over (type, hash)
+    sized by CARDINALITY (not rows, thanks to map-side partial
+    distinct), then a per-type top-k window over distinct hashes; the
+    sketch itself is k longs per group — the state a streaming or
+    shard-merge pipeline would carry.""".format(k=_KMV_K)
+    ev = load_tables(spark, sf_dir)["events"]
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 14), 16, 10)
+        .cast("long")
+        .alias("h")
+    )
+    d = ev.select("event_type", h).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    tk = d.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _KMV_K)
+
+    def _est(nk, hk):
+        return F.when(nk < _KMV_K, nk.cast("double")).otherwise(
+            F.round(F.lit(float(_KMV_K - 1)) * _KMV_SCALE / hk, 2)
+        )
+
+    per = tk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nk"), F.max("h").alias("hk")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    typed = exact.join(per, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        _est(F.col("nk"), F.col("hk")).alias("kmv_est"),
+    )
+    # merge: union of the per-type k-min sets, re-take the k smallest
+    mtk = (
+        tk.select("h")
+        .distinct()
+        .withColumn("rk", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rk") <= _KMV_K)
+        .agg(F.count(F.lit(1)).alias("nk"), F.max("h").alias("hk"))
+    )
+    mex = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    merged = mex.crossJoin(F.broadcast(mtk)).select(
+        F.lit("ALL").alias("event_type"),
+        "exact_distinct",
+        _est(F.col("nk"), F.col("hk")).alias("kmv_est"),
+    )
+    out = typed.unionByName(merged)
+    return out.select(
+        "event_type",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        "kmv_est",
+        F.round(
+            100.0
+            * F.abs(F.col("kmv_est") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            2,
+        ).alias("err_pct"),
+    )
+
+
 for _n in (
     "sketch_cms_heavyhitters",
     "sketch_bloom_membership",
     "graph_triangle_count",
+    "sketch_kmv_distinct",
 ):
     INTRODUCED_ROUND[_n] = 6
