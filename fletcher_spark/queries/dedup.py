@@ -820,21 +820,24 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two further exactness-preserving refinements from the PPJoin paper
     (Xiao et al., WWW'08):
 
-    * **positional filter** — a pair first meeting at prefix positions
-      (pa, pb) can overlap at most ``1 + min(na − pa, nb − pb)``
-      tokens; requiring that bound ≥ ``ceil(t/(1+t)·(na+nb))`` (the
-      overlap a Jaccard ≥ t pair must have) prunes candidates the
-      plain prefix filter keeps.  At t = 4/5 the bound subsumes the
-      SSJoin length filter (at pa = pb = 1 it reduces to
-      ``5·min ≥ 4·max``), and both are integer-pure.
+    * **positional filter** — a pair first meeting at 0-based prefix
+      positions (pa, pb) can overlap at most ``1 + min(na − pa − 1,
+      nb − pb − 1)  =  min(na − pa, nb − pb)`` tokens; requiring that
+      bound ≥ ``ceil(t/(1+t)·(na+nb))`` (the overlap a Jaccard ≥ t
+      pair must have) prunes candidates the plain prefix filter
+      keeps.  At t = 4/5 the bound subsumes the SSJoin length filter
+      (at pa = pb = 0 it reduces to ``5·min(na,nb) ≥ 4·max(na,nb)``),
+      and both are integer-pure.
     * **distributed rarity ranking** — tid assignment partitions by
-      ``df`` (per-df rank is an ordinary keyed window) and adds
-      cumulative offsets from the df histogram, so no vocabulary-sized
-      single-task sort exists anywhere; the only driver-side object is
-      the histogram of distinct df values (bounded by n_docs, tiny in
-      practice).  Any consistent total order yields the same final
-      pairs — rarity order is a candidate-count optimization, so the
-      DuckDB oracle's simpler global sort stays output-identical.
+      ``(df, salt)`` (rank within each cell is an ordinary keyed
+      window; the 64-way salt keeps even the hapax df=1 class — about
+      half of a Zipfian vocabulary — off any single task) and adds
+      cumulative offsets from the (df × salt) histogram, so no
+      vocabulary-sized single-task sort exists anywhere.  Any
+      consistent total order yields the same final pairs — rarity
+      order is a candidate-count optimization, and ties within a df
+      class are equally rare — so the DuckDB oracle's simpler global
+      sort stays output-identical.
 
     Shape: token explode → hash-agg df → distributed rarity rank →
     prefix posexplode → bucketed pair join with positional bound →
@@ -854,29 +857,39 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(grams)).alias("token")
     ).persist()  # used twice: document frequency AND the doc-set build
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    # token -> dense int id in RARITY order (df asc, token asc): sorting
-    # a doc's ids ascending IS the prefix order, and the verify stage
-    # intersects small int arrays instead of shuffling string arrays.
-    # Distributed assignment: rank within each df class (keyed window),
-    # then add the running count of all rarer tokens — the cumsum runs
-    # over the df HISTOGRAM (one row per distinct df value), never the
-    # vocabulary itself.
-    hist = freq.groupBy("df").agg(F.count(F.lit(1)).alias("cnt"))
+    # token -> dense int id in RARITY order (df asc, then arbitrary
+    # within a df class — equal-df tokens are equally rare, so any
+    # within-class order is an equally good prefix order, and the final
+    # pair set is order-independent regardless).  Distributed
+    # assignment: rank within each (df, salt) cell — the salt shards
+    # the window so even the hapax (df=1) class, which is ~half of a
+    # Zipfian vocabulary and would otherwise still funnel through one
+    # window task, splits 64 ways — then add the running count of all
+    # earlier cells.  The cumsum runs over the (df × salt) HISTOGRAM
+    # (≤ 64 rows per distinct df value), never the vocabulary itself.
+    _NSALT = 64
+    salted = freq.withColumn("salt", F.pmod(F.xxhash64("token"), F.lit(_NSALT)))
+    hist = salted.groupBy("df", "salt").agg(F.count(F.lit(1)).alias("cnt"))
     offs = hist.select(
         "df",
+        "salt",
         (
             F.sum("cnt").over(
-                Window.orderBy("df").rowsBetween(Window.unboundedPreceding, -1)
+                Window.orderBy("df", "salt").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
             )
         ).alias("off"),
     ).fillna(0, ["off"])
     ids = (
-        freq.join(F.broadcast(offs), "df")
+        salted.join(F.broadcast(offs), ["df", "salt"])
         .select(
             "token",
             (
                 F.col("off")
-                + F.row_number().over(Window.partitionBy("df").orderBy("token"))
+                + F.row_number().over(
+                    Window.partitionBy("df", "salt").orderBy("token")
+                )
             ).alias("tid"),
         )
     )

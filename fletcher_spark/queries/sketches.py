@@ -207,7 +207,7 @@ mx AS (SELECT max(c_custkey) AS mx FROM customer),
 probes AS (
   SELECT (i * 97)::BIGINT AS probe_key FROM range(1, 31) t(i)
   UNION ALL
-  SELECT mx + i * 41 FROM mx, range(1, 11) t(i)
+  SELECT mx + i * 1000003 FROM mx, range(1, 11) t(i)
 ),
 pp AS (
   SELECT probe_key, j,
@@ -237,8 +237,11 @@ FROM truth
 def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit Bloom filter (m = {m} bits, k = {k} hashes) built over
     the ``customer.c_custkey`` set, probed with 40 arithmetic keys (30
-    low multiples of 97 — mostly present — and 10 beyond ``max(key)``
-    — all absent).  Emits the filter verdict against ground truth.
+    low multiples of 97 — mostly present — and 10 at ``max(key) +
+    1000003·i`` — all absent, and provably disjoint from the first set
+    at every scale factor since the offset stride exceeds the low
+    probes' entire range, so the 40 probe keys are always distinct).
+    Emits the filter verdict against ground truth.
 
     The built filter is the DISTINCT set of set bit positions — at
     most m rows, broadcastable, and mergeable across shards by plain
@@ -273,7 +276,7 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = (
         spark.range(1, 11)
         .crossJoin(F.broadcast(mx))
-        .select((F.col("mx") + F.col("id") * 41).cast("long").alias("probe_key"))
+        .select((F.col("mx") + F.col("id") * 1000003).cast("long").alias("probe_key"))
     )
     probes = lo.unionByName(hi)
     pp = probes.select(
