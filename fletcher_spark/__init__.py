@@ -37,6 +37,16 @@ from fletcher_spark.io import (
 from fletcher_spark.accessor import fr_str
 from fletcher_spark.plans import lint_plan, assert_scale_safe
 from fletcher_spark.operators.profile import profile, key_skew_report
+from fletcher_spark.operators.sketch import (
+    cms_build,
+    cms_estimate,
+    bloom_build,
+    bloom_probe,
+    kmv_minima,
+    kmv_summary,
+    kmv_merge,
+    kmv_estimate,
+)
 
 __version__ = "0.1.0"
 
@@ -55,5 +65,13 @@ __all__ = [
     "assert_scale_safe",
     "profile",
     "key_skew_report",
+    "cms_build",
+    "cms_estimate",
+    "bloom_build",
+    "bloom_probe",
+    "kmv_minima",
+    "kmv_summary",
+    "kmv_merge",
+    "kmv_estimate",
     "__version__",
 ]

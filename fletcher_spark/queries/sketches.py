@@ -52,26 +52,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fletcher_spark.io import load_tables
+from fletcher_spark.operators import sketch as SK
 from fletcher_spark.queries.registry import INTRODUCED_ROUND, query
 
 _CMS_DEPTH = 4
 _CMS_WIDTH = 256
-
-
-def _h(seed, key_col, mod):
-    """Engine-portable hash: first-8-hex-of-md5(seed|key) mod ``mod``."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(str(seed)), F.lit("|"), key_col.cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % mod
-    )
 
 
 def _h_sql(seed, key_expr, mod):
@@ -136,24 +121,7 @@ def sketch_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         d=_CMS_DEPTH, w=_CMS_WIDTH
     )
     ev = load_tables(spark, sf_dir)["events"]
-    cells = (
-        ev.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("j"),
-                            _h(j, F.col("user_id"), _CMS_WIDTH).alias("bucket"),
-                        )
-                        for j in range(_CMS_DEPTH)
-                    ]
-                )
-            ).alias("cell")
-        )
-        .select("cell.j", "cell.bucket")
-        .groupBy("j", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    cells = SK.cms_build(ev, "user_id", _CMS_DEPTH, _CMS_WIDTH)
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
     top = (
         exact.withColumn(
@@ -164,27 +132,7 @@ def sketch_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 10)
     )
-    probe = top.select(
-        "user_id",
-        "exact_cnt",
-        "rk",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        _h(j, F.col("user_id"), _CMS_WIDTH).alias("bucket"),
-                    )
-                    for j in range(_CMS_DEPTH)
-                ]
-            )
-        ).alias("cell"),
-    ).select("user_id", "exact_cnt", "rk", "cell.j", "cell.bucket")
-    est = (
-        probe.join(F.broadcast(cells), ["j", "bucket"])
-        .groupBy("user_id", "exact_cnt", "rk")
-        .agg(F.min("c").alias("cms_est"))
-    )
+    est = SK.cms_estimate(cells, top, "user_id", _CMS_DEPTH, _CMS_WIDTH)
     return est.select(
         "user_id",
         F.col("exact_cnt").cast("long").alias("exact_cnt"),
@@ -258,19 +206,7 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning (tests/test_runtime_filters.py), here surfaced as a
     user-level operator.""".format(m=_BLOOM_M, k=_BLOOM_K)
     cust = load_tables(spark, sf_dir)["customer"]
-    bits = (
-        cust.select(
-            F.explode(
-                F.array(
-                    *[
-                        _h(j, F.col("c_custkey"), _BLOOM_M).alias(f"p{j}")
-                        for j in range(_BLOOM_K)
-                    ]
-                )
-            ).alias("pos")
-        )
-        .distinct()
-    )
+    bits = SK.bloom_build(cust, "c_custkey", _BLOOM_M, _BLOOM_K)
     mx = cust.agg(F.max("c_custkey").alias("mx"))
     lo = spark.range(1, 31).select((F.col("id") * 97).cast("long").alias("probe_key"))
     hi = (
@@ -279,27 +215,15 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("mx") + F.col("id") * 1000003).cast("long").alias("probe_key"))
     )
     probes = lo.unionByName(hi)
-    pp = probes.select(
-        "probe_key",
-        F.explode(
-            F.array(
-                *[_h(j, F.col("probe_key"), _BLOOM_M) for j in range(_BLOOM_K)]
-            )
-        ).alias("pos"),
-    )
-    hits = (
-        pp.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
-        .groupBy("probe_key")
-        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("nhit"))
-    )
+    membership = SK.bloom_probe(bits, probes, "probe_key", _BLOOM_M, _BLOOM_K)
     actual = cust.select(
         F.col("c_custkey").alias("probe_key"), F.lit(True).alias("actual")
     ).distinct()
     truth = (
-        hits.join(F.broadcast(actual), "probe_key", "left")
+        membership.join(F.broadcast(actual), "probe_key", "left")
         .select(
             "probe_key",
-            (F.col("nhit") == _BLOOM_K).alias("in_bloom"),
+            "in_bloom",
             F.coalesce(F.col("actual"), F.lit(False)).alias("actual"),
         )
     )
@@ -494,44 +418,23 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch itself is k longs per group — the state a streaming or
     shard-merge pipeline would carry.""".format(k=_KMV_K)
     ev = load_tables(spark, sf_dir)["events"]
-    h = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 14), 16, 10)
-        .cast("long")
-        .alias("h")
-    )
-    d = ev.select("event_type", h).distinct()
-    w = Window.partitionBy("event_type").orderBy("h")
-    tk = d.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _KMV_K)
-
-    def _est(nk, hk):
-        return F.when(nk < _KMV_K, nk.cast("double")).otherwise(
-            F.round(F.lit(float(_KMV_K - 1)) * _KMV_SCALE / hk, 2)
-        )
-
-    per = tk.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("nk"), F.max("h").alias("hk")
-    )
+    tk = SK.kmv_minima(ev, "user_id", _KMV_K, ("event_type",))
+    per = SK.kmv_summary(tk, ("event_type",))
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
     typed = exact.join(per, "event_type").select(
         "event_type",
         "exact_distinct",
-        _est(F.col("nk"), F.col("hk")).alias("kmv_est"),
+        SK.kmv_estimate(F.col("nk"), F.col("hk"), _KMV_K).alias("kmv_est"),
     )
     # merge: union of the per-type k-min sets, re-take the k smallest
-    mtk = (
-        tk.select("h")
-        .distinct()
-        .withColumn("rk", F.row_number().over(Window.orderBy("h")))
-        .filter(F.col("rk") <= _KMV_K)
-        .agg(F.count(F.lit(1)).alias("nk"), F.max("h").alias("hk"))
-    )
+    mtk = SK.kmv_summary(SK.kmv_merge(tk, _KMV_K))
     mex = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
     merged = mex.crossJoin(F.broadcast(mtk)).select(
         F.lit("ALL").alias("event_type"),
         "exact_distinct",
-        _est(F.col("nk"), F.col("hk")).alias("kmv_est"),
+        SK.kmv_estimate(F.col("nk"), F.col("hk"), _KMV_K).alias("kmv_est"),
     )
     out = typed.unionByName(merged)
     return out.select(
