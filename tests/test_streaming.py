@@ -566,3 +566,35 @@ def test_stream_static_enrichment_matches_batch(spark):
     finally:
         q.stop()
     assert got == want
+
+
+def test_streaming_cms_grid_matches_batch(spark):
+    """The Count-Min grid is a pure groupBy-count, so maintaining it
+    under Structured Streaming (complete mode) is the same plan — and
+    because CMS merge is cell-wise addition, the micro-batch-maintained
+    grid must equal the batch-built one exactly.  This is the streaming
+    leg of the sketch-merge story (operators/sketch.py)."""
+    from fletcher_spark.operators import sketch as SK
+    from fletcher_spark.sources.stream import stream_events
+
+    batch = SK.cms_build(load_tables(spark, SF_DIR)["events"], "user_id", 4, 64)
+    want = {(r["j"], r["bucket"]): r["c"] for r in batch.collect()}
+
+    stream = SK.cms_build(stream_events(spark, SF_DIR), "user_id", 4, 64)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_cms")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = {
+            (r["j"], r["bucket"]): r["c"]
+            for r in spark.sql("SELECT * FROM stream_cms").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want
+    assert len(got) > 0
