@@ -49,10 +49,66 @@ def median(c, skipna=True):     return _wrap(c, F.median, skipna)
 
 
 def median_approx(c, accuracy: int = 10000) -> Column:
-    """The 100 TB path: exact median needs a full sort of the group;
-    percentile_approx is a fixed-memory sketch (error 1/accuracy)."""
+    """The unbounded-cardinality 100 TB path: exact median needs a full
+    sort of the group; percentile_approx is a fixed-memory sketch
+    (error 1/accuracy).  For columns whose DISTINCT cardinality is
+    tractable (quantities, lengths, prices), :func:`exact_quantiles`
+    is exact AND distributed."""
     col = F.col(c) if isinstance(c, str) else c
     return F.percentile_approx(col, 0.5, accuracy)
+
+
+def exact_quantiles(df, val_col: str, probs: dict, group_cols: tuple = ()):
+    """Exact interpolated quantiles (``quantile_cont`` semantics) from a
+    VALUE HISTOGRAM — distributed-exact, unlike Spark's
+    ``percentile()``/``median()`` whose final merge task buffers every
+    value of the group.
+
+    Plan: groupBy(group, value) count (shuffle sized by group×distinct
+    cardinality, map-side combined) → per-group cumulative rank (keyed
+    window — distributed across groups) → quantile p interpolates
+    between the values at cumulative ranks ``floor/ceil(1 + (n−1)p)``.
+    Exact for any column with tractable distinct cardinality; for
+    unbounded-cardinality doubles use :func:`median_approx`.
+
+    ``probs`` maps output column name → probability.  Returns one row
+    per group: (group..., <name> double ...).
+    """
+    from pyspark.sql import Window
+
+    hist = (
+        df.filter(F.col(val_col).isNotNull())  # quantile_cont skips nulls
+        .groupBy(*group_cols, F.col(val_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.partitionBy(*(group_cols or [F.lit(1)])).orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy(*(group_cols or [F.lit(1)]))
+    cum = hist.select(
+        *group_cols,
+        "v",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("nn"),
+    )
+    aggs, outs = [], []
+    for name, p in probs.items():
+        pos = 1 + (F.col("nn") - 1) * F.lit(float(p))
+        aggs += [
+            F.min(F.when(F.col("cum") >= F.floor(pos), F.col("v"))).alias(f"_lo_{name}"),
+            F.min(F.when(F.col("cum") >= F.ceil(pos), F.col("v"))).alias(f"_hi_{name}"),
+            F.min(pos - F.floor(pos)).alias(f"_fr_{name}"),
+        ]
+        outs.append(
+            (
+                F.col(f"_lo_{name}")
+                + F.col(f"_fr_{name}") * (F.col(f"_hi_{name}") - F.col(f"_lo_{name}"))
+            )
+            .cast("double")
+            .alias(name)
+        )
+    agg = cum.groupBy(*group_cols).agg(*aggs) if group_cols else cum.agg(*aggs)
+    return agg.select(*group_cols, *outs)
 
 
 def any_(c, skipna=True):

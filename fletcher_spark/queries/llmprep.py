@@ -513,18 +513,18 @@ def winsorize_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw vs winsorized means.
 
     Two source-keyed aggregates with a join between them: phase 1
-    produces one row per source (exact interpolated ``F.percentile`` ==
-    DuckDB ``quantile_cont`` — parity proven by
-    reductions_mode_percentile), broadcast back onto the corpus scan,
+    produces one row per source via the VALUE-HISTOGRAM exact
+    quantiles (operators/agg.py:exact_quantiles — interpolated
+    ``quantile_cont`` semantics, distributed, no buffer-all
+    ``percentile()`` aggregate), broadcast back onto the corpus scan,
     phase 2 re-aggregates.  At 100 TB the percentile table is
-    |sources| rows (always broadcastable) and the documented grouped
-    path swaps in ``percentile_approx`` — exact per-group percentile
-    buffers the group, the sketch does not."""
+    |sources| rows (always broadcastable); histograms over (source,
+    n_chars) stay tractable because lengths are bounded — unbounded-
+    cardinality columns would swap in ``percentile_approx``."""
+    from fletcher_spark.operators.agg import exact_quantiles
+
     d = load_tables(spark, sf_dir)["documents"]
-    p = d.groupBy("source").agg(
-        F.percentile("n_chars", F.lit(0.05)).alias("p05"),
-        F.percentile("n_chars", F.lit(0.95)).alias("p95"),
-    )
+    p = exact_quantiles(d, "n_chars", {"p05": 0.05, "p95": 0.95}, ("source",))
     clamped = F.least(
         F.greatest(F.col("n_chars").cast("double"), F.col("p05")), F.col("p95")
     )

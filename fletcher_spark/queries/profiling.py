@@ -428,17 +428,21 @@ def mad_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     handful of mega-docs can't move the median the way they move a
     mean/stddev, so the 3×MAD fence stays put under contamination.
 
-    Two grouped exact medians (source-keyed, group-buffered) with a
-    broadcast-sized |sources|-row table joined back between them; the
-    documented 100 TB swap is ``percentile_approx(.., 0.5)`` for both
-    medians (same sketch as operators/agg.py:median_approx).  Exact
-    median parity with DuckDB is proven by reductions_mode_percentile."""
+    Two grouped exact medians via the VALUE-HISTOGRAM path
+    (operators/agg.py:exact_quantiles — keyed-window cumulative ranks,
+    distributed across sources, no group-buffering ``median()``
+    aggregate) with a broadcast-sized |sources|-row table joined back
+    between them; columns with unbounded distinct cardinality would
+    swap in ``percentile_approx(.., 0.5)`` (same sketch as
+    operators/agg.py:median_approx)."""
+    from fletcher_spark.operators.agg import exact_quantiles
+
     d = load_tables(spark, sf_dir)["documents"]
-    med = d.groupBy("source").agg(F.median("n_chars").alias("med"))
+    med = exact_quantiles(d, "n_chars", {"med": 0.5}, ("source",))
     dev = d.join(F.broadcast(med), "source").select(
         "source", "doc_id", "n_chars", F.abs(F.col("n_chars") - F.col("med")).alias("adev")
     )
-    mad = dev.groupBy("source").agg(F.median("adev").alias("mad"))
+    mad = exact_quantiles(dev, "adev", {"mad": 0.5}, ("source",))
     j = dev.join(F.broadcast(mad), "source")
     is_out = F.col("adev") > 3 * F.col("mad")
     return j.groupBy("source").agg(

@@ -93,3 +93,37 @@ def test_kmv_exact_below_k_and_merge_lossless(spark, rng):
     direct = SK.kmv_summary(SK.kmv_minima(big, "key", 64)).collect()[0]
     assert (merged["nk"], merged["hk"]) == (direct["nk"], direct["hk"])
     big.unpersist()
+
+
+def test_exact_quantiles_matches_percentile_with_nulls(spark, rng):
+    """operators/agg.py:exact_quantiles must reproduce Spark's exact
+    interpolated percentile() — including null skipping and even-count
+    interpolation — on random grouped data."""
+    from fletcher_spark.operators.agg import exact_quantiles
+
+    rows = [
+        (g, rng.randrange(50) if rng.random() > 0.1 else None)
+        for g in ("a", "b", "c")
+        for _ in range(rng.randrange(101, 140))
+    ]
+    df = spark.createDataFrame(rows, "g string, v long").persist()
+    got = {
+        r["g"]: (r["p25"], r["p50"], r["p95"])
+        for r in exact_quantiles(
+            df, "v", {"p25": 0.25, "p50": 0.5, "p95": 0.95}, ("g",)
+        ).collect()
+    }
+    want = {
+        r["g"]: (r["p25"], r["p50"], r["p95"])
+        for r in df.groupBy("g")
+        .agg(
+            F.percentile("v", F.lit(0.25)).alias("p25"),
+            F.percentile("v", F.lit(0.50)).alias("p50"),
+            F.percentile("v", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    for g in want:
+        for a, b in zip(got[g], want[g]):
+            assert abs(a - b) < 1e-9, (g, got[g], want[g])
+    df.unpersist()
