@@ -195,3 +195,68 @@ def connected_components(
             "check the edge input)"
         )
     return labels
+
+
+def kcore_peel(e: DataFrame, k: int, rounds: int) -> DataFrame:
+    """k-core decomposition by iterative peeling: each round removes
+    every surviving node whose current degree is below ``k``, then
+    recomputes degrees on the induced subgraph (Montresor et al.'s
+    distributed k-core).  Input: undirected edges (u, v); output one
+    row per node: (node, removed_round, core_deg) where removed_round
+    is 1-based (0 = survived every round) and core_deg is the node's
+    degree inside the final surviving subgraph (0 for removed nodes).
+
+    The surviving set after ``rounds`` rounds is a SUPERSET of the true
+    k-core — peeling only ever shrinks it — and equals it once a round
+    removes nothing.  Each round is one degree aggregate plus two
+    anti-joins over the current edge set; every intermediate is
+    ``localCheckpoint``-ed because survivors/edges reference the prior
+    round's plan three times, so the uncut logical tree (and the plan
+    strings AQE renders) would grow 3^rounds-fold — the same
+    lineage-truncation discipline as :func:`connected_components`.
+    """
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("u").alias("node"))
+            .unionAll(ed.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    n0 = degrees(e).persist()
+    survivors = n0.select("node")
+    edges = e
+    peeled = []
+    for rnd in range(1, rounds + 1):
+        d = degrees(edges) if rnd > 1 else n0
+        p = (
+            survivors.join(d, "node", "left")
+            .filter(F.coalesce(F.col("d"), F.lit(0)) < k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        peeled.append((rnd, p))
+        survivors = survivors.join(p, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        edges = (
+            edges.join(p.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(p.withColumnRenamed("node", "v"), "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    dfinal = degrees(edges)
+    out = n0.select("node")
+    for rnd, p in peeled:
+        out = out.join(p.withColumn(f"r{rnd}", F.lit(rnd)), "node", "left")
+    rcols = [F.col(f"r{rnd}") for rnd, _ in peeled]
+    return (
+        out.join(dfinal.withColumnRenamed("d", "fd"), "node", "left")
+        .select(
+            "node",
+            F.coalesce(*rcols, F.lit(0)).cast("int").alias("removed_round"),
+            F.when(F.coalesce(*rcols).isNull(), F.coalesce(F.col("fd"), F.lit(0)))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("core_deg"),
+        )
+    )

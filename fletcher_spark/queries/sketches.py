@@ -236,6 +236,53 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truth.withColumn("verdict", verdict)
 
 
+#: Shared CTE prefix: the above-average-weight undirected nation trade
+#: graph (also the PageRank edge family, queries/profiling.py).
+_TRADE_SQL = """trade AS (
+  SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+         greatest(c.c_nationkey, s.s_nationkey) AS v,
+         count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey != s.s_nationkey
+  GROUP BY u, v
+),
+cut AS (SELECT avg(w) AS thr FROM trade),
+e AS (SELECT u, v FROM trade, cut WHERE w > thr)"""
+
+
+def _trade_edges(t) -> DataFrame:
+    """Above-average-weight undirected nation trade edges (u < v).
+
+    The |nations|²-bounded aggregate is persisted: its lineage is the
+    whole fact-table join chain, and the edge set feeds several
+    consumers in every graph query (threshold, degree builds,
+    orientation / peeling rounds) — uncached, each consumer re-runs
+    the chain.  Both graph queries build the IDENTICAL plan, so the
+    cache is also shared across them within a session."""
+    trade = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()
+    )
+    thr = trade.agg(F.avg("w").alias("thr"))
+    return (
+        trade.crossJoin(F.broadcast(thr))
+        .filter(F.col("w") > F.col("thr"))
+        .select("u", "v")
+    )
+
+
 _TRI_ORACLE = """
 WITH trade AS (
   SELECT least(c.c_nationkey, s.s_nationkey) AS u,
@@ -297,25 +344,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each triangle is produced exactly once (its orientation-sorted
     vertex order), so the per-node count is a plain corner explode."""
     t = load_tables(spark, sf_dir)
-    trade = (
-        t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.least("c_nationkey", "s_nationkey").alias("u"),
-            F.greatest("c_nationkey", "s_nationkey").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        # |nations|²-bounded, but its lineage is the whole fact-table
-        # join chain and the edge set feeds FOUR consumers (threshold,
-        # degree build, orientation, and the three wedge-join aliases)
-        # — uncached, each alias re-runs the chain
-        .persist()
-    )
-    thr = trade.agg(F.avg("w").alias("thr"))
-    e = trade.crossJoin(F.broadcast(thr)).filter(F.col("w") > F.col("thr")).select("u", "v")
+    e = _trade_edges(t)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -450,10 +479,109 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KCORE_K = 6
+
+_KCORE_ORACLE = f"""
+WITH {_TRADE_SQL.replace("trade AS (", "trade AS MATERIALIZED (").replace("e AS (", "e AS MATERIALIZED (")},
+n0 AS MATERIALIZED (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  ) GROUP BY node
+),
+p1 AS MATERIALIZED (SELECT node FROM n0 WHERE d < {_KCORE_K}),
+s1 AS MATERIALIZED (
+  SELECT node FROM n0 WHERE node NOT IN (SELECT node FROM p1)
+),
+e1 AS MATERIALIZED (
+  SELECT u, v FROM e
+  WHERE u IN (SELECT node FROM s1) AND v IN (SELECT node FROM s1)
+),
+d2 AS MATERIALIZED (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM e1 UNION ALL SELECT v AS node FROM e1
+  ) GROUP BY node
+),
+p2 AS MATERIALIZED (
+  SELECT s1.node FROM s1 LEFT JOIN d2 ON d2.node = s1.node
+  WHERE coalesce(d2.d, 0) < {_KCORE_K}
+),
+s2 AS MATERIALIZED (
+  SELECT node FROM s1 WHERE node NOT IN (SELECT node FROM p2)
+),
+e2 AS MATERIALIZED (
+  SELECT u, v FROM e1
+  WHERE u IN (SELECT node FROM s2) AND v IN (SELECT node FROM s2)
+),
+d3 AS MATERIALIZED (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM e2 UNION ALL SELECT v AS node FROM e2
+  ) GROUP BY node
+),
+p3 AS MATERIALIZED (
+  SELECT s2.node FROM s2 LEFT JOIN d3 ON d3.node = s2.node
+  WHERE coalesce(d3.d, 0) < {_KCORE_K}
+),
+s3 AS MATERIALIZED (
+  SELECT node FROM s2 WHERE node NOT IN (SELECT node FROM p3)
+),
+e3 AS MATERIALIZED (
+  SELECT u, v FROM e2
+  WHERE u IN (SELECT node FROM s3) AND v IN (SELECT node FROM s3)
+),
+df AS MATERIALIZED (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3
+  ) GROUP BY node
+)
+SELECT n.n_name AS nation,
+       CAST(CASE WHEN n0.node IN (SELECT node FROM p1) THEN 1
+                 WHEN n0.node IN (SELECT node FROM p2) THEN 2
+                 WHEN n0.node IN (SELECT node FROM p3) THEN 3
+                 ELSE 0 END AS INT) AS removed_round,
+       CAST(CASE WHEN n0.node IN (SELECT node FROM s3)
+                 THEN coalesce((SELECT d FROM df WHERE df.node = n0.node), 0)
+                 ELSE 0 END AS BIGINT) AS core_deg
+FROM n0 JOIN nation n ON n.n_nationkey = n0.node
+"""
+
+
+@query("graph_kcore_peel", oracle=_KCORE_ORACLE)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling (k = {k}, 3 unrolled
+    rounds) over the trade graph — the 5th graph algorithm (after
+    connected components, PageRank, label propagation, triangles), and
+    the standard coreness/degeneracy primitive for separating a
+    graph's dense backbone from its fringe.
+
+    Each round removes every surviving node whose CURRENT degree is
+    below k, then recomputes degrees on the induced subgraph — exactly
+    the distributed k-core of Montresor et al.: one degree aggregate
+    plus two anti-joins per round, all keyed on the edge/vertex sets
+    (never the fact tables, which collapse to the |nations|²-bounded
+    edge aggregate once — shared, persisted, cache-aligned with
+    graph_triangle_count via ``_trade_edges``).  Emits each node's
+    removal round (0 = survived all rounds) and its degree inside the
+    final surviving subgraph.  Three rounds are unrolled for exact
+    oracle replay; the surviving set is a SUPERSET of the true k-core
+    (peeling only ever shrinks it), and a production
+    run-to-convergence iterates the same round body with the
+    localCheckpoint/convergence-hash pattern of operators/graph.py's
+    connected components.""".format(k=_KCORE_K)
+    from fletcher_spark.operators.graph import kcore_peel
+
+    t = load_tables(spark, sf_dir)
+    out = kcore_peel(_trade_edges(t), _KCORE_K, 3)
+    return out.join(
+        F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+        out["node"] == F.col("n_nationkey"),
+    ).select(F.col("n_name").alias("nation"), "removed_round", "core_deg")
+
+
 for _n in (
     "sketch_cms_heavyhitters",
     "sketch_bloom_membership",
     "graph_triangle_count",
     "sketch_kmv_distinct",
+    "graph_kcore_peel",
 ):
     INTRODUCED_ROUND[_n] = 6

@@ -79,3 +79,45 @@ def test_triangle_corners_divisible_by_three(spark):
     df = registry.QUERIES["graph_triangle_count"](spark, SF_DIR)
     total = df.agg(F.sum("n_triangles").alias("s")).collect()[0]["s"]
     assert total is not None and total % 3 == 0, total
+
+
+def test_kcore_peel_cascade_on_path_graph(spark):
+    """A 10-node path with k=2 peels from both ends, one layer per
+    round — the cascade the nation graph doesn't exercise — and the
+    survivors after 3 rounds are the documented superset of the true
+    (empty) 2-core."""
+    from fletcher_spark.operators.graph import kcore_peel
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "u long, v long"
+    )
+    got = {
+        r["node"]: (r["removed_round"], r["core_deg"])
+        for r in kcore_peel(e, 2, 3).collect()
+    }
+    assert got[0][0] == 1 and got[9][0] == 1
+    assert got[1][0] == 2 and got[8][0] == 2
+    assert got[2][0] == 3 and got[7][0] == 3
+    for n in (3, 4, 5, 6):
+        assert got[n][0] == 0
+    # remaining path 3-4-5-6: end degrees 1, middle degrees 2
+    assert got[3][1] == 1 and got[6][1] == 1
+    assert got[4][1] == 2 and got[5][1] == 2
+
+
+def test_kcore_peel_triangle_with_tail_converges(spark):
+    """Triangle plus a pendant tail at k=2: the tail node peels in
+    round 1 and the triangle IS the exact 2-core (a fixpoint — later
+    rounds remove nothing)."""
+    from fletcher_spark.operators.graph import kcore_peel
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "u long, v long"
+    )
+    got = {
+        r["node"]: (r["removed_round"], r["core_deg"])
+        for r in kcore_peel(e, 2, 3).collect()
+    }
+    assert got[4] == (1, 0)
+    for n in (1, 2, 3):
+        assert got[n] == (0, 2), got
