@@ -215,6 +215,9 @@ def kcore_peel(e: DataFrame, k: int, rounds: int) -> DataFrame:
     strings AQE renders) would grow 3^rounds-fold — the same
     lineage-truncation discipline as :func:`connected_components`.
     """
+    if rounds < 1:
+        raise ValueError(f"kcore_peel needs rounds >= 1, got {rounds}")
+
     def degrees(ed: DataFrame) -> DataFrame:
         return (
             ed.select(F.col("u").alias("node"))

@@ -147,8 +147,10 @@ def lloyd_centroids_multi(
     collect plus one aggregate job per round regardless of m.  The
     arithmetic per subspace is identical to the single-column trainer
     (init = k lowest-id rows, argmin ties to lowest cid, unordered
-    averages), so results are bit-equal and the SQL oracle that
-    replays per-subspace training stays valid.  Requires all
+    averages) — equal within the rounding contract (the shuffle key
+    differs, (s, cid, i) vs (cid, i), so partial-sum merge order and
+    hence exact bits may differ) — and the SQL oracle that replays
+    per-subspace training stays valid.  Requires all
     ``vec_cols`` to share one element type (they are slices of one
     embedding in the PQ case)."""
     w0 = Window.orderBy(id_col)

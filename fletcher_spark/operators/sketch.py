@@ -89,10 +89,13 @@ def cms_estimate(
     pp = probes.withColumn("cell", _cells(F.col(key_col), depth, width)).select(
         *probes.columns, "cell.j", "cell.bucket"
     )
+    # LEFT join + coalesce-to-0: a probe key absent from the stream has
+    # empty grid cells, and the CMS estimate for it is min(..., 0) = 0 —
+    # an inner join would silently drop such probes from the output.
     return (
-        pp.join(F.broadcast(cms), ["j", "bucket"])
+        pp.join(F.broadcast(cms), ["j", "bucket"], "left")
         .groupBy(*probes.columns)
-        .agg(F.min("c").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
     )
 
 
@@ -123,12 +126,15 @@ def bloom_probe(
             F.array(*[portable_hash(j, F.col(key_col), m) for j in range(k)])
         ).alias("pos"),
     )
+    # min(hit)==1 ⇔ every position set.  (A sum-vs-k compare breaks on
+    # duplicate probe rows: groupBy collapses them and the sum becomes
+    # dup_count*k, yielding a false negative for an inserted key.)
     hits = (
         pp.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
         .groupBy(*probes.columns)
-        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("nhit"))
+        .agg(F.min(F.coalesce(F.col("hit"), F.lit(0))).alias("allhit"))
     )
-    return hits.select(*probes.columns, (F.col("nhit") == k).alias("in_bloom"))
+    return hits.select(*probes.columns, (F.col("allhit") == 1).alias("in_bloom"))
 
 
 def kmv_hash(key: Column) -> Column:
@@ -145,15 +151,29 @@ def kmv_minima(
     as (group..., h) rows.  This is the state a shard or micro-batch
     pipeline carries — ≤ k longs per group."""
     d = df.select(*group_cols, kmv_hash(F.col(key_col)).alias("h")).distinct()
-    w = (
-        Window.partitionBy(*group_cols).orderBy("h")
-        if group_cols
-        else Window.orderBy("h")
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy("h")
+        return (
+            d.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(*group_cols, "h")
+        )
+    # Ungrouped path: a bare Window.orderBy would funnel every distinct
+    # hash through one task.  Pre-prune with a salted per-salt top-k
+    # (any hash among the global k smallest is among its salt's k
+    # smallest), then run the tiny global window over ≤ 32·k rows.
+    salted = d.withColumn("_s", F.pmod(F.col("h"), F.lit(32)))
+    per_salt = (
+        salted.withColumn(
+            "rk", F.row_number().over(Window.partitionBy("_s").orderBy("h"))
+        )
+        .filter(F.col("rk") <= k)
+        .select("h")
     )
     return (
-        d.withColumn("rk", F.row_number().over(w))
+        per_salt.withColumn("rk", F.row_number().over(Window.orderBy("h")))
         .filter(F.col("rk") <= k)
-        .select(*group_cols, "h")
+        .select("h")
     )
 
 

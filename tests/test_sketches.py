@@ -72,6 +72,67 @@ def test_kmv_merge_equals_direct_global_sketch(spark):
             assert r["kmv_est"] == float(r["exact_distinct"]), r
 
 
+def test_cms_absent_probe_survives_with_zero_estimate(spark):
+    """A probe key never inserted must still come back (estimate 0 when
+    its cells are all empty) — the exported-API contract the inner-join
+    version violated by dropping absent keys."""
+    from fletcher_spark.operators.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(20)], "key string")
+    grid = cms_build(df, "key", depth=4, width=4096)
+    probes = spark.createDataFrame(
+        [("k0",), ("absent-xyzzy",)], "key string"
+    )
+    got = {r["key"]: r["cms_est"] for r in
+           cms_estimate(grid, probes, "key", 4, 4096).collect()}
+    assert set(got) == {"k0", "absent-xyzzy"}
+    assert got["k0"] >= 1
+    assert got["absent-xyzzy"] == 0, got
+
+
+def test_bloom_probe_duplicate_rows_no_false_negative(spark):
+    """Duplicate probe rows must not flip an inserted key to
+    in_bloom=false (the sum-vs-k compare bug)."""
+    from fletcher_spark.operators.sketch import bloom_build, bloom_probe
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(50)], "key string")
+    bits = bloom_build(df, "key", m=4096, k=3)
+    probes = spark.createDataFrame(
+        [("k7",), ("k7",), ("k7",), ("nope",)], "key string"
+    )
+    got = {r["key"]: r["in_bloom"] for r in
+           bloom_probe(bits, probes, "key", 4096, 3).collect()}
+    assert got["k7"] is True, got
+
+
+def test_kmv_ungrouped_salted_path_equals_plain_topk(spark):
+    """The ungrouped KMV path (salted pre-prune + tiny global window)
+    must return exactly the k smallest distinct hashes."""
+    from fletcher_spark.operators.sketch import kmv_hash, kmv_minima
+
+    df = spark.createDataFrame([(f"u{i}",) for i in range(300)], "key string")
+    got = sorted(r["h"] for r in kmv_minima(df, "key", 16).collect())
+    exact = sorted(
+        r["h"]
+        for r in df.select(kmv_hash(F.col("key")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(16)
+        .collect()
+    )
+    assert got == exact
+
+
+def test_kcore_peel_rejects_zero_rounds(spark):
+    import pytest as _pytest
+
+    from fletcher_spark.operators.graph import kcore_peel
+
+    e = spark.createDataFrame([(1, 2)], "u long, v long")
+    with _pytest.raises(ValueError):
+        kcore_peel(e, 2, 0)
+
+
 def test_triangle_corners_divisible_by_three(spark):
     """Each triangle contributes exactly 3 corner rows, so the summed
     per-node counts must be a multiple of 3 — catches double-counted
