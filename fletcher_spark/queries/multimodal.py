@@ -51,13 +51,43 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_decode_stub")  # rows-only: decoder output has no SQL analog
+@query(
+    "mm_decode_stub",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, text, unnest(range(1, strlen(text)::BIGINT + 1)) AS i
+  FROM documents
+),
+agg AS (
+  SELECT doc_id,
+    count(*) FILTER (WHERE ascii(substr(text, i::INT, 1)) % 16 = 0)  AS c0,
+    count(*) FILTER (WHERE ascii(substr(text, i::INT, 1)) % 16 = 15) AS c15
+  FROM ch GROUP BY doc_id
+)
+SELECT d.doc_id,
+  64 + ('0x' || substr(md5(d.text), 1, 2))::INT % 192 AS width,
+  64 + ('0x' || substr(md5(d.text), 3, 2))::INT % 192 AS height,
+  strlen(d.text)::BIGINT AS n_bytes,
+  round(coalesce(a.c0, 0) / greatest(strlen(d.text), 1), 6) AS feat0,
+  round(coalesce(a.c15, 0) / greatest(strlen(d.text), 1), 6) AS feat15
+FROM documents d
+LEFT JOIN agg a USING (doc_id)
+""",
+)
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode path: binary payload → (width, height,
     n_bytes, 16-dim feature vector) via ``mapInPandas`` with the
     deterministic fake decoder (STUB: a real PIL/ffmpeg decoder drops
     into the same batch loop; pipeline/multimodal.py:decode_images).
-    Determinism/schema/partitioning pinned in tests/test_multimodal.py."""
+    Determinism/schema/partitioning pinned in tests/test_multimodal.py.
+
+    VALUE-CHECKED cross-engine: the stub decoder is deliberately
+    SQL-expressible — dims are md5-derived (first two digest bytes),
+    features a 16-bucket byte histogram — and the corpus is pure ASCII
+    (byte == ascii(char) for every row, verified at build time), so the
+    DuckDB oracle replays the exact decode arithmetic character-wise.
+    A real decoder swap keeps the mapInPandas plumbing and drops the
+    oracle back to metadata-only (mm_binary_features covers that tier)."""
     d = load_tables(spark, sf_dir)["documents"]
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     out = MM.decode_images(payloads, "doc_id", "payload")
