@@ -143,3 +143,94 @@ REDUCTIONS = {
     "std": std, "var": var, "skew": skew, "kurt": kurt, "median": median,
     "any": any_, "all": all_,
 }
+
+
+def exact_cut_points(df, val_col: str, k: int, n_coarse: int = 256):
+    """Rank-based discrete k-quantile cut points, distributed-exact with
+    NO table-sized single-partition window — the scale path behind the
+    ntile-based equi-depth queries.
+
+    Definition (deterministic cross-engine, tie-stable): with n = count
+    of non-null values and ranks ``r_i = ceil(i·n/k)`` for i in 1..k−1,
+    ``cut_i`` = the smallest value whose cumulative count ≥ ``r_i``.
+    Bucket membership is then a pure map-side expression
+    (:func:`assign_cut_buckets`); all rows with equal values share a
+    bucket, so buckets can be uneven under heavy ties — the documented
+    trade vs ``ntile``'s row-exact split.
+
+    Plan — a two-level prefix sum over the VALUE HISTOGRAM:
+
+    1. ``groupBy(value)`` count (map-side combined);
+    2. a one-row (min, max, n) aggregate broadcast back to assign each
+       histogram row a coarse range bucket (``n_coarse`` of them);
+    3. cumulative counts WITHIN each coarse bucket (keyed window —
+       distributed);
+    4. coarse-bucket totals → running offsets (a window over
+       ``n_coarse`` rows — constant-sized, never table-sized);
+    5. global cumulative = offset + in-bucket cumulative; cuts fall out
+      of one final min-when aggregate.
+
+    Returns a ONE-ROW DataFrame ``(cuts array<double>, n long)`` meant
+    to be ``crossJoin(F.broadcast(...))``-ed onto the assignment scan.
+    """
+    from pyspark.sql import Window
+
+    v = df.filter(F.col(val_col).isNotNull()).select(
+        F.col(val_col).cast("double").alias("v")
+    )
+    hist = v.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    stats = hist.agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax"), F.sum("c").alias("n")
+    )
+    h = hist.crossJoin(F.broadcast(stats))
+    span = F.col("vmax") - F.col("vmin")
+    coarse = (
+        F.when(span <= 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("v") - F.col("vmin")) / span * n_coarse),
+                F.lit(n_coarse - 1),
+            )
+        )
+        .cast("int")
+    )
+    h = h.withColumn("cb", coarse)
+    w_in = Window.partitionBy("cb").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    h2 = h.withColumn("cum_in", F.sum("c").over(w_in))
+    w_off = Window.orderBy("cb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # n_coarse rows — constant-sized window input
+    offs = (
+        h2.groupBy("cb")
+        .agg(F.sum("c").alias("bt"))
+        .select("cb", F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias("off"))
+    )
+    g = h2.join(F.broadcast(offs), "cb").withColumn(
+        "cum", F.col("off") + F.col("cum_in")
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(float(i)) * F.col("n") / k), F.col("v")
+            )
+        ).alias(f"_cut{i}")
+        for i in range(1, k)
+    ]
+    row = g.agg(*aggs, F.max("n").alias("n"))
+    return row.select(
+        F.array(*[F.col(f"_cut{i}") for i in range(1, k)]).alias("cuts"),
+        "n",
+    )
+
+
+def assign_cut_buckets(val: Column | str, cuts: Column | str = "cuts") -> Column:
+    """Map-side bucket id (1-based long) for a value against broadcast
+    cut points: ``1 + |{cut : val > cut}|``.  Pure codegen — pair with
+    :func:`exact_cut_points` via ``crossJoin(F.broadcast(cuts_row))``."""
+    vc = F.col(val) if isinstance(val, str) else val
+    cc = F.col(cuts) if isinstance(cuts, str) else cuts
+    return (
+        F.lit(1) + F.size(F.filter(cc, lambda c: vc.cast("double") > c))
+    ).cast("long")

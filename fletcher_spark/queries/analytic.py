@@ -328,6 +328,57 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "histogram_equidepth_cuts",
+    oracle="""
+WITH v AS (SELECT o_totalprice AS x, o_orderkey FROM orders WHERE o_totalprice IS NOT NULL),
+h AS (SELECT x, count(*) AS c FROM v GROUP BY x),
+cum AS (SELECT x, sum(c) OVER (ORDER BY x) AS cw FROM h),
+nn AS (SELECT count(*) AS n FROM v),
+cuts AS (
+  SELECT i, min(x) AS cut
+  FROM cum CROSS JOIN nn CROSS JOIN (SELECT unnest(range(1, 10)) AS i) t
+  WHERE cw >= ceil(i * n / 10.0)
+  GROUP BY i),
+carr AS (SELECT list(cut ORDER BY i) AS cl FROM cuts),
+b AS (
+  SELECT CAST(1 + len(list_filter(carr.cl, c -> x > c)) AS BIGINT) AS decile, x
+  FROM v CROSS JOIN carr)
+SELECT decile,
+       CAST(count(*) AS BIGINT)    AS n_orders,
+       round(min(x), 2)            AS lo,
+       round(max(x), 2)            AS hi
+FROM b GROUP BY decile
+""",
+)
+def histogram_equidepth_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for equi-depth histograms (the two-path treatment
+    histogram_equidepth's docstring promises): rank-exact decile cut
+    points from :func:`exact_cut_points` — a two-level prefix sum over
+    the value histogram, no table-sized single-partition window — then a
+    broadcast of the 9 cuts and a map-only bucket assignment.  Ties
+    share a bucket (cut semantics), vs ntile's row-exact split; both
+    variants stay registered so the driver value-checks each contract.
+    """
+    from fletcher_spark.operators.agg import assign_cut_buckets, exact_cut_points
+
+    o = load_tables(spark, sf_dir)["orders"]
+    cuts = exact_cut_points(o, "o_totalprice", 10)
+    return (
+        o.select("o_totalprice")
+        .crossJoin(F.broadcast(cuts.select("cuts")))
+        .select(
+            assign_cut_buckets("o_totalprice").alias("decile"), "o_totalprice"
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
 for _n in (
     "date_month_arith",
     "corr_regression_stats",
@@ -340,3 +391,4 @@ for _n in (
     INTRODUCED_ROUND[_n] = 4
 
 INTRODUCED_ROUND["histogram_equidepth"] = 5
+INTRODUCED_ROUND["histogram_equidepth_cuts"] = 7

@@ -514,4 +514,85 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("user_id", "r_score", "f_score", "m_score", seg.alias("segment"))
 
 
+@query(
+    "events_rfm_segments_cuts",
+    oracle="""
+WITH m AS (
+  SELECT user_id,
+         max(epoch_us(ts))::BIGINT AS recency_us,
+         count(*)::BIGINT AS frequency,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+  FROM events GROUP BY user_id),
+nn AS (SELECT count(*) AS n FROM m),
+iz  AS (SELECT unnest(range(1, 5)) AS i),
+rh AS (SELECT recency_us::DOUBLE AS x, count(*) AS c FROM m GROUP BY 1),
+rcum AS (SELECT x, sum(c) OVER (ORDER BY x) AS cw FROM rh),
+rcuts AS (SELECT list(cut ORDER BY i) AS cl FROM (
+  SELECT i, min(x) AS cut FROM rcum CROSS JOIN nn CROSS JOIN iz
+  WHERE cw >= ceil(i * n / 5.0) GROUP BY i)),
+fh AS (SELECT frequency::DOUBLE AS x, count(*) AS c FROM m GROUP BY 1),
+fcum AS (SELECT x, sum(c) OVER (ORDER BY x) AS cw FROM fh),
+fcuts AS (SELECT list(cut ORDER BY i) AS cl FROM (
+  SELECT i, min(x) AS cut FROM fcum CROSS JOIN nn CROSS JOIN iz
+  WHERE cw >= ceil(i * n / 5.0) GROUP BY i)),
+mh AS (SELECT monetary::DOUBLE AS x, count(*) AS c FROM m GROUP BY 1),
+mcum AS (SELECT x, sum(c) OVER (ORDER BY x) AS cw FROM mh),
+mcuts AS (SELECT list(cut ORDER BY i) AS cl FROM (
+  SELECT i, min(x) AS cut FROM mcum CROSS JOIN nn CROSS JOIN iz
+  WHERE cw >= ceil(i * n / 5.0) GROUP BY i)),
+s AS (
+  SELECT user_id,
+         CAST(1 + len(list_filter(rcuts.cl, c -> recency_us::DOUBLE > c)) AS BIGINT) AS r_score,
+         CAST(1 + len(list_filter(fcuts.cl, c -> frequency::DOUBLE  > c)) AS BIGINT) AS f_score,
+         CAST(1 + len(list_filter(mcuts.cl, c -> monetary::DOUBLE   > c)) AS BIGINT) AS m_score
+  FROM m CROSS JOIN rcuts CROSS JOIN fcuts CROSS JOIN mcuts)
+SELECT user_id, r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'new_or_returning'
+            ELSE 'core' END AS segment
+FROM s
+""",
+)
+def events_rfm_segments_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for RFM scoring (the two-path treatment
+    events_rfm_segments' docstring promises): per-metric quintile cut
+    points from :func:`exact_cut_points` (two-level histogram prefix
+    sum — no global ntile sort even when the per-user aggregate is
+    billions of rows), broadcast 3×4 cuts, then ONE map-only pass
+    assigns all three scores and the segment label.  Ties share a
+    score under cut semantics — the documented divergence from ntile's
+    row-exact split."""
+    from fletcher_spark.operators.agg import assign_cut_buckets, exact_cut_points
+
+    e = load_tables(spark, sf_dir)["events"]
+    m = e.groupBy("user_id").agg(
+        F.max("ts_us").alias("recency_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("monetary"),
+    )
+    rcuts = exact_cut_points(m, "recency_us", 5).select(F.col("cuts").alias("rcl"))
+    fcuts = exact_cut_points(m, "frequency", 5).select(F.col("cuts").alias("fcl"))
+    mcuts = exact_cut_points(m, "monetary", 5).select(F.col("cuts").alias("mcl"))
+    s = (
+        m.crossJoin(F.broadcast(rcuts))
+        .crossJoin(F.broadcast(fcuts))
+        .crossJoin(F.broadcast(mcuts))
+        .select(
+            "user_id",
+            assign_cut_buckets("recency_us", "rcl").alias("r_score"),
+            assign_cut_buckets("frequency", "fcl").alias("f_score"),
+            assign_cut_buckets("monetary", "mcl").alias("m_score"),
+        )
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4), "champion")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk_loyal")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new_or_returning")
+        .otherwise("core")
+    )
+    return s.select("user_id", "r_score", "f_score", "m_score", seg.alias("segment"))
+
+
 INTRODUCED_ROUND["events_rfm_segments"] = 5
+INTRODUCED_ROUND["events_rfm_segments_cuts"] = 7

@@ -648,6 +648,57 @@ def docid_gap_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docid_gap_ranges_bucketed",
+    oracle="""
+WITH k AS (
+  SELECT doc_id,
+         lead(doc_id) OVER (ORDER BY doc_id) AS next_id
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 3 != 0)
+)
+SELECT doc_id + 1 AS gap_start, next_id - 1 AS gap_end,
+       CAST(next_id - doc_id - 1 AS BIGINT) AS gap_len
+FROM k WHERE next_id - doc_id > 1
+""",
+)
+def docid_gap_ranges_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path docid_gap_ranges' docstring promises — same gap
+    set, no global-order lead: range-bucket the key (``doc_id div B``),
+    find gaps WITHIN each bucket under a bucket-keyed window, then link
+    consecutive non-empty buckets through a lead over the per-bucket
+    (min, max) summary — an |buckets|-row aggregate (N/B, recursively
+    shrinkable), never the table.  A gap spanning entire empty buckets
+    falls out naturally: absent buckets simply aren't summary rows, so
+    the boundary pair jumps straight across them.  The oracle is the
+    textbook global-lead formulation — identical output, different
+    plan, which is exactly what makes this pair a cross-check."""
+    from pyspark.sql import Window
+
+    B = 64
+    d = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.col("doc_id") % 3 != 0)
+        .select("doc_id", F.floor(F.col("doc_id") / B).alias("bk"))
+    )
+    w_in = Window.partitionBy("bk").orderBy("doc_id")
+    inner = d.select("doc_id", F.lead("doc_id").over(w_in).alias("next_id"))
+    summ = d.groupBy("bk").agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    w_b = Window.orderBy("bk")  # |buckets| rows — aggregate-sized input
+    bound = summ.select(
+        F.col("mx").alias("doc_id"), F.lead("mn").over(w_b).alias("next_id")
+    )
+    gaps = inner.unionByName(bound).filter(
+        F.col("next_id") - F.col("doc_id") > 1
+    )
+    return gaps.select(
+        (F.col("doc_id") + 1).alias("gap_start"),
+        (F.col("next_id") - 1).alias("gap_end"),
+        (F.col("next_id") - F.col("doc_id") - 1).alias("gap_len"),
+    )
+
+
+@query(
     "event_type_islands",
     oracle="""
 WITH s AS (
@@ -703,6 +754,7 @@ def event_type_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 for _n in ("events_time_weighted_avg", "docid_gap_ranges", "event_type_islands"):
     INTRODUCED_ROUND[_n] = 5
+INTRODUCED_ROUND["docid_gap_ranges_bucketed"] = 7
 
 
 @query(

@@ -310,3 +310,44 @@ def test_connected_components_string_ids(spark, limit):
         for r in connected_components(edges, local_edge_limit=limit).collect()
     }
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_exact_cut_points_matches_sorted_rank_definition(spark):
+    """cut_i = smallest value whose cumulative count >= ceil(i*n/k),
+    checked against a driver-side sort on a tie-heavy input."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fletcher_spark.operators.agg import assign_cut_buckets, exact_cut_points
+
+    vals = [1.0] * 7 + [2.0] * 3 + [5.0] * 5 + [9.0] * 5
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    row = exact_cut_points(df, "x", 4, n_coarse=8).collect()[0]
+    n = len(vals)
+    s = sorted(vals)
+    expected = [s[math.ceil(i * n / 4) - 1] for i in (1, 2, 3)]
+    assert row["cuts"] == expected and row["n"] == n, (row, expected)
+
+    # bucket assignment: ties share a bucket; 1 + |cuts < x| semantics
+    out = (
+        df.crossJoin(
+            F.broadcast(
+                exact_cut_points(df, "x", 4, n_coarse=8).select("cuts")
+            )
+        )
+        .select("x", assign_cut_buckets("x").alias("b"))
+        .collect()
+    )
+    got = {(r["x"], r["b"]) for r in out}
+    assert got == {(1.0, 1), (2.0, 2), (5.0, 3), (9.0, 4)}, got
+
+
+def test_exact_cut_points_constant_column(spark):
+    """Degenerate span (all values equal): every cut equals the value,
+    every row lands in bucket 1."""
+    from fletcher_spark.operators.agg import exact_cut_points
+
+    df = spark.createDataFrame([(3.5,)] * 10, "x double")
+    row = exact_cut_points(df, "x", 5).collect()[0]
+    assert row["cuts"] == [3.5] * 4 and row["n"] == 10

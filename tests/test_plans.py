@@ -251,6 +251,78 @@ def test_registry_wide_plan_invariants(spark):
         assert "BatchEvalPython" not in p, f"{name} plans a row-at-a-time Python UDF"
 
 
+#: Queries ALLOWED to funnel un-aggregated table rows through one
+#: partition: the documented oracle-exact variants whose registered
+#: scale-safe twins (…_cuts / …_bucketed) carry the 100 TB plan.
+_GLOBAL_FUNNEL_WHITELIST = {"histogram_equidepth", "docid_gap_ranges"}
+
+_BOUNDED_RE = None
+
+
+def _unbounded_single_partition_exchanges(p: str) -> list[str]:
+    """Single-partition Exchanges whose subtree reaches a scan without
+    passing any row-count-bounding operator (aggregate, limit,
+    WindowGroupLimit top-k pushdown, reused bounded exchange) — i.e.
+    the whole table funnels through one task."""
+    import re
+
+    global _BOUNDED_RE
+    if _BOUNDED_RE is None:
+        _BOUNDED_RE = re.compile(
+            r"HashAggregate|ObjectHashAggregate|SortAggregate"
+            r"|TakeOrderedAndProject|LocalLimit|GlobalLimit|CollectLimit"
+            r"|WindowGroupLimit|Scan OneRowRelation|LocalTableScan"
+            r"|ReusedExchange"
+        )
+
+    def depth(line: str) -> int:
+        m = re.search(r"[+:]- ", line)
+        return m.start() if m else -1
+
+    lines = p.splitlines()
+    flagged = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        d = depth(ln)
+        sub = []
+        for j in range(i + 1, len(lines)):
+            dj = depth(lines[j])
+            if 0 <= dj <= d:
+                break
+            sub.append(lines[j])
+        if not any(_BOUNDED_RE.search(s) for s in sub):
+            flagged.append(ln.strip())
+    return flagged
+
+
+def test_registry_wide_no_unbounded_single_partition_funnel(spark):
+    """VERDICT r4 ask #5: sweep every registered plan for a
+    single-partition Exchange fed by un-aggregated table rows (the
+    global-ntile / global-lead funnel class).  Only the whitelisted
+    oracle-exact variants may carry one — each has a registered
+    scale-safe twin — so a new query regressing into this shape fails
+    here instead of surfacing at 100 TB."""
+    for name in registry.QUERIES:
+        if name in _GLOBAL_FUNNEL_WHITELIST:
+            continue
+        p = plan(spark, name)
+        bad = _unbounded_single_partition_exchanges(p)
+        assert not bad, f"{name} funnels unbounded rows through one partition: {bad}"
+
+
+def test_scale_safe_twins_match_funnel_semantics(spark):
+    """The whitelisted funnels' scale twins exist and are registered
+    with oracles — the pairing the whitelist's exemption relies on."""
+    for twin in (
+        "histogram_equidepth_cuts",
+        "events_rfm_segments_cuts",
+        "docid_gap_ranges_bucketed",
+    ):
+        assert twin in registry.QUERIES and twin in registry.ORACLE, twin
+        assert not _unbounded_single_partition_exchanges(plan(spark, twin)), twin
+
+
 def test_blocklist_is_broadcast_anti_join(spark):
     """The blocklist side must broadcast (LeftAnti BHJ) — shuffling the
     corpus on source to drop 3 rows would be the scale bug."""
