@@ -423,6 +423,40 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_ttl_first_seen",
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT user_id, epoch_us(ts)::BIGINT AS t FROM events
+),
+em AS (
+  SELECT user_id, min(t) AS ts FROM e GROUP BY user_id
+  UNION ALL
+  SELECT e.user_id, min(e.t) AS ts
+  FROM em JOIN e ON e.user_id = em.user_id AND e.t > em.ts + 21600000000
+  GROUP BY e.user_id
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_emitted,
+       min(ts) AS first_us, max(ts) AS last_emit_us
+FROM em GROUP BY user_id
+""",
+)
+def events_ttl_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL first-seen dedup, batch parity (VERDICT r3/r4 carried ask):
+    the exact ValueState-with-TTL semantics of
+    streaming/stateful.py:streaming_first_seen — per user, emit a row
+    iff no EMITTED row lies within the preceding 6 h (suppressed rows
+    never refresh state, so the chain jumps emit-to-emit; bucketed
+    first-per-window is NOT equivalent) — run as a grouped-map Arrow
+    pass so the driver value-checks the state machine against a
+    recursive-CTE oracle replaying the same chain."""
+    from fletcher_spark.streaming.stateful import ttl_first_seen_batch
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return ttl_first_seen_batch(ev, "user_id", "ts_us", 21_600_000_000)
+
+
 from fletcher_spark.queries.registry import INTRODUCED_ROUND as _IR  # noqa: E402
 
 _IR["events_hourly_anomaly"] = 4
+_IR["events_ttl_first_seen"] = 7

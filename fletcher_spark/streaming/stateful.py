@@ -128,3 +128,56 @@ def streaming_first_seen(
             timeMode="ProcessingTime" if ttl_ms is not None else "None",
         )
     )
+
+
+def ttl_first_seen_batch(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    ttl_us: int,
+) -> DataFrame:
+    """BATCH-PARITY replay of :func:`streaming_first_seen` with a TTL —
+    the driver-checkable contract for the TTL state semantics the
+    protobuf-gated ``transformWithStateInPandas`` tests can't exercise
+    in this environment.
+
+    Semantics (identical to ValueState-with-TTL over an event-time
+    ordered stream): per key, a row is EMITTED iff no emitted row of the
+    same key lies within the preceding ``ttl_us`` — i.e. the emit chain
+    ``t_1 = min(ts)``, ``t_{k+1} = min{ts > t_k + ttl}``.  Suppressed
+    rows do NOT refresh the state (the processor returns before
+    ``state.update``), which is why the chain jumps from emit to emit —
+    bucketed dedup (first-per-window) is NOT equivalent.
+
+    Output: one row per key — (key, n_emitted, first_us, last_emit_us).
+
+    Scale: grouped-map Arrow pass keyed by the dedup key (one shuffle,
+    state never crosses keys — the same partitioning the streaming
+    state store uses); per-key work is O(emits × log n) via searchsorted
+    jumps, not O(n) Python steps."""
+    import numpy as np
+
+    out_schema = f"{key_col} long, n_emitted long, first_us long, last_emit_us long"
+    kc, tc = key_col, ts_col
+    ttl = int(ttl_us)
+
+    def chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[kc].iloc[0]
+        ts = np.sort(pdf[tc].to_numpy(dtype="int64"))
+        n = len(ts)
+        i, n_emit, first, last = 0, 0, int(ts[0]), int(ts[0])
+        while i < n:
+            last = int(ts[i])
+            n_emit += 1
+            i = int(np.searchsorted(ts, last + ttl, side="right"))
+        return pd.DataFrame(
+            [(key, n_emit, first, last)],
+            columns=[kc, "n_emitted", "first_us", "last_emit_us"],
+        )
+
+    return (
+        df.select(kc, tc)
+        .filter(F.col(tc).isNotNull())
+        .groupBy(kc)
+        .applyInPandas(chain, out_schema)
+    )

@@ -598,3 +598,45 @@ def test_streaming_cms_grid_matches_batch(spark):
         q.stop()
     assert got == want
     assert len(got) > 0
+
+
+def test_ttl_first_seen_batch_matches_state_machine(spark):
+    """ttl_first_seen_batch == a literal replay of the streaming
+    ValueState-with-TTL machine (emit iff state absent/expired; only
+    emits refresh state).  Input includes duplicate timestamps, an
+    exact-boundary gap (== ttl, suppressed: chain needs strictly >),
+    and a case where first-per-bucket dedup would disagree."""
+    from fletcher_spark.streaming.stateful import ttl_first_seen_batch
+
+    ttl = 100
+    rows = [
+        # user 1: chain 0 -> 150 -> 260; 100 (== 0+ttl) suppressed,
+        # 90/150-dup suppressed.  Bucketed dedup (buckets [0,100),
+        # [100,200), [200,300)) would emit 0,100,260 — different chain.
+        (1, 0), (1, 90), (1, 100), (1, 150), (1, 150), (1, 260),
+        # user 2: single event
+        (2, 500),
+        # user 3: all within one ttl of the first
+        (3, 10), (3, 50), (3, 110),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long")
+    got = {
+        r["user_id"]: (r["n_emitted"], r["first_us"], r["last_emit_us"])
+        for r in ttl_first_seen_batch(df, "user_id", "ts_us", ttl).collect()
+    }
+
+    def simulate(ts_list, ttl_us):
+        state_exp, out = None, []
+        for t in sorted(ts_list):
+            if state_exp is not None and t <= state_exp:
+                continue  # state alive -> suppressed, NOT refreshed
+            out.append(t)
+            state_exp = t + ttl_us
+        return len(out), out[0], out[-1]
+
+    by_user: dict[int, list[int]] = {}
+    for u, t in rows:
+        by_user.setdefault(u, []).append(t)
+    expected = {u: simulate(ts, ttl) for u, ts in by_user.items()}
+    assert got == expected, (got, expected)
+    assert got[1] == (3, 0, 260), got  # the chain, not the buckets
