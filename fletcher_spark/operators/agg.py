@@ -178,7 +178,11 @@ def exact_cut_points(df, val_col: str, k: int, n_coarse: int = 256):
     v = df.filter(F.col(val_col).isNotNull()).select(
         F.col(val_col).cast("double").alias("v")
     )
-    hist = v.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    # persist: the histogram feeds four branches (stats, in-bucket cums,
+    # offsets, the final cut aggregate) — unpersisted, each branch
+    # re-scans the SOURCE table; persisted, the table is scanned once
+    # and the branches share the distinct-value-sized frame
+    hist = v.groupBy("v").agg(F.count(F.lit(1)).alias("c")).persist()
     stats = hist.agg(
         F.min("v").alias("vmin"), F.max("v").alias("vmax"), F.sum("c").alias("n")
     )

@@ -570,7 +570,7 @@ def events_rfm_segments_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_us").alias("recency_us"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("monetary"),
-    )
+    ).persist()  # feeds 3 cut computations + the scoring pass: one events scan
     rcuts = exact_cut_points(m, "recency_us", 5).select(F.col("cuts").alias("rcl"))
     fcuts = exact_cut_points(m, "frequency", 5).select(F.col("cuts").alias("fcl"))
     mcuts = exact_cut_points(m, "monetary", 5).select(F.col("cuts").alias("mcl"))

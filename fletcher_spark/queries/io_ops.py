@@ -106,12 +106,26 @@ def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("io_orc_roundtrip", oracle=_AUDIT_ORACLE)
+def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round-trip: the other columnar format Spark
+    ships natively (Hive-ecosystem interchange) — write the documents
+    table as ORC, read back, audit content equality.  Same predicate
+    pushdown / column pruning machinery as parquet, so the dataset can
+    serve the same scan patterns."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = tempfile.mkdtemp(prefix="fletcher_orc_")
+    docs.write.mode("overwrite").orc(out)
+    return _audit(spark.read.schema(docs.schema).orc(out))
+
+
 BENCH_EXCLUDE.update(
     {
         "io_shard_roundtrip",
         "io_compact_roundtrip",
         "io_jsonl_roundtrip",
         "io_csv_roundtrip",
+        "io_orc_roundtrip",
     }
 )
 
@@ -186,3 +200,4 @@ def dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IR["dataset_checksum"] = 5
+_IR["io_orc_roundtrip"] = 7

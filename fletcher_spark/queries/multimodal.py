@@ -102,6 +102,33 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_resize_stub",
+    oracle="""
+SELECT doc_id,
+       64 AS width,
+       64 AS height,
+       round(least(
+         64.0 / (64 + ('0x' || substr(md5(text), 1, 2))::INT % 192),
+         64.0 / (64 + ('0x' || substr(md5(text), 3, 2))::INT % 192)
+       ), 6) AS scale
+FROM documents
+""",
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize step of the image pipeline (pipeline/multimodal.py:
+    resize_images — a real PIL resize drops into the same batch loop):
+    binary payload → fit-within-64×64 scale factor via ``mapInPandas``.
+    Value-checked like mm_decode_stub: source dims are md5-derived so
+    the oracle replays the scale arithmetic exactly.  (No 6-decimal
+    rounding ties exist: 64/w with w<512 can't terminate in an exact
+    half at the 7th digit, so Python round == SQL round here.)"""
+    d = load_tables(spark, sf_dir)["documents"]
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out = MM.resize_images(payloads, 64, 64, "doc_id", "payload")
+    return out.select("doc_id", "width", "height", "scale")
+
+
+@query(
     "list_take_ops",
     oracle="""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev FROM embeddings)
@@ -195,3 +222,8 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return MM.sample_frames(payloads, "doc_id", "payload", 256, 3)
+
+
+from fletcher_spark.queries.registry import INTRODUCED_ROUND as _IR  # noqa: E402
+
+_IR["mm_resize_stub"] = 7

@@ -585,3 +585,90 @@ for _n in (
     "graph_kcore_peel",
 ):
     INTRODUCED_ROUND[_n] = 6
+
+
+@query(
+    "sketch_quantile_bound",
+    oracle="""
+WITH v AS (SELECT l_extendedprice AS x FROM lineitem WHERE l_extendedprice IS NOT NULL),
+h AS (SELECT x, count(*) AS c FROM v GROUP BY x),
+cum AS (SELECT x, sum(c) OVER (ORDER BY x) AS cw FROM h),
+nn AS (SELECT count(*) AS n FROM v),
+ex AS (
+  SELECT p, min(x) AS exact_disc
+  FROM cum CROSS JOIN nn CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75]) AS p) t
+  WHERE cw >= ceil(p * n) GROUP BY p)
+SELECT round(p, 2) AS p, round(exact_disc, 2) AS exact_disc, true AS within_bound
+FROM ex
+""",
+)
+def sketch_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-SKETCH contract check — the pattern for driver-checking
+    an op whose output is engine-specific: Spark's
+    ``approx_percentile`` (Greenwald-Khanna, accuracy=100 → rank error
+    ε = 1 %) can never be value-matched by another engine, but its
+    GUARANTEE can.  The query computes the sketch estimate AND verifies
+    distributed-exactly that the estimate's value-rank interval
+    [count(<est)+1, count(≤est)] overlaps the allowed rank window
+    [(p−ε)n − s, (p+ε)n + s] (slack s = 2 absorbs the ±1 rank-interval
+    convention); the oracle pins ``within_bound`` to literal TRUE — a
+    sketch violating its own error bound turns the row red.  Exact disc
+    quantiles ride along as the value anchor both engines agree on.
+
+    Scale: the sketch is one fixed-memory mergeable aggregate; the
+    rank check is one more hash aggregate over the same scan."""
+    li = load_tables(spark, sf_dir)["lineitem"].filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    probs = [0.25, 0.5, 0.75]
+    eps = 1.0 / 100
+    sk = li.agg(
+        F.percentile_approx("l_extendedprice", probs, 100).alias("est"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    x = li.crossJoin(F.broadcast(sk))
+    aggs = []
+    for i in range(len(probs)):
+        est = F.col("est")[i]
+        aggs += [
+            F.sum((F.col("l_extendedprice") < est).cast("long")).alias(f"lo{i}"),
+            F.sum((F.col("l_extendedprice") <= est).cast("long")).alias(f"hi{i}"),
+        ]
+    chk = x.agg(*aggs, F.max("n").alias("n"))
+    checks = chk.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(F.lit(p), 2).alias("p"),
+                        (
+                            (F.col(f"lo{i}") + 1 <= (p + eps) * F.col("n") + 2)
+                            & (F.col(f"hi{i}") >= (p - eps) * F.col("n") - 2)
+                        ).alias("within_bound"),
+                    )
+                    for i, p in enumerate(probs)
+                ]
+            )
+        ).alias("z")
+    ).select("z.p", "z.within_bound")
+
+    # exact disc quantiles (min v with cum >= ceil(p*n)) via the shared
+    # distributed histogram operator — the cross-engine value anchor
+    from fletcher_spark.operators.agg import exact_cut_points
+
+    quarts = exact_cut_points(li, "l_extendedprice", 4)  # cuts = [p25, p50, p75]
+    ex = quarts.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)).alias("p"),
+                F.col("cuts").alias("v"),
+            )
+        ).alias("z")
+    ).select(
+        F.round(F.col("z.p"), 2).alias("p"),
+        F.round(F.col("z.v"), 2).alias("exact_disc"),
+    )
+    return ex.join(checks, "p").select("p", "exact_disc", "within_bound")
+
+
+INTRODUCED_ROUND["sketch_quantile_bound"] = 7

