@@ -238,3 +238,92 @@ def assign_cut_buckets(val: Column | str, cuts: Column | str = "cuts") -> Column
     return (
         F.lit(1) + F.size(F.filter(cc, lambda c: vc.cast("double") > c))
     ).cast("long")
+
+
+def exact_cut_points_multi(df, val_cols: list, k: int, n_coarse: int = 256):
+    """:func:`exact_cut_points` for SEVERAL columns in ONE pipeline —
+    the constant-job-count companion (same trade as
+    operators/kmeans.py:lloyd_centroids_multi): the columns are melted
+    into (metric, value) rows inside one projection, so histogram,
+    stats, coarse cumulative sums, offsets and the final cut aggregate
+    each run ONCE for all metrics instead of once per metric.  Windows
+    partition by (metric, coarse-bucket) — still distributed — and the
+    offsets window input is ``len(val_cols) × n_coarse`` rows.
+
+    Returns a ONE-ROW DataFrame with one ``<col>_cuts array<double>``
+    column per input column, for ``crossJoin(F.broadcast(...))`` onto
+    the assignment scan.  Identical arithmetic per metric to the
+    single-column operator (equal within the rounding contract — the
+    shuffle key differs, so FP-free rank arithmetic is in fact
+    bit-equal here: counts and value picks only, no summation of
+    floats across orders)."""
+    from pyspark.sql import Window
+
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("m"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in val_cols
+                ]
+            )
+        ).alias("z")
+    ).select("z.m", "z.v").filter(F.col("v").isNotNull())
+    hist = melted.groupBy("m", "v").agg(F.count(F.lit(1)).alias("c")).persist()
+    stats = hist.groupBy("m").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax"), F.sum("c").alias("n")
+    )
+    h = hist.join(F.broadcast(stats), "m")
+    span = F.col("vmax") - F.col("vmin")
+    coarse = (
+        F.when(span <= 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("v") - F.col("vmin")) / span * n_coarse),
+                F.lit(n_coarse - 1),
+            )
+        )
+        .cast("int")
+    )
+    h = h.withColumn("cb", coarse)
+    w_in = Window.partitionBy("m", "cb").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    h2 = h.withColumn("cum_in", F.sum("c").over(w_in))
+    w_off = Window.partitionBy("m").orderBy("cb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        h2.groupBy("m", "cb")
+        .agg(F.sum("c").alias("bt"))
+        .select(
+            "m", "cb", F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias("off")
+        )
+    )
+    g = h2.join(F.broadcast(offs), ["m", "cb"]).withColumn(
+        "cum", F.col("off") + F.col("cum_in")
+    )
+    per_m = g.groupBy("m").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(float(i)) * F.col("n") / k),
+                    F.col("v"),
+                )
+            ).alias(f"_cut{i}")
+            for i in range(1, k)
+        ]
+    ).select(
+        "m", F.array(*[F.col(f"_cut{i}") for i in range(1, k)]).alias("cuts")
+    )
+    return per_m.agg(
+        *[
+            F.any_value(F.when(F.col("m") == c, F.col("cuts")), True).alias(
+                f"{c}_cuts"
+            )
+            for c in val_cols
+        ]
+    )

@@ -563,27 +563,25 @@ def events_rfm_segments_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigns all three scores and the segment label.  Ties share a
     score under cut semantics — the documented divergence from ntile's
     row-exact split."""
-    from fletcher_spark.operators.agg import assign_cut_buckets, exact_cut_points
+    from fletcher_spark.operators.agg import (
+        assign_cut_buckets,
+        exact_cut_points_multi,
+    )
 
     e = load_tables(spark, sf_dir)["events"]
     m = e.groupBy("user_id").agg(
         F.max("ts_us").alias("recency_us"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("monetary"),
-    ).persist()  # feeds 3 cut computations + the scoring pass: one events scan
-    rcuts = exact_cut_points(m, "recency_us", 5).select(F.col("cuts").alias("rcl"))
-    fcuts = exact_cut_points(m, "frequency", 5).select(F.col("cuts").alias("fcl"))
-    mcuts = exact_cut_points(m, "monetary", 5).select(F.col("cuts").alias("mcl"))
-    s = (
-        m.crossJoin(F.broadcast(rcuts))
-        .crossJoin(F.broadcast(fcuts))
-        .crossJoin(F.broadcast(mcuts))
-        .select(
-            "user_id",
-            assign_cut_buckets("recency_us", "rcl").alias("r_score"),
-            assign_cut_buckets("frequency", "fcl").alias("f_score"),
-            assign_cut_buckets("monetary", "mcl").alias("m_score"),
-        )
+    ).persist()  # feeds the melted cut pass + the scoring pass: one events scan
+    cuts = exact_cut_points_multi(
+        m, ["recency_us", "frequency", "monetary"], 5
+    )  # ONE histogram pipeline for all three metrics (constant job count)
+    s = m.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        assign_cut_buckets("recency_us", "recency_us_cuts").alias("r_score"),
+        assign_cut_buckets("frequency", "frequency_cuts").alias("f_score"),
+        assign_cut_buckets("monetary", "monetary_cuts").alias("m_score"),
     )
     seg = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4), "champion")

@@ -351,3 +351,19 @@ def test_exact_cut_points_constant_column(spark):
     df = spark.createDataFrame([(3.5,)] * 10, "x double")
     row = exact_cut_points(df, "x", 5).collect()[0]
     assert row["cuts"] == [3.5] * 4 and row["n"] == 10
+
+
+def test_exact_cut_points_multi_equals_per_column(spark):
+    """The melted multi-column pass must produce exactly the
+    single-column operator's cuts for every metric (rank arithmetic
+    only — no FP summation, so bit-equal)."""
+    from fletcher_spark.operators.agg import exact_cut_points, exact_cut_points_multi
+
+    df = spark.createDataFrame(
+        [(float(i % 17), float((i * 7) % 23), float(i)) for i in range(200)],
+        "a double, b double, c double",
+    )
+    multi = exact_cut_points_multi(df, ["a", "b", "c"], 5, n_coarse=16).collect()[0]
+    for col in ("a", "b", "c"):
+        single = exact_cut_points(df, col, 5, n_coarse=16).collect()[0]
+        assert multi[f"{col}_cuts"] == single["cuts"], col
