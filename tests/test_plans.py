@@ -442,3 +442,24 @@ def test_prefix_filter_join_rewidens_verify(spark):
     intersections otherwise)."""
     p = plan(spark, "dedup_prefix_filter_join")
     assert "REPARTITION_BY_NUM" in p, p
+
+
+def test_ttl_first_seen_single_key_exchange(spark):
+    """The TTL chain replay must be ONE key-partitioned Arrow
+    grouped-map — the same shuffle the streaming state store pays —
+    with no extra exchange and no row-wise Python."""
+    p = plan(spark, "events_ttl_first_seen")
+    assert "FlatMapGroupsInPandas" in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_cut_point_queries_broadcast_cuts_onto_scan(spark):
+    """Cut-point scale variants must fold the broadcast cut row onto
+    the assignment scan (BroadcastNestedLoopJoin over a 1-row frame —
+    the repo's single-row crossJoin pattern), never shuffle the fact
+    side for the assignment."""
+    for name in ("histogram_equidepth_cuts", "events_rfm_segments_cuts"):
+        p = plan(spark, name)
+        assert "BroadcastNestedLoopJoin" in p, f"{name}:\n{p}"
+        assert "CartesianProduct" not in p, name
