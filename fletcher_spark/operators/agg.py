@@ -145,7 +145,7 @@ REDUCTIONS = {
 }
 
 
-def exact_cut_points(df, val_col: str, k: int, n_coarse: int = 256):
+def exact_cut_points(df, val_col: str, k: int, n_coarse: int = 256, prehist=None):
     """Rank-based discrete k-quantile cut points, distributed-exact with
     NO table-sized single-partition window — the scale path behind the
     ntile-based equi-depth queries.
@@ -172,17 +172,26 @@ def exact_cut_points(df, val_col: str, k: int, n_coarse: int = 256):
 
     Returns a ONE-ROW DataFrame ``(cuts array<double>, n long)`` meant
     to be ``crossJoin(F.broadcast(...))``-ed onto the assignment scan.
+
+    ``prehist``: a caller-built ``(v double, c long)`` value histogram
+    to reuse (pass persisted) — lets a query that already pays the
+    histogram scan (rank checks, mode, other quantiles) share it
+    instead of re-scanning the source.
     """
     from pyspark.sql import Window
 
-    v = df.filter(F.col(val_col).isNotNull()).select(
-        F.col(val_col).cast("double").alias("v")
-    )
-    # persist: the histogram feeds four branches (stats, in-bucket cums,
-    # offsets, the final cut aggregate) — unpersisted, each branch
-    # re-scans the SOURCE table; persisted, the table is scanned once
-    # and the branches share the distinct-value-sized frame
-    hist = v.groupBy("v").agg(F.count(F.lit(1)).alias("c")).persist()
+    if prehist is not None:
+        hist = prehist
+    else:
+        v = df.filter(F.col(val_col).isNotNull()).select(
+            F.col(val_col).cast("double").alias("v")
+        )
+        # persist: the histogram feeds four branches (stats, in-bucket
+        # cums, offsets, the final cut aggregate) — unpersisted, each
+        # branch re-scans the SOURCE table; persisted, the table is
+        # scanned once and the branches share the distinct-value-sized
+        # frame
+        hist = v.groupBy("v").agg(F.count(F.lit(1)).alias("c")).persist()
     stats = hist.agg(
         F.min("v").alias("vmin"), F.max("v").alias("vmax"), F.sum("c").alias("n")
     )

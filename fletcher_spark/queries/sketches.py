@@ -622,17 +622,25 @@ def sketch_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probs = [0.25, 0.5, 0.75]
     eps = 1.0 / 100
+    # two scans of lineitem TOTAL: the sketch aggregate, and the value
+    # histogram — rank checks AND exact cuts both derive from the
+    # persisted histogram, never a third pass over the fact table
+    hist = (
+        li.groupBy(F.col("l_extendedprice").cast("double").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
     sk = li.agg(
         F.percentile_approx("l_extendedprice", probs, 100).alias("est"),
         F.count(F.lit(1)).alias("n"),
     )
-    x = li.crossJoin(F.broadcast(sk))
+    x = hist.crossJoin(F.broadcast(sk))
     aggs = []
     for i in range(len(probs)):
         est = F.col("est")[i]
         aggs += [
-            F.sum((F.col("l_extendedprice") < est).cast("long")).alias(f"lo{i}"),
-            F.sum((F.col("l_extendedprice") <= est).cast("long")).alias(f"hi{i}"),
+            F.sum(F.when(F.col("v") < est, F.col("c")).otherwise(F.lit(0))).alias(f"lo{i}"),
+            F.sum(F.when(F.col("v") <= est, F.col("c")).otherwise(F.lit(0))).alias(f"hi{i}"),
         ]
     chk = x.agg(*aggs, F.max("n").alias("n"))
     checks = chk.select(
@@ -652,11 +660,11 @@ def sketch_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z")
     ).select("z.p", "z.within_bound")
 
-    # exact disc quantiles (min v with cum >= ceil(p*n)) via the shared
-    # distributed histogram operator — the cross-engine value anchor
+    # exact disc quantiles (min v with cum >= ceil(p*n)) from the SAME
+    # histogram — the cross-engine value anchor
     from fletcher_spark.operators.agg import exact_cut_points
 
-    quarts = exact_cut_points(li, "l_extendedprice", 4)  # cuts = [p25, p50, p75]
+    quarts = exact_cut_points(None, "", 4, prehist=hist)  # cuts = [p25, p50, p75]
     ex = quarts.select(
         F.explode(
             F.arrays_zip(
