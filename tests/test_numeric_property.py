@@ -176,3 +176,37 @@ def test_nan_and_inf_propagation(spark):
     assert got["-inf"][1] == float("-inf")
     assert math.isnan(got["nan"][1])
     assert got["0.0"] == (False, 1.0)
+
+
+# -- exact_cut_points: rank-definition property -------------------------
+
+
+@given(vals=st.lists(
+    st.one_of(
+        st.none(),
+        st.integers(min_value=-50, max_value=50).map(float),  # tie-heavy
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    ),
+    min_size=1, max_size=60,
+), k=st.sampled_from([2, 3, 4, 5, 10]))
+@SETTINGS
+def test_exact_cut_points_matches_rank_definition(spark, vals, k):
+    """Property: for ANY multiset (ties, negatives, nulls) and any k,
+    cut_i == sorted(values)[ceil(i*n/k) - 1] — the rank definition the
+    DuckDB oracles replay — and the operator never emits a cut for an
+    all-null input."""
+    import math
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    present = sorted(v for v in vals if v is not None)
+    from fletcher_spark.operators.agg import exact_cut_points
+
+    if not present:
+        row = exact_cut_points(df, "x", k, n_coarse=8).collect()[0]
+        assert all(c is None for c in row["cuts"])
+        return
+    row = exact_cut_points(df, "x", k, n_coarse=8).collect()[0]
+    n = len(present)
+    expected = [present[math.ceil(i * n / k) - 1] for i in range(1, k)]
+    assert row["n"] == n
+    assert row["cuts"] == expected, (vals, k, row["cuts"], expected)
