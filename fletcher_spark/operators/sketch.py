@@ -119,7 +119,10 @@ def bloom_probe(
     """Membership test: a probe is ``in_bloom`` iff all k of its
     positions are set.  Guaranteed true for every inserted key (no
     false negatives); false positives at the standard
-    ``(1 - e^{-kn/m})^k`` rate, deterministic under the hash family."""
+    ``(1 - e^{-kn/m})^k`` rate, deterministic under the hash family.
+    Duplicate probe rows collapse to one output row (the groupBy is on
+    the probe columns) — set semantics, with the verdict per key
+    correct regardless of multiplicity."""
     pp = probes.select(
         *probes.columns,
         F.explode(

@@ -35,6 +35,14 @@ NAMES = [
     "sketch_kmv_distinct",
     "udf_grouped_map_zscore",
     "ann_pq_adc",
+    # round-5 additions: cut-point rank arithmetic, TTL chain replay,
+    # the bucketed gap scan, and the sketch-bound check must all be
+    # width-independent (counts and value picks only)
+    "histogram_equidepth_cuts",
+    "events_rfm_segments_cuts",
+    "docid_gap_ranges_bucketed",
+    "events_ttl_first_seen",
+    "sketch_quantile_bound",
 ]
 
 
