@@ -640,3 +640,39 @@ def test_ttl_first_seen_batch_matches_state_machine(spark):
     expected = {u: simulate(ts, ttl) for u, ts in by_user.items()}
     assert got == expected, (got, expected)
     assert got[1] == (3, 0, 260), got  # the chain, not the buckets
+
+
+def test_streaming_histogram_cut_points_match_batch(spark):
+    """Streaming leg of the cut-point story: the value HISTOGRAM behind
+    exact_cut_points is a pure groupBy-count, so maintaining it under
+    Structured Streaming (complete mode) and deriving cut points from
+    the maintained state must equal the batch cuts exactly — quantile
+    state at 100 TB is a mergeable histogram, not a buffered sort."""
+    from pyspark.sql import functions as F
+
+    from fletcher_spark.operators.agg import exact_cut_points
+    from fletcher_spark.sources.stream import stream_events
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    want = exact_cut_points(ev, "value", 4).collect()[0]
+
+    shist = (
+        stream_events(spark, SF_DIR)
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.col("value").cast("double").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    q = (
+        shist.writeStream.format("memory")
+        .queryName("stream_value_hist")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        maintained = spark.sql("SELECT * FROM stream_value_hist")
+        got = exact_cut_points(None, "", 4, prehist=maintained).collect()[0]
+    finally:
+        q.stop()
+    assert got["cuts"] == want["cuts"] and got["n"] == want["n"], (got, want)
