@@ -806,3 +806,28 @@ def map_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("stats.avg_price"), 4).alias("avg_price"),
         F.col("stats.max_year").alias("max_year"),
     )
+
+
+@query(
+    "setitem_set_where",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN n_chars > 300 THEN 'REDACTED' ELSE lang END AS lang,
+       n_chars
+FROM documents
+""",
+)
+def setitem_set_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """setitem / set_where (SURVEY §2.2 row 11, the reference's masked
+    ``__setitem__`` — /root/reference/fletcher/base.py setitem paths):
+    immutable masked column rewrite via operators/core.py:set_where —
+    a pure map-side CASE projection, no shuffle, the distributed
+    analog of writing through a boolean mask."""
+    d = load_tables(spark, sf_dir)["documents"]
+    out = C.set_where(d, "lang", F.col("n_chars") > 300, "REDACTED")
+    return out.select("doc_id", "lang", "n_chars")
+
+
+from fletcher_spark.queries.registry import INTRODUCED_ROUND as _IR  # noqa: E402
+
+_IR["setitem_set_where"] = 7

@@ -199,5 +199,50 @@ def dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "io_arrow_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def io_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow ingest + egress (SURVEY §2.1 rows 3-4, the reference's
+    ``pandas_from_arrow`` / ``__arrow_array__`` surface —
+    /root/reference/fletcher/base.py:1712-1750): read the parquet file
+    Arrow-side, ingest the ``pa.Table`` (io.py:from_arrow — Spark 4's
+    native Arrow createDataFrame path), egress back to Arrow
+    (io.py:to_arrow), re-ingest, and return the twice-round-tripped
+    frame for the value check.  The egress collect is bounded by the
+    dimension table — Arrow egress is a driver-materialization API by
+    definition (the reference's too); fact-sized flows use sinks."""
+    import pyarrow.parquet as _pq
+
+    from fletcher_spark.io import from_arrow, to_arrow
+
+    tbl = _pq.read_table(f"{sf_dir}/region.parquet")
+    df = from_arrow(spark, tbl).select("r_regionkey", "r_name")
+    return from_arrow(spark, to_arrow(df))
+
+
+@query(
+    "ctor_from_sequence",
+    oracle="""
+SELECT CAST(idx AS BIGINT) AS idx, name
+FROM (VALUES (0,'alpha'),(1,'beta'),(2,'gamma'),(3,'delta'),(4,NULL))
+     AS t(idx, name)
+""",
+)
+def ctor_from_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from-sequence constructor (SURVEY §2.1 row 5, the reference's
+    ``FletcherBaseArray(sequence)`` entry —
+    /root/reference/fletcher/base.py ``__init__`` over a Python list
+    incl. None): a driver-local sequence becomes a distributed frame
+    with explicit schema; the null survives as SQL NULL.  Constant
+    driver-side data — the constructor is by definition the small end
+    of the API (big data arrives via sources, not literals)."""
+    seq = [(0, "alpha"), (1, "beta"), (2, "gamma"), (3, "delta"), (4, None)]
+    return spark.createDataFrame(seq, "idx long, name string")
+
+
 _IR["dataset_checksum"] = 5
 _IR["io_orc_roundtrip"] = 7
+_IR["io_arrow_roundtrip"] = 7
+_IR["ctor_from_sequence"] = 7
