@@ -151,33 +151,68 @@ def ttl_first_seen_batch(
 
     Output: one row per key — (key, n_emitted, first_us, last_emit_us).
 
-    Scale: grouped-map Arrow pass keyed by the dedup key (one shuffle,
-    state never crosses keys — the same partitioning the streaming
-    state store uses); per-key work is O(emits × log n) via searchsorted
-    jumps, not O(n) Python steps."""
+    Scale: ONE key-hashed shuffle with an in-partition (key, ts) sort,
+    then ``mapInPandas`` over whole sorted partitions — NOT
+    ``applyInPandas``: with billions of small keys the per-group
+    invocation overhead dominates, while a partition pass pays Python
+    entry once per Arrow batch regardless of key count (the same reason
+    the streaming state store iterates its sorted partition, not one
+    callback per key).  Chain state (current key, last emit) carries
+    across Arrow batch boundaries inside the iterator; per-key work is
+    O(emits × log n) via searchsorted jumps, not O(n) Python steps."""
     import numpy as np
 
     out_schema = f"{key_col} long, n_emitted long, first_us long, last_emit_us long"
     kc, tc = key_col, ts_col
     ttl = int(ttl_us)
+    cols = [kc, "n_emitted", "first_us", "last_emit_us"]
 
-    def chain(pdf: pd.DataFrame) -> pd.DataFrame:
-        key = pdf[kc].iloc[0]
-        ts = np.sort(pdf[tc].to_numpy(dtype="int64"))
-        n = len(ts)
-        i, n_emit, first, last = 0, 0, int(ts[0]), int(ts[0])
-        while i < n:
-            last = int(ts[i])
-            n_emit += 1
-            i = int(np.searchsorted(ts, last + ttl, side="right"))
-        return pd.DataFrame(
-            [(key, n_emit, first, last)],
-            columns=[kc, "n_emitted", "first_us", "last_emit_us"],
-        )
+    def partition_chains(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # carry-over chain state across Arrow batches within a partition
+        cur = None  # (key, n_emit, first, last_emit)
+
+        def advance(state, ts: "np.ndarray"):
+            key, n_emit, first, last = state
+            i = 0
+            if n_emit:  # skip everything still inside the live TTL
+                i = int(np.searchsorted(ts, last + ttl, side="right"))
+            else:
+                first = int(ts[0])
+            n = len(ts)
+            while i < n:
+                last = int(ts[i])
+                n_emit += 1
+                i = int(np.searchsorted(ts, last + ttl, side="right"))
+            return (key, n_emit, first, last)
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            keys = pdf[kc].to_numpy()
+            ts_all = pdf[tc].to_numpy(dtype="int64")
+            # rows arrive sorted by (key, ts); process each key's run
+            bounds = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(keys)]))
+            out = []
+            for s, e in zip(starts, ends):
+                key = keys[s]
+                ts = ts_all[s:e]
+                if cur is not None and cur[0] == key:
+                    cur = advance(cur, ts)
+                    continue
+                if cur is not None:
+                    out.append(cur)
+                cur = advance((key, 0, 0, 0), ts)
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+        if cur is not None:
+            yield pd.DataFrame([cur], columns=cols)
 
     return (
         df.select(kc, tc)
         .filter(F.col(tc).isNotNull())
-        .groupBy(kc)
-        .applyInPandas(chain, out_schema)
+        .repartition(F.col(kc))
+        .sortWithinPartitions(kc, tc)
+        .mapInPandas(partition_chains, out_schema)
     )

@@ -445,12 +445,16 @@ def test_prefix_filter_join_rewidens_verify(spark):
 
 
 def test_ttl_first_seen_single_key_exchange(spark):
-    """The TTL chain replay must be ONE key-partitioned Arrow
-    grouped-map — the same shuffle the streaming state store pays —
-    with no extra exchange and no row-wise Python."""
+    """The TTL chain replay must be ONE key-hashed Exchange + in-
+    partition sort + whole-partition Arrow pass (MapInPandas) — the
+    same shuffle the streaming state store pays, WITHOUT per-group
+    callback overhead (billions of small keys ⇒ applyInPandas's
+    per-group invocation dominates; a partition pass pays Python entry
+    once per Arrow batch).  No row-wise Python, no global sort."""
     p = plan(spark, "events_ttl_first_seen")
-    assert "FlatMapGroupsInPandas" in p, p
+    assert "MapInPandas" in p, p
     assert p.count("Exchange hashpartitioning") == 1, p
+    assert "rangepartitioning" not in p.lower(), p
     assert "BatchEvalPython" not in p, p
 
 
