@@ -145,6 +145,72 @@ REDUCTIONS = {
 }
 
 
+def _cuts_by_key(hist, key_cols: tuple, k: int, n_coarse: int):
+    """Shared two-level prefix-sum core: a persisted ``(key..., v, c)``
+    value histogram → ``(key..., cuts array<double>, n long)``.  The
+    ONLY place the rank arithmetic (coarse clamp, keyed cumulative
+    sums, ``ceil(i·n/k)`` thresholds) lives — exact_cut_points and
+    exact_cut_points_multi are thin wrappers, so a fix applies to both
+    by construction."""
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    stats = hist.groupBy(*keys).agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax"), F.sum("c").alias("n")
+    )
+    h = (
+        hist.join(F.broadcast(stats), keys)
+        if keys
+        else hist.crossJoin(F.broadcast(stats))
+    )
+    span = F.col("vmax") - F.col("vmin")
+    coarse = (
+        F.when(span <= 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("v") - F.col("vmin")) / span * n_coarse),
+                F.lit(n_coarse - 1),
+            )
+        )
+        .cast("int")
+    )
+    h = h.withColumn("cb", coarse)
+    w_in = Window.partitionBy(*keys, "cb").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    h2 = h.withColumn("cum_in", F.sum("c").over(w_in))
+    # offsets window input: |keys| x n_coarse rows — constant-sized
+    w_off = Window.partitionBy(*keys).orderBy("cb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        h2.groupBy(*keys, "cb")
+        .agg(F.sum("c").alias("bt"))
+        .select(
+            *keys, "cb", F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias("off")
+        )
+    )
+    g = h2.join(F.broadcast(offs), keys + ["cb"]).withColumn(
+        "cum", F.col("off") + F.col("cum_in")
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(float(i)) * F.col("n") / k), F.col("v")
+            )
+        ).alias(f"_cut{i}")
+        for i in range(1, k)
+    ]
+    agg = g.groupBy(*keys).agg(*aggs, F.max("n").alias("n")) if keys else g.agg(
+        *aggs, F.max("n").alias("n")
+    )
+    return agg.select(
+        *keys,
+        F.array(*[F.col(f"_cut{i}") for i in range(1, k)]).alias("cuts"),
+        "n",
+    )
+
+
 def exact_cut_points(df, val_col: str, k: int, n_coarse: int = 256, prehist=None):
     """Rank-based discrete k-quantile cut points, distributed-exact with
     NO table-sized single-partition window — the scale path behind the
@@ -178,8 +244,6 @@ def exact_cut_points(df, val_col: str, k: int, n_coarse: int = 256, prehist=None
     histogram scan (rank checks, mode, other quantiles) share it
     instead of re-scanning the source.
     """
-    from pyspark.sql import Window
-
     if prehist is not None:
         hist = prehist
     else:
@@ -192,50 +256,7 @@ def exact_cut_points(df, val_col: str, k: int, n_coarse: int = 256, prehist=None
         # scanned once and the branches share the distinct-value-sized
         # frame
         hist = v.groupBy("v").agg(F.count(F.lit(1)).alias("c")).persist()
-    stats = hist.agg(
-        F.min("v").alias("vmin"), F.max("v").alias("vmax"), F.sum("c").alias("n")
-    )
-    h = hist.crossJoin(F.broadcast(stats))
-    span = F.col("vmax") - F.col("vmin")
-    coarse = (
-        F.when(span <= 0, F.lit(0))
-        .otherwise(
-            F.least(
-                F.floor((F.col("v") - F.col("vmin")) / span * n_coarse),
-                F.lit(n_coarse - 1),
-            )
-        )
-        .cast("int")
-    )
-    h = h.withColumn("cb", coarse)
-    w_in = Window.partitionBy("cb").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    h2 = h.withColumn("cum_in", F.sum("c").over(w_in))
-    w_off = Window.orderBy("cb").rowsBetween(
-        Window.unboundedPreceding, -1
-    )  # n_coarse rows — constant-sized window input
-    offs = (
-        h2.groupBy("cb")
-        .agg(F.sum("c").alias("bt"))
-        .select("cb", F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias("off"))
-    )
-    g = h2.join(F.broadcast(offs), "cb").withColumn(
-        "cum", F.col("off") + F.col("cum_in")
-    )
-    aggs = [
-        F.min(
-            F.when(
-                F.col("cum") >= F.ceil(F.lit(float(i)) * F.col("n") / k), F.col("v")
-            )
-        ).alias(f"_cut{i}")
-        for i in range(1, k)
-    ]
-    row = g.agg(*aggs, F.max("n").alias("n"))
-    return row.select(
-        F.array(*[F.col(f"_cut{i}") for i in range(1, k)]).alias("cuts"),
-        "n",
-    )
+    return _cuts_by_key(hist, (), k, n_coarse)
 
 
 def assign_cut_buckets(val: Column | str, cuts: Column | str = "cuts") -> Column:
@@ -266,8 +287,6 @@ def exact_cut_points_multi(df, val_cols: list, k: int, n_coarse: int = 256):
     shuffle key differs, so FP-free rank arithmetic is in fact
     bit-equal here: counts and value picks only, no summation of
     floats across orders)."""
-    from pyspark.sql import Window
-
     melted = df.select(
         F.explode(
             F.array(
@@ -282,57 +301,17 @@ def exact_cut_points_multi(df, val_cols: list, k: int, n_coarse: int = 256):
         ).alias("z")
     ).select("z.m", "z.v").filter(F.col("v").isNotNull())
     hist = melted.groupBy("m", "v").agg(F.count(F.lit(1)).alias("c")).persist()
-    stats = hist.groupBy("m").agg(
-        F.min("v").alias("vmin"), F.max("v").alias("vmax"), F.sum("c").alias("n")
-    )
-    h = hist.join(F.broadcast(stats), "m")
-    span = F.col("vmax") - F.col("vmin")
-    coarse = (
-        F.when(span <= 0, F.lit(0))
-        .otherwise(
-            F.least(
-                F.floor((F.col("v") - F.col("vmin")) / span * n_coarse),
-                F.lit(n_coarse - 1),
-            )
-        )
-        .cast("int")
-    )
-    h = h.withColumn("cb", coarse)
-    w_in = Window.partitionBy("m", "cb").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    h2 = h.withColumn("cum_in", F.sum("c").over(w_in))
-    w_off = Window.partitionBy("m").orderBy("cb").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offs = (
-        h2.groupBy("m", "cb")
-        .agg(F.sum("c").alias("bt"))
-        .select(
-            "m", "cb", F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias("off")
-        )
-    )
-    g = h2.join(F.broadcast(offs), ["m", "cb"]).withColumn(
-        "cum", F.col("off") + F.col("cum_in")
-    )
-    per_m = g.groupBy("m").agg(
-        *[
-            F.min(
-                F.when(
-                    F.col("cum") >= F.ceil(F.lit(float(i)) * F.col("n") / k),
-                    F.col("v"),
-                )
-            ).alias(f"_cut{i}")
-            for i in range(1, k)
-        ]
-    ).select(
-        "m", F.array(*[F.col(f"_cut{i}") for i in range(1, k)]).alias("cuts")
-    )
+    per_m = _cuts_by_key(hist, ("m",), k, n_coarse)
+    # coalesce to an empty array for an all-NULL metric: it has no
+    # histogram row, and NULL cuts would push assign_cut_buckets
+    # outside its 1..k contract — with empty cuts every row (all NULL
+    # anyway) degenerates to bucket 1
+    empty = F.array().cast("array<double>")
     return per_m.agg(
         *[
-            F.any_value(F.when(F.col("m") == c, F.col("cuts")), True).alias(
-                f"{c}_cuts"
-            )
+            F.coalesce(
+                F.any_value(F.when(F.col("m") == c, F.col("cuts")), True), empty
+            ).alias(f"{c}_cuts")
             for c in val_cols
         ]
     )

@@ -365,7 +365,10 @@ def histogram_equidepth_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir)["orders"]
     cuts = exact_cut_points(o, "o_totalprice", 10)
     return (
+        # null filter mirrors the cut computation and the oracle's v
+        # CTE — a NULL price must not land in decile 1
         o.select("o_totalprice")
+        .filter(F.col("o_totalprice").isNotNull())
         .crossJoin(F.broadcast(cuts.select("cuts")))
         .select(
             assign_cut_buckets("o_totalprice").alias("decile"), "o_totalprice"

@@ -457,6 +457,22 @@ def temporal_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 INTRODUCED_ROUND["temporal_state_join"] = 5
 
 
+def _rfm_segment():
+    """Segment label from (r_score, f_score, m_score) — ONE definition
+    shared by the ntile and cut-point RFM twins (and mirrored verbatim
+    in both SQL oracles), so a threshold change cannot silently
+    de-pair the cross-check."""
+    return (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk_loyal")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new_or_returning")
+        .otherwise("core")
+    )
+
+
 @query(
     "events_rfm_segments",
     oracle="""
@@ -505,13 +521,9 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(Window.orderBy("frequency", "user_id")).cast("long").alias("f_score"),
         F.ntile(5).over(Window.orderBy("monetary", "user_id")).cast("long").alias("m_score"),
     )
-    seg = (
-        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4), "champion")
-        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk_loyal")
-        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new_or_returning")
-        .otherwise("core")
+    return s.select(
+        "user_id", "r_score", "f_score", "m_score", _rfm_segment().alias("segment")
     )
-    return s.select("user_id", "r_score", "f_score", "m_score", seg.alias("segment"))
 
 
 @query(
@@ -583,13 +595,9 @@ def events_rfm_segments_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_cut_buckets("frequency", "frequency_cuts").alias("f_score"),
         assign_cut_buckets("monetary", "monetary_cuts").alias("m_score"),
     )
-    seg = (
-        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4), "champion")
-        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk_loyal")
-        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new_or_returning")
-        .otherwise("core")
+    return s.select(
+        "user_id", "r_score", "f_score", "m_score", _rfm_segment().alias("segment")
     )
-    return s.select("user_id", "r_score", "f_score", "m_score", seg.alias("segment"))
 
 
 INTRODUCED_ROUND["events_rfm_segments"] = 5

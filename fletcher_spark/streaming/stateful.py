@@ -162,7 +162,10 @@ def ttl_first_seen_batch(
     O(emits × log n) via searchsorted jumps, not O(n) Python steps."""
     import numpy as np
 
-    out_schema = f"{key_col} long, n_emitted long, first_us long, last_emit_us long"
+    key_type = df.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, n_emitted long, first_us long, last_emit_us long"
+    )
     kc, tc = key_col, ts_col
     ttl = int(ttl_us)
     cols = [kc, "n_emitted", "first_us", "last_emit_us"]

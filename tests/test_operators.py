@@ -367,3 +367,27 @@ def test_exact_cut_points_multi_equals_per_column(spark):
     for col in ("a", "b", "c"):
         single = exact_cut_points(df, col, 5, n_coarse=16).collect()[0]
         assert multi[f"{col}_cuts"] == single["cuts"], col
+
+
+def test_exact_cut_points_multi_all_null_metric_degenerates_to_bucket_1(spark):
+    """An all-NULL metric yields EMPTY cuts (not NULL), keeping
+    assign_cut_buckets inside its 1..k contract."""
+    from pyspark.sql import functions as F
+
+    from fletcher_spark.operators.agg import assign_cut_buckets, exact_cut_points_multi
+
+    df = spark.createDataFrame(
+        [(float(i), None) for i in range(20)], "a double, b double"
+    )
+    row = exact_cut_points_multi(df, ["a", "b"], 4, n_coarse=8).collect()[0]
+    assert row["b_cuts"] == []
+    assert len(row["a_cuts"]) == 3
+    out = (
+        df.crossJoin(
+            F.broadcast(exact_cut_points_multi(df, ["a", "b"], 4, n_coarse=8))
+        )
+        .select(assign_cut_buckets("b", "b_cuts").alias("bb"))
+        .distinct()
+        .collect()
+    )
+    assert {r["bb"] for r in out} == {1}, out

@@ -676,3 +676,20 @@ def test_streaming_histogram_cut_points_match_batch(spark):
     finally:
         q.stop()
     assert got["cuts"] == want["cuts"] and got["n"] == want["n"], (got, want)
+
+
+def test_ttl_first_seen_batch_string_keys(spark):
+    """The key column's output type derives from the input schema —
+    string dedup fingerprints (the streaming_first_seen default shape)
+    must work, not just long user ids."""
+    from fletcher_spark.streaming.stateful import ttl_first_seen_batch
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 50), ("a", 200), ("b", 10)],
+        "fp string, ts_us long",
+    )
+    got = {
+        r["fp"]: (r["n_emitted"], r["first_us"], r["last_emit_us"])
+        for r in ttl_first_seen_batch(df, "fp", "ts_us", 100).collect()
+    }
+    assert got == {"a": (2, 0, 200), "b": (1, 10, 10)}, got
