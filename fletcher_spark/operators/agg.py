@@ -243,6 +243,13 @@ def exact_cut_points(df, val_col: str, k: int, n_coarse: int = 256, prehist=None
     to reuse (pass persisted) — lets a query that already pays the
     histogram scan (rank checks, mode, other quantiles) share it
     instead of re-scanning the source.
+
+    ``n_coarse`` sizing: each in-bucket window partition holds
+    ~|distinct| / n_coarse histogram rows, and the offsets window holds
+    n_coarse rows — balance them with ``n_coarse ≈ sqrt(|distinct|)``
+    (256 covers up to ~65k distinct evenly; a billion-distinct double
+    column wants ~32k, or :func:`median_approx` if the histogram itself
+    is intractable).
     """
     if prehist is not None:
         hist = prehist
