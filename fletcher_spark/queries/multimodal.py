@@ -128,6 +128,111 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "width", "height", "scale")
 
 
+_PNG_W = 32
+
+_PNG_BUCKET_ORACLE = ",\n".join(
+    f"    count(*) FILTER (WHERE ascii(substr(text, i::INT, 1)) // 16 = {b}) AS a{b}"
+    for b in range(16)
+)
+
+_PNG_C_ORACLE = ",\n".join(
+    (
+        "  CASE WHEN doc.text IS NULL THEN NULL\n"
+        "       ELSE CAST(coalesce(a.a0, 0) + (32 * dims.height - dims.len) AS BIGINT)\n"
+        "  END AS c0"
+    )
+    if b == 0
+    else (
+        f"  CASE WHEN doc.text IS NULL THEN NULL"
+        f" ELSE CAST(coalesce(a.a{b}, 0) AS BIGINT) END AS c{b}"
+    )
+    for b in range(16)
+)
+
+
+@query(
+    "mm_decode_png_roundtrip",
+    oracle=f"""
+WITH nn AS (
+  SELECT doc_id, text, strlen(text)::BIGINT AS len
+  FROM documents WHERE text IS NOT NULL
+),
+dims AS (
+  SELECT doc_id, len,
+         CAST(greatest(1, ceil(len / 32.0)) AS BIGINT) AS height
+  FROM nn
+),
+ch AS (
+  SELECT doc_id, text, unnest(range(1, len + 1)) AS i FROM nn
+),
+agg AS (
+  SELECT doc_id,
+{_PNG_BUCKET_ORACLE}
+  FROM ch GROUP BY doc_id
+)
+SELECT doc.doc_id,
+  CASE WHEN doc.text IS NULL THEN NULL ELSE 32 END AS width,
+  CAST(dims.height AS INT) AS height,
+{_PNG_C_ORACLE}
+FROM documents doc
+LEFT JOIN dims USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+""",
+)
+def mm_decode_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec, driver-value-checked end to end: each
+    document's bytes are laid out as a genuine 8-bit grayscale PNG
+    (width 32, zero-padded tail, filter type cycling ``y % 5`` so every
+    unfilter path — None/Sub/Up/Average/Paeth — is on the hot path),
+    then decoded by the dependency-free PNG decoder
+    (pipeline/multimodal.py:_make_png_decode — stdlib zlib inflate +
+    numpy unfilter) via the same ``mapInPandas`` tier as
+    ``decode_images``.  Output: true decoded dimensions + the EXACT
+    16-bucket intensity histogram counts (``feat[b] · w · h``).
+
+    The oracle never sees a PNG: it recomputes the histogram
+    character-wise from the source text (bucket = ascii // 16, padding
+    zeros into bucket 0), so a single wrong reconstructed byte anywhere
+    in the filter chain turns the row red — a cross-engine check of the
+    codec itself, not just the plumbing.
+
+    Scale: two chained Arrow map passes (encode, decode), no shuffle;
+    payload bytes never leave the executor."""
+    import pandas as pd
+
+    d = load_tables(spark, sf_dir)["documents"]
+    enc = MM._make_png_encode(_PNG_W)
+
+    def encode_batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        None if t is None else enc(t.encode("utf-8"))
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    payloads = d.select("doc_id", "text").mapInPandas(
+        encode_batches, "doc_id long, payload binary"
+    )
+    out = MM.decode_images(payloads, "doc_id", "payload")
+    npx = (F.col("width") * F.col("height")).cast("double")
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        *[
+            F.round(F.element_at("feat", b + 1) * npx, 0)
+            .cast("long")
+            .alias(f"c{b}")
+            for b in range(16)
+        ],
+    )
+
+
 @query(
     "list_take_ops",
     oracle="""
@@ -227,3 +332,4 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 from fletcher_spark.queries.registry import INTRODUCED_ROUND as _IR  # noqa: E402
 
 _IR["mm_resize_stub"] = 7
+_IR["mm_decode_png_roundtrip"] = 7

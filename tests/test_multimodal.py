@@ -125,6 +125,215 @@ def test_resize_composes_with_decode(payloads):
         assert r["feat"] == d["feat"]
 
 
+def _png_chunk(typ, data):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _png(w, h, ctype, raw, plte=None):
+    """Test-local PNG assembler: raw = pre-filtered scanline bytes
+    (hand-derived in the tests — an independent reference, sharing no
+    filter math with the production encoder)."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+
+
+def test_png_decode_hand_derived_filters():
+    """REAL decoder vs filter bytes derived BY HAND from the PNG spec
+    (not via the repo's encoder — rules out symmetric encode/decode
+    bugs): Sub, Up, Paeth on a 3x3 gray image; Average on a 2x2."""
+    import numpy as np
+
+    dec = MM._make_png_decode()
+    # pixels row0: 10 20 30 (Sub), row1: 40 60 80 (Up),
+    # row2: 250 10 30 (Paeth) — filtered values hand-computed:
+    #   Paeth x0: pred=up=40 -> 210; x1: pred=left=250 -> (10-250)%256=16;
+    #   x2: pred=left=10 -> 20
+    raw = bytes([1, 10, 10, 10, 2, 30, 40, 50, 4, 210, 16, 20])
+    img = dec(_png(3, 3, 0, raw))
+    want = np.array([[10, 20, 30], [40, 60, 80], [250, 10, 30]], dtype=np.uint8)
+    assert np.array_equal(img, want[:, :, None]), img.reshape(3, 3)
+    # Average: row0 ft=0 (100, 200); row1 pixels (50, 90):
+    #   x0 pred=(0+100)//2=50 -> 0; x1 pred=(50+200)//2=125 -> (90-125)%256=221
+    img = dec(_png(2, 2, 0, bytes([0, 100, 200, 3, 0, 221])))
+    assert np.array_equal(
+        img.reshape(2, 2), np.array([[100, 200], [50, 90]], dtype=np.uint8)
+    )
+
+
+def test_png_decode_color_types_and_palette():
+    """bpp-strided Sub (RGB), RGBA, gray+alpha Up, and PLTE mapping."""
+    import numpy as np
+
+    dec = MM._make_png_decode()
+    img = dec(_png(2, 2, 2, bytes([0, 1, 2, 3, 4, 5, 6, 1, 10, 20, 30, 5, 5, 5])))
+    want = np.array([[[1, 2, 3], [4, 5, 6]], [[10, 20, 30], [15, 25, 35]]], np.uint8)
+    assert np.array_equal(img, want), img
+    img = dec(_png(2, 1, 6, bytes([0, 1, 2, 3, 4, 250, 251, 252, 253])))
+    assert img.shape == (1, 2, 4) and img[0, 1, 3] == 253
+    img = dec(_png(1, 2, 4, bytes([0, 7, 8, 2, 10, 20])))
+    assert np.array_equal(img.reshape(2, 2), np.array([[7, 8], [17, 28]], np.uint8))
+    img = dec(
+        _png(3, 1, 3, bytes([0, 2, 0, 1]), plte=bytes([255, 0, 0, 0, 255, 0, 0, 0, 255]))
+    )
+    assert np.array_equal(
+        img, np.array([[[0, 0, 255], [255, 0, 0], [0, 255, 0]]], np.uint8)
+    ), img
+
+
+def test_png_decode_external_fixture():
+    """A PNG encoded by a REAL third-party encoder (the canonical 1×1
+    RGBA 'transparent pixel' bytes that ship with countless web
+    projects) must parse: dimensions, channel count, and alpha."""
+    import base64
+
+    dec = MM._make_png_decode()
+    img = dec(
+        base64.b64decode(
+            "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhf"
+            "DwAChwGA60e6kgAAAABJRU5ErkJggg=="
+        )
+    )
+    assert img.shape == (1, 1, 4)
+    assert img[0, 0, 3] == 127  # semi-transparent
+
+
+def test_png_encode_decode_roundtrip_all_filters():
+    """Production encoder (filter type cycles y % 5) → decoder →
+    original bytes, across sizes that cover every filter path and the
+    zero-padded tail."""
+    import hashlib
+
+    import numpy as np
+
+    dec = MM._make_png_decode()
+    enc = MM._make_png_encode(32)
+    for seed in range(4):
+        data = hashlib.sha256(bytes([seed])).digest() * (6 + seed)
+        img = dec(enc(data))
+        h = -(-len(data) // 32)
+        assert img.shape == (h, 32, 1)
+        want = np.zeros(h * 32, dtype=np.uint8)
+        want[: len(data)] = np.frombuffer(data, np.uint8)
+        assert np.array_equal(img.reshape(-1), want), seed
+
+
+def test_png_decode_rejects_unsupported_and_corrupt():
+    import pytest as _pytest
+
+    dec = MM._make_png_decode()
+    enc = MM._make_png_encode(8)
+    with _pytest.raises(ValueError):
+        dec(b"\x89PNG\r\n\x1a\nnot really")
+    with _pytest.raises(ValueError):
+        dec(enc(b"abc")[:20])  # truncated before IDAT
+    with _pytest.raises(ValueError):
+        dec(_png(1, 1, 0, bytes([9, 5])))  # bad filter type
+    # 16-bit depth: unsupported, must raise (not silently misdecode)
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 1, 2])))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError):
+        dec(p)
+
+
+def test_decode_images_png_tier(spark):
+    """decode_images dispatch: PNG payloads get REAL dims + intensity
+    histogram; non-PNG payloads keep the stub; corrupt PNGs yield NULL
+    stats with n_bytes intact (skip-not-die)."""
+    enc = MM._make_png_encode(16)
+    png = enc(bytes(range(64)))  # 4 rows of 16, values 0..63
+    rows = [
+        (1, bytearray(png)),
+        (2, b"plain bytes"),
+        (3, bytearray(png[:30])),  # truncated PNG: corrupt
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in MM.decode_images(df).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (16, 4)
+    # values 0..63 -> intensity buckets 0..3 hold 16/64 each, rest 0
+    assert got[1]["feat"][:4] == [0.25, 0.25, 0.25, 0.25]
+    assert sum(got[1]["feat"]) == 1.0
+    assert got[1]["n_bytes"] == len(png)
+    w, h, feat = MM._make_fake_decode()(b"plain bytes")
+    assert (got[2]["width"], got[2]["height"]) == (w, h)
+    assert got[3]["width"] is None and got[3]["n_bytes"] == 30
+
+
+def test_resize_images_png_tier(spark):
+    """Real PNG resize: nearest-neighbor to the target grid, features
+    recomputed over the RESIZED pixels."""
+    import numpy as np
+
+    enc = MM._make_png_encode(16)
+    data = bytes([200] * 128)  # 8 rows of constant 200
+    df = spark.createDataFrame([(1, bytearray(enc(data)))], "doc_id long, payload binary")
+    r = MM.resize_images(df, 4, 4).collect()[0]
+    assert (r["width"], r["height"]) == (4, 4)
+    assert r["scale"] == round(min(4 / 16, 4 / 8), 6)
+    # constant image resizes to constant: all mass in bucket 200//16=12
+    want = [0.0] * 16
+    want[12] = 1.0
+    assert r["feat"] == want
+    # non-PNG path unchanged vs decode
+    np_df = spark.createDataFrame([(2, b"stub bytes")], "doc_id long, payload binary")
+    d = MM.decode_images(np_df).collect()[0]
+    s = MM.resize_images(np_df, 64, 64).collect()[0]
+    assert s["feat"] == d["feat"]
+
+
+def test_png_decode_closure_is_self_contained(tmp_path):
+    """Like the fake-decode pickle test: the REAL decoder must ship to
+    workers by value (stdlib + numpy only)."""
+    import subprocess
+    import sys
+
+    from pyspark import cloudpickle
+
+    enc = MM._make_png_encode(8)
+    png_path = tmp_path / "img.png"
+    png_path.write_bytes(enc(bytes(range(40))))
+    blob_path = tmp_path / "decode_png.pkl"
+    blob_path.write_bytes(cloudpickle.dumps(MM._make_png_decode()))
+    script = (
+        "import pickle, sys; "
+        "sys.modules['fletcher_spark'] = None; "
+        f"fn = pickle.load(open({str(blob_path)!r}, 'rb')); "
+        f"img = fn(open({str(png_path)!r}, 'rb').read()); "
+        "assert img.shape == (5, 8, 1), img.shape; "
+        "assert int(img.reshape(-1)[:40].sum()) == sum(range(40)); "
+        "print('ok')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd="/tmp",
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert out.returncode == 0 and "ok" in out.stdout, out.stderr
+
+
 def test_image_dimensions_real_headers(spark):
     """REAL byte-level parsing, no image libraries: hand-constructed
     valid PNG / GIF / JPEG headers with known dimensions must parse
