@@ -37,7 +37,13 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
-__all__ = ["PlanFinding", "lint_plan", "assert_scale_safe", "report"]
+__all__ = [
+    "PlanFinding",
+    "lint_plan",
+    "assert_scale_safe",
+    "report",
+    "unbounded_single_partition_exchanges",
+]
 
 
 @dataclass(frozen=True)
@@ -97,6 +103,121 @@ _RULES: list[tuple[str, str, str, str]] = [
 ]
 
 
+#: Operators that bound the row count of their output regardless of
+#: input size — a single-partition Exchange above one of these funnels
+#: an aggregate/limit-sized stream, not the table.  ``ReusedExchange``
+#: is deliberately NOT here: it merely references another exchange,
+#: which may itself be unbounded (it is resolved structurally below).
+_BOUNDING_RE = re.compile(
+    r"HashAggregate|ObjectHashAggregate|SortAggregate"
+    r"|TakeOrderedAndProject|LocalLimit|GlobalLimit|CollectLimit"
+    r"|WindowGroupLimit|Scan OneRowRelation|LocalTableScan"
+)
+
+#: Fixed-ratio bucketing: ``FLOOR(col / <numeric literal>)``.  An
+#: aggregate GROUPED ON such a bucket shrinks its input by a CONSTANT
+#: factor, not to a bounded cardinality — at 100× the data the
+#: "summary" is 100× bigger too, so it must not count as row-bounding
+#: for funnel purposes.  A column-valued divisor (e.g. a bucket size
+#: derived in-plan from the key span) adapts with the data and stays
+#: bounding; so does an aggregate whose keys don't include the bucket
+#: (e.g. a global keys=[] summary downstream of one).
+_FIXED_RATIO_RE = re.compile(r"FLOOR\(.*? / \d+(?:\.\d+)?\)")
+
+#: a Project line defining a fixed-ratio bucket attribute:
+#: ``FLOOR((doc_id#6L / 64)) AS bk#123L`` → captures "123"
+_FIXED_RATIO_DEF_RE = re.compile(
+    r"FLOOR\(.*? / \d+(?:\.\d+)?\)\) AS \w+#(\d+)"
+)
+
+_AGG_RE = re.compile(r"HashAggregate|ObjectHashAggregate|SortAggregate")
+_AGG_KEYS_RE = re.compile(r"Aggregate\(keys=\[([^\]]*)\]")
+
+
+def _line_depth(line: str) -> int:
+    m = re.search(r"[+:]- ", line)
+    return m.start() if m else -1
+
+
+def _subtree(lines: list[str], i: int) -> list[str]:
+    d = _line_depth(lines[i])
+    sub: list[str] = []
+    for j in range(i + 1, len(lines)):
+        dj = _line_depth(lines[j])
+        if 0 <= dj <= d:
+            break
+        sub.append(lines[j])
+    return sub
+
+
+def unbounded_single_partition_exchanges(plan: str) -> list[str]:
+    """Single-partition Exchanges whose subtree reaches a scan without
+    passing any row-count-bounding operator — i.e. the whole table
+    funnels through one task (the global-sort / global-lead / ntile
+    funnel class).
+
+    Two refinements over a plain "contains an aggregate" test:
+
+    * an aggregate whose only grouping shrink is FIXED-RATIO bucketing
+      (``FLOOR(col / literal)``) does not bound — the funnel input is a
+      constant fraction of the table and grows linearly with it;
+    * a ``ReusedExchange`` only bounds if the exchange subtree it
+      reuses is itself bounded (checked against every original
+      ``Exchange hashpartitioning`` subtree in the plan — conservative:
+      if ANY original exchange is unbounded, the reuse doesn't bound).
+    """
+    lines = plan.splitlines()
+
+    def subtree_bounded(sub: list[str]) -> bool:
+        bounding = [s for s in sub if _BOUNDING_RE.search(s)]
+        if not bounding:
+            return False
+        tainted_ids: set[str] = set()
+        for s in sub:
+            tainted_ids.update(_FIXED_RATIO_DEF_RE.findall(s))
+
+        def agg_bounds(line: str) -> bool:
+            m = _AGG_KEYS_RE.search(line)
+            if m is None:
+                return True
+            keys = m.group(1)
+            if not keys.strip():
+                return True  # global aggregate: one row out, always bounds
+            if _FIXED_RATIO_RE.search(keys):
+                return False  # bucket expression inlined into the keys
+            key_ids = set(re.findall(r"#(\d+)", keys))
+            return not (key_ids & tainted_ids)
+
+        return any(
+            agg_bounds(s) if _AGG_RE.search(s) else True for s in bounding
+        )
+
+    originals = [
+        i
+        for i, l2 in enumerate(lines)
+        if re.search(r"Exchange (hash|range)partitioning|Exchange SinglePartition", l2)
+        and "ReusedExchange" not in l2
+    ]
+
+    flagged = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln or "ReusedExchange" in ln:
+            continue
+        sub = _subtree(lines, i)
+        bounded = subtree_bounded(sub)
+        if not bounded and any("ReusedExchange" in s for s in sub):
+            # the reuse stands in for a bounded original only if every
+            # original exchange subtree in the plan is itself bounded
+            # (string plans don't carry the reuse target, so this is
+            # the conservative resolution)
+            bounded = bool(originals) and all(
+                subtree_bounded(_subtree(lines, j)) or j == i for j in originals
+            )
+        if not bounded:
+            flagged.append(ln.strip())
+    return flagged
+
+
 def lint_plan(df: DataFrame) -> list[PlanFinding]:
     """Lint a DataFrame's physical plan; returns findings, worst first.
 
@@ -105,6 +226,16 @@ def lint_plan(df: DataFrame) -> list[PlanFinding]:
     """
     plan = _physical_plan(df)
     findings: list[PlanFinding] = []
+    funnels = unbounded_single_partition_exchanges(plan)
+    if funnels:
+        findings.append(
+            PlanFinding(
+                "unbounded-single-partition-funnel",
+                "warn",
+                "un-aggregated (or only fixed-ratio-bucketed) table rows "
+                "funnel through ONE partition: " + "; ".join(funnels[:3]),
+            )
+        )
     for rule, severity, pattern, explain in _RULES:
         if rule == "global-sort":
             # a Sort feeding TakeOrderedAndProject never materializes a

@@ -79,6 +79,61 @@ def test_arrow_batched_python_is_clean(spark):
     assert "row-python-udf" not in rules(df)
 
 
+def _funnels(df):
+    from fletcher_spark.plans.lint import unbounded_single_partition_exchanges
+
+    return unbounded_single_partition_exchanges(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_fixed_ratio_bucket_aggregate_does_not_bound(spark):
+    """VERDICT r5 ask #8: groupBy(floor(key / CONSTANT)) shrinks by a
+    fixed factor, so an unpartitioned window over that 'summary' is
+    still a table/B single-partition sort — the lint must flag it.
+    This is exactly the pre-r6 docid_gap_ranges_bucketed boundary
+    shape."""
+    d = load_tables(spark, SF_DIR)["documents"].select("doc_id")
+    summ = (
+        d.groupBy(F.floor(F.col("doc_id") / 64).alias("bk"))
+        .agg(F.max("doc_id").alias("mx"))
+        .select("bk", F.lead("mx").over(Window.orderBy("bk")).alias("nx"))
+    )
+    assert _funnels(summ), "fixed-ratio funnel must be flagged"
+    assert "unbounded-single-partition-funnel" in rules(summ)
+
+
+def test_adaptive_bucket_aggregate_bounds(spark):
+    """The r6 fix shape: divisor is a COLUMN (bucket size derived
+    in-plan from the key span), so the summary is ~sqrt(span) rows —
+    cardinality-bounded, lint stays quiet."""
+    d = spark.range(1000).select(F.col("id").alias("doc_id"))
+    bsz = d.agg(
+        F.greatest(
+            F.lit(64), F.ceil(F.sqrt(F.max("doc_id") - F.min("doc_id") + F.lit(1)))
+        ).alias("bsz")
+    )
+    summ = (
+        d.crossJoin(F.broadcast(bsz))
+        .groupBy(F.floor(F.col("doc_id") / F.col("bsz")).alias("bk"))
+        .agg(F.max("doc_id").alias("mx"))
+        .select("bk", F.lead("mx").over(Window.orderBy("bk")).alias("nx"))
+    )
+    assert not _funnels(summ), _funnels(summ)
+
+
+def test_global_aggregate_still_bounds_with_fixed_ratio_key_upstream(spark):
+    """A keys=[] summary downstream of a fixed-ratio groupBy is one row
+    — its single-partition exchange must NOT be flagged (the
+    privacy_k_anonymity shape)."""
+    c = load_tables(spark, SF_DIR)["customer"]
+    q = c.groupBy(F.floor(F.col("c_acctbal") / 1000).alias("band")).agg(
+        F.count(F.lit(1)).alias("grp")
+    )
+    df = q.agg(F.min("grp").alias("min_group"), F.count(F.lit(1)).alias("n"))
+    assert not _funnels(df), _funnels(df)
+
+
 def test_flagship_queries_are_scale_safe(spark):
     for name in ("q1_pricing_summary", "dedup_minhash_lsh", "knn_graph_blocked"):
         df = registry.QUERIES[name](spark, SF_DIR)

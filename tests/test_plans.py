@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import pytest
 
+from fletcher_spark.io import load_tables
 from fletcher_spark.queries import registry
 from tests.conftest import SF_DIR
 
@@ -256,44 +257,13 @@ def test_registry_wide_plan_invariants(spark):
 #: scale-safe twins (…_cuts / …_bucketed) carry the 100 TB plan.
 _GLOBAL_FUNNEL_WHITELIST = {"histogram_equidepth", "docid_gap_ranges"}
 
-_BOUNDED_RE = None
-
-
-def _unbounded_single_partition_exchanges(p: str) -> list[str]:
-    """Single-partition Exchanges whose subtree reaches a scan without
-    passing any row-count-bounding operator (aggregate, limit,
-    WindowGroupLimit top-k pushdown, reused bounded exchange) — i.e.
-    the whole table funnels through one task."""
-    import re
-
-    global _BOUNDED_RE
-    if _BOUNDED_RE is None:
-        _BOUNDED_RE = re.compile(
-            r"HashAggregate|ObjectHashAggregate|SortAggregate"
-            r"|TakeOrderedAndProject|LocalLimit|GlobalLimit|CollectLimit"
-            r"|WindowGroupLimit|Scan OneRowRelation|LocalTableScan"
-            r"|ReusedExchange"
-        )
-
-    def depth(line: str) -> int:
-        m = re.search(r"[+:]- ", line)
-        return m.start() if m else -1
-
-    lines = p.splitlines()
-    flagged = []
-    for i, ln in enumerate(lines):
-        if "Exchange SinglePartition" not in ln:
-            continue
-        d = depth(ln)
-        sub = []
-        for j in range(i + 1, len(lines)):
-            dj = depth(lines[j])
-            if 0 <= dj <= d:
-                break
-            sub.append(lines[j])
-        if not any(_BOUNDED_RE.search(s) for s in sub):
-            flagged.append(ln.strip())
-    return flagged
+# The heuristic lives in the user-facing linter library (r6: moved out
+# of this file, extended with fixed-ratio-aggregate and ReusedExchange
+# resolution — VERDICT r5 ask #8 / ADVICE r5); the registry sweep below
+# is the CI face of the same check.
+from fletcher_spark.plans.lint import (  # noqa: E402
+    unbounded_single_partition_exchanges as _unbounded_single_partition_exchanges,
+)
 
 
 def test_registry_wide_no_unbounded_single_partition_funnel(spark):
@@ -321,6 +291,21 @@ def test_scale_safe_twins_match_funnel_semantics(spark):
     ):
         assert twin in registry.QUERIES and twin in registry.ORACLE, twin
         assert not _unbounded_single_partition_exchanges(plan(spark, twin)), twin
+
+
+def test_exact_cut_points_construction_plan_has_no_funnel(spark):
+    """exact_cut_points materializes eagerly (r6: the cuts row is
+    collected and the histogram cache released), so its internal plan
+    no longer appears in registered queries' plans — lint the LAZY
+    construction directly to keep the two-level prefix sum honest: the
+    only single-partition exchange input may be the n_coarse-row
+    offsets aggregate, never the table or the histogram."""
+    from fletcher_spark.operators.agg import exact_cut_points
+
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    lazy = exact_cut_points(li, "l_extendedprice", 10, materialize=False)
+    p = lazy._jdf.queryExecution().executedPlan().toString()
+    assert not _unbounded_single_partition_exchanges(p), p
 
 
 def test_blocklist_is_broadcast_anti_join(spark):
