@@ -535,22 +535,30 @@ WITH m AS (
          count(*)::BIGINT AS frequency,
          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
   FROM events GROUP BY user_id),
-nn AS (SELECT count(*) AS n FROM m),
 iz  AS (SELECT unnest(range(1, 5)) AS i),
-rh AS (SELECT recency_us::DOUBLE AS x, count(*) AS c FROM m GROUP BY 1),
+-- per-metric n = that metric's NON-NULL count (sum over its own
+-- histogram), mirroring exact_cut_points_multi exactly — a global
+-- count(*) would diverge the moment any user had a NULL metric
+rh AS (SELECT recency_us::DOUBLE AS x, count(*) AS c FROM m
+       WHERE recency_us IS NOT NULL GROUP BY 1),
+rn AS (SELECT sum(c) AS n FROM rh),
 rcum AS (SELECT x, sum(c) OVER (ORDER BY x) AS cw FROM rh),
 rcuts AS (SELECT list(cut ORDER BY i) AS cl FROM (
-  SELECT i, min(x) AS cut FROM rcum CROSS JOIN nn CROSS JOIN iz
+  SELECT i, min(x) AS cut FROM rcum CROSS JOIN rn CROSS JOIN iz
   WHERE cw >= ceil(i * n / 5.0) GROUP BY i)),
-fh AS (SELECT frequency::DOUBLE AS x, count(*) AS c FROM m GROUP BY 1),
+fh AS (SELECT frequency::DOUBLE AS x, count(*) AS c FROM m
+       WHERE frequency IS NOT NULL GROUP BY 1),
+fn AS (SELECT sum(c) AS n FROM fh),
 fcum AS (SELECT x, sum(c) OVER (ORDER BY x) AS cw FROM fh),
 fcuts AS (SELECT list(cut ORDER BY i) AS cl FROM (
-  SELECT i, min(x) AS cut FROM fcum CROSS JOIN nn CROSS JOIN iz
+  SELECT i, min(x) AS cut FROM fcum CROSS JOIN fn CROSS JOIN iz
   WHERE cw >= ceil(i * n / 5.0) GROUP BY i)),
-mh AS (SELECT monetary::DOUBLE AS x, count(*) AS c FROM m GROUP BY 1),
+mh AS (SELECT monetary::DOUBLE AS x, count(*) AS c FROM m
+       WHERE monetary IS NOT NULL GROUP BY 1),
+mn AS (SELECT sum(c) AS n FROM mh),
 mcum AS (SELECT x, sum(c) OVER (ORDER BY x) AS cw FROM mh),
 mcuts AS (SELECT list(cut ORDER BY i) AS cl FROM (
-  SELECT i, min(x) AS cut FROM mcum CROSS JOIN nn CROSS JOIN iz
+  SELECT i, min(x) AS cut FROM mcum CROSS JOIN mn CROSS JOIN iz
   WHERE cw >= ceil(i * n / 5.0) GROUP BY i)),
 s AS (
   SELECT user_id,
@@ -585,7 +593,10 @@ def events_rfm_segments_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_us").alias("recency_us"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("monetary"),
-    ).persist()  # feeds the melted cut pass + the scoring pass: one events scan
+    ).persist()  # feeds the melted cut pass (consumed eagerly at
+    # construction — exact_cut_points_multi materializes) + the scoring
+    # pass at execution: one events scan total.  Lifetime: LRU contract
+    # (the returned plan references it, so the query can't unpersist)
     cuts = exact_cut_points_multi(
         m, ["recency_us", "frequency", "monetary"], 5
     )  # ONE histogram pipeline for all three metrics (constant job count)

@@ -543,6 +543,82 @@ def winsorize_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "winsorize_by_source_cuts",
+    oracle="""
+WITH v AS (
+  SELECT source, n_chars::DOUBLE AS x FROM documents WHERE n_chars IS NOT NULL
+),
+h AS (SELECT source, x, count(*) AS c FROM v GROUP BY 1, 2),
+cum AS (
+  SELECT source, x, sum(c) OVER (PARTITION BY source ORDER BY x) AS cw FROM h
+),
+nn AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+cuts AS (
+  SELECT cum.source,
+         min(x) FILTER (WHERE cw >= ceil(1  * n / 20.0)) AS p05,
+         min(x) FILTER (WHERE cw >= ceil(19 * n / 20.0)) AS p95
+  FROM cum JOIN nn USING (source) GROUP BY 1
+)
+SELECT v.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(min(p05), 4) AS p05,
+       round(min(p95), 4) AS p95,
+       CAST(count(*) FILTER (WHERE x < p05) AS BIGINT) AS n_clamped_low,
+       CAST(count(*) FILTER (WHERE x > p95) AS BIGINT) AS n_clamped_high,
+       round(avg(least(greatest(x, p05), p95)), 4) AS avg_winsor
+FROM v JOIN cuts USING (source)
+GROUP BY v.source
+""",
+)
+def winsorize_by_source_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorization under RANK-CUT semantics — the keyed
+    face of the exact cut-point operator (VERDICT r5 ask #7:
+    operators/agg.py:exact_cut_points_by_key, ``_cuts_by_key`` with a
+    NON-EMPTY key): for every source, the k=20 rank-exact cut table
+    yields [p05, p95] = [cut_1, cut_19] (smallest value whose
+    within-source cumulative count ≥ ceil(i·n/20)), clamp each doc's
+    length into that band, report clamp counts and the winsorized
+    mean.  Complements winsorize_doc_lengths, which checks the
+    INTERPOLATED (quantile_cont) contract over the same table — the
+    driver now value-checks both quantile semantics on the keyed path.
+
+    Scale: histogram and prefix sums are keyed by (source,
+    coarse-bucket) — fully distributed; the cuts table is |sources|
+    rows, driver-pinned and broadcast back onto the corpus scan."""
+    from fletcher_spark.operators.agg import exact_cut_points_by_key
+
+    d = load_tables(spark, sf_dir)["documents"]
+    cuts = exact_cut_points_by_key(d, ["source"], "n_chars", 20)
+    band = cuts.select(
+        "source",
+        F.element_at("cuts", 1).alias("p05"),
+        F.element_at("cuts", 19).alias("p95"),
+    )
+    x = F.col("n_chars").cast("double")
+    clamped = F.least(F.greatest(x, F.col("p05")), F.col("p95"))
+    return (
+        d.filter(F.col("n_chars").isNotNull())
+        .join(F.broadcast(band), "source")
+        .select(
+            "source",
+            x.alias("x"),
+            "p05",
+            "p95",
+            clamped.alias("clamped"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("p05"), 4).alias("p05"),
+            F.round(F.min("p95"), 4).alias("p95"),
+            F.sum((F.col("x") < F.col("p05")).cast("long")).alias("n_clamped_low"),
+            F.sum((F.col("x") > F.col("p95")).cast("long")).alias("n_clamped_high"),
+            F.round(F.avg("clamped"), 4).alias("avg_winsor"),
+        )
+    )
+
+
+@query(
     "hybrid_text_embed_filter",
     oracle="""
 WITH q AS (
@@ -682,3 +758,5 @@ for _n in (
     "embed_dim_stats",
 ):
     INTRODUCED_ROUND[_n] = 4
+
+INTRODUCED_ROUND["winsorize_by_source_cuts"] = 7

@@ -105,12 +105,12 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_resize_stub",
     oracle="""
 SELECT doc_id,
-       64 AS width,
-       64 AS height,
-       round(least(
+       CASE WHEN text IS NULL THEN NULL ELSE 64 END AS width,
+       CASE WHEN text IS NULL THEN NULL ELSE 64 END AS height,
+       CASE WHEN text IS NULL THEN NULL ELSE round(least(
          64.0 / (64 + ('0x' || substr(md5(text), 1, 2))::INT % 192),
          64.0 / (64 + ('0x' || substr(md5(text), 3, 2))::INT % 192)
-       ), 6) AS scale
+       ), 6) END AS scale
 FROM documents
 """,
 )

@@ -760,7 +760,9 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("ev", s * _PQ_SUB + 1, _PQ_SUB).alias(f"sub{s}")
             for s in range(_PQ_M)
         ],
-    ).persist()
+    ).persist()  # feeds Lloyd training + the query-row pick (eager)
+    # and the encode scan in the returned plan — which is why the query
+    # itself can't unpersist it (LRU cache-lifetime contract)
     books_map = KM.lloyd_centroids_multi(
         vs, "vec_id", [f"sub{s}" for s in range(_PQ_M)], _PQ_K, 1
     )

@@ -624,7 +624,12 @@ def sketch_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     eps = 1.0 / 100
     # two scans of lineitem TOTAL: the sketch aggregate, and the value
     # histogram — rank checks AND exact cuts both derive from the
-    # persisted histogram, never a third pass over the fact table
+    # persisted histogram, never a third pass over the fact table.
+    # Cache lifetime: the exact-cuts branch consumes it eagerly at
+    # construction (exact_cut_points materializes) and the rank-check
+    # branch at execution; after that the entry is dead weight and ages
+    # out under the documented MEMORY_AND_DISK LRU contract (a query
+    # can't unpersist what its returned plan still references)
     hist = (
         li.groupBy(F.col("l_extendedprice").cast("double").alias("v"))
         .agg(F.count(F.lit(1)).alias("c"))
