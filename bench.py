@@ -12,6 +12,15 @@ payload for offline reading.
 Each query is forced end-to-end with the no-op sink (full computation,
 no driver collect).  A warm-up of the flagship query absorbs JVM/codegen
 startup so numbers reflect steady-state throughput.
+
+Each query runs TWICE back-to-back and the MINIMUM is recorded (r6):
+this box runs other tenants, and a single contended execution once froze
+a phantom 3× "regression" into the committed snapshot (BENCH_r05
+ann_pq_adc 5.0 s vs 1.3-1.5 s re-timed).  The min of two runs bounds
+scheduler noise at one extra pass's cost; since the session cache is
+shared across the sweep anyway (see the no-clearCache note below), the
+min is a steady-state warm number — the quantity the per-round overlap
+comparison actually wants.
 """
 
 from __future__ import annotations
@@ -76,7 +85,8 @@ def main() -> None:
         if name in getattr(registry, "BENCH_EXCLUDE", set()):
             continue
         try:
-            timings[name] = round(run(name), 3)
+            # min-of-2: see module docstring (contention hygiene)
+            timings[name] = round(min(run(name), run(name)), 3)
         except Exception as exc:  # a failing query must not hide the rest
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0

@@ -122,7 +122,11 @@ def test_transform_with_state_first_seen(spark):
     ENV GATE: the API's Python driver worker speaks protobuf to the
     state server; containers without google.protobuf skip (the operator
     itself is pure PySpark and runs wherever standard pyspark deps are
-    installed)."""
+    installed).  Re-verified r6: no protobuf runtime or wheel exists
+    anywhere on this container's disk and package installation is out
+    of contract, so the skip stands; the TTL/first-seen SEMANTICS are
+    driver-value-checked batch-side via ttl_first_seen_batch parity
+    (events_ttl_first_seen)."""
     pytest.importorskip("google.protobuf.descriptor")
     from pyspark.sql import functions as F
 
