@@ -251,6 +251,337 @@ def _make_png_encode(width: int = 32):
     return encode_png
 
 
+def _make_gif_decode():
+    """REAL GIF decoder closure (pickled by value; stdlib + numpy only):
+    LZW-decompresses the first image of a GIF87a/GIF89a payload and maps
+    it through its (global or local) color table to RGB pixels.
+
+    The LZW stream is the spec's variable-width variant: codes start at
+    ``min_code_size + 1`` bits LSB-first, the table grows by one entry
+    per emitted code, the code width bumps when the table fills its
+    current width (cap 12 bits), and CLEAR resets everything.
+    Interlaced images are de-interlaced with the standard 8/8/4/2 row
+    passes.  Unsupported/corrupt payloads raise ``ValueError`` (callers
+    degrade to NULL-stats rows, same contract as PNG)."""
+
+    def le16(payload: bytes, pos: int) -> int:
+        return payload[pos] | (payload[pos + 1] << 8)
+
+    def lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        base = [bytes([i]) for i in range(clear)] + [b"", b""]
+        table = list(base)
+        code_size = min_code_size + 1
+        out: list[bytes] = []
+        got = 0
+        prev = None
+        bitpos = 0
+        total_bits = len(data) * 8
+        while bitpos + code_size <= total_bits and got < expected:
+            byte_i = bitpos >> 3
+            chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+            code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+            bitpos += code_size
+            if code == clear:
+                table = list(base)
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("bad first LZW code")
+                entry = table[code]
+            else:
+                if code < len(table):
+                    entry = table[code]
+                elif code == len(table):
+                    entry = prev + prev[:1]  # the KwKwK case
+                else:
+                    raise ValueError("LZW code out of range")
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            out.append(entry)
+            got += len(entry)
+            prev = entry
+        return b"".join(out)
+
+    def decode_gif(payload: bytes) -> np.ndarray:
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF payload")
+        packed = payload[10]
+        pos = 13
+        pal = None
+        if packed >> 7:  # global color table
+            n = 2 << (packed & 7)
+            pal = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        while pos < len(payload) and payload[pos] == 0x21:  # extensions
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        if pos >= len(payload) or payload[pos] != 0x2C:
+            raise ValueError("no image descriptor")
+        iw, ih = le16(payload, pos + 5), le16(payload, pos + 7)
+        ipacked = payload[pos + 9]
+        interlaced = bool(ipacked & 0x40)
+        pos += 10
+        if ipacked >> 7:  # local color table wins
+            n = 2 << (ipacked & 7)
+            pal = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF without a color table")
+        min_code_size = payload[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 8:
+            raise ValueError(f"bad LZW min code size {min_code_size}")
+        blocks = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            n = payload[pos]
+            blocks += payload[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        if iw == 0 or ih == 0:
+            raise ValueError("zero-sized GIF image")
+        idx = lzw_decode(bytes(blocks), min_code_size, iw * ih)
+        if len(idx) < iw * ih:
+            raise ValueError("LZW stream shorter than the image")
+        rows = np.frombuffer(idx[: iw * ih], np.uint8).reshape(ih, iw)
+        if interlaced:
+            order = np.concatenate(
+                [
+                    np.arange(0, ih, 8),
+                    np.arange(4, ih, 8),
+                    np.arange(2, ih, 4),
+                    np.arange(1, ih, 2),
+                ]
+            )
+            deinterlaced = np.empty_like(rows)
+            deinterlaced[order] = rows
+            rows = deinterlaced
+        if int(rows.max(initial=0)) >= len(pal):
+            raise ValueError("pixel index outside the color table")
+        return pal[rows]
+
+    return decode_gif
+
+
+def _make_gif_encode(width: int = 32):
+    """GIF89a ENCODER closure (grayscale 256-entry palette, REAL LZW
+    compression with code-width growth): lays bytes out row-major like
+    :func:`_make_png_encode` so the two codecs are drop-in alternates
+    in the roundtrip tests.  A conformant encoder — any GIF reader
+    opens its output."""
+
+    def lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        out = bytearray()
+        acc = 0
+        nacc = 0
+        code_size = min_code_size + 1
+
+        def emit(code: int) -> None:
+            nonlocal acc, nacc
+            acc |= code << nacc
+            nacc += code_size
+            while nacc >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = eoi + 1
+        emit(clear)
+        w = b""
+        for b in indices:
+            wk = w + bytes([b])
+            if wk in table:
+                w = wk
+                continue
+            emit(table[w])
+            table[wk] = next_code
+            next_code += 1
+            # one step LATER than the decoder's growth point: the
+            # decoder appends the entry for emit k only while processing
+            # code k+1, so the first code at the new width is the one
+            # emitted after slot (1<<code_size) is assigned
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+            elif next_code == 4096:  # table full: reset
+                emit(clear)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = eoi + 1
+                code_size = min_code_size + 1
+            w = wk[-1:]
+        if w:
+            emit(table[w])
+        emit(eoi)
+        if nacc:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def encode_gif(data: bytes) -> bytes:
+        h = max(1, -(-len(data) // width))
+        px = np.zeros(h * width, dtype=np.uint8)
+        px[: len(data)] = np.frombuffer(data, dtype=np.uint8)
+        head = b"GIF89a" + bytes(
+            [width & 0xFF, width >> 8, h & 0xFF, h >> 8, 0xF7, 0, 0]
+        )  # 0xF7: global table, 256 entries
+        palette = bytes(v for i in range(256) for v in (i, i, i))  # grayscale
+        desc = b"\x2c" + bytes([0, 0, 0, 0, width & 0xFF, width >> 8, h & 0xFF, h >> 8, 0])
+        stream = lzw_encode(bytes(px), 8)
+        body = bytearray([8])  # min code size
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            body.append(len(chunk))
+            body += chunk
+        body.append(0)  # block terminator
+        return head + palette + desc + bytes(body) + b"\x3b"
+
+    return encode_gif
+
+
+def _make_wav_decode():
+    """REAL audio decoder closure: RIFF/WAVE PCM parser (stdlib
+    ``struct`` + numpy).  Supports uncompressed PCM (format tag 1) at
+    8-bit unsigned or 16-bit signed little-endian, any channel count.
+    Returns ``(sample_rate, samples)`` with samples shaped
+    ``(n_frames, n_channels)`` as float64 normalized to [-1, 1)
+    (8-bit: ``(b − 128)/128``; 16-bit: ``v/32768``).  Anything else —
+    compressed formats, truncated chunks — raises ``ValueError``."""
+    import struct
+
+    def decode_wav(payload: bytes):
+        if (
+            len(payload) < 44
+            or payload[:4] != b"RIFF"
+            or payload[8:12] != b"WAVE"
+        ):
+            raise ValueError("not a RIFF/WAVE payload")
+        pos, n = 12, len(payload)
+        fmt = data = None
+        while pos + 8 <= n:
+            cid = payload[pos : pos + 4]
+            ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body = payload[pos + 8 : pos + 8 + ln]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if fmt is None or len(fmt) < 16 or data is None:
+            raise ValueError("missing fmt/data chunk")
+        audio_fmt, n_ch, rate = struct.unpack("<HHI", fmt[:8])
+        bits = struct.unpack("<H", fmt[14:16])[0]
+        if audio_fmt != 1 or bits not in (8, 16) or n_ch < 1:
+            raise ValueError(f"unsupported WAV: fmt={audio_fmt} bits={bits}")
+        if bits == 8:
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        else:
+            usable = len(data) // 2 * 2
+            x = np.frombuffer(data[:usable], dtype="<i2").astype(np.float64) / 32768.0
+        frames = len(x) // n_ch
+        return rate, x[: frames * n_ch].reshape(frames, n_ch)
+
+    return decode_wav
+
+
+def _make_wav_encode(rate: int = 8000):
+    """WAV ENCODER closure: wraps a byte payload as a conformant 8-bit
+    unsigned mono PCM RIFF/WAVE file (each payload byte IS a sample) —
+    the audio analog of :func:`_make_png_encode`'s bytes-as-pixels
+    layout, so roundtrip oracles can recompute features from the
+    source bytes."""
+    import struct
+
+    def encode_wav(data: bytes) -> bytes:
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+        body = (
+            b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", len(fmt))
+            + fmt
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+            + (b"\x00" if len(data) & 1 else b"")
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    return encode_wav
+
+
+#: schema of the audio feature frame
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, n_frames long, n_channels int, "
+    "rms double, peak double, mean_amp double, zero_cross long"
+)
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """REAL audio feature extraction via ``mapInPandas``: WAV payloads
+    are PCM-decoded (:func:`_make_wav_decode`) and summarized with the
+    classic first-pass audio statistics — RMS energy, peak amplitude,
+    mean amplitude (DC offset), and zero-crossing count over the
+    channel-mean signal.  Non-WAV or corrupt payloads yield NULL-stats
+    rows (skip-not-die, same contract as the image tier).
+
+    Scale: one Arrow pass, partition-parallel, payload bytes never
+    leave the executor; each feature is O(n_samples) numpy."""
+    wav_decode = _make_wav_decode()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                if payload is None:
+                    rows.append((doc_id, None, None, None, None, None, None, None))
+                    continue
+                try:
+                    rate, x = wav_decode(bytes(payload))
+                except ValueError:
+                    rows.append((doc_id, None, None, None, None, None, None, None))
+                    continue
+                frames, n_ch = x.shape
+                if frames == 0:
+                    rows.append((doc_id, rate, 0, n_ch, None, None, None, None))
+                    continue
+                mono = x.mean(axis=1)
+                sign = mono >= 0
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        frames,
+                        n_ch,
+                        float(np.sqrt(np.mean(mono * mono))),
+                        float(np.abs(mono).max()),
+                        float(mono.mean()),
+                        int(np.count_nonzero(sign[1:] != sign[:-1])),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_frames",
+                    "n_channels",
+                    "rms",
+                    "peak",
+                    "mean_amp",
+                    "zero_cross",
+                ],
+            )
+
+    return df.mapInPandas(batches, AUDIO_SCHEMA)
+
+
 def _make_intensity_hist(n_feat: int = _N_FEAT):
     """Closure: normalized ``n_feat``-bucket intensity histogram over
     all decoded samples (bucket = value · n_feat / 256 — contiguous
@@ -269,13 +600,16 @@ def _make_intensity_hist(n_feat: int = _N_FEAT):
 def decode_images(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
     """Decode/feature-extract a binary image column via ``mapInPandas``.
 
-    Tier dispatch per payload: a PNG signature routes to the REAL
-    decoder (:func:`_make_png_decode` — zlib inflate + numpy unfilter;
-    true width/height, normalized 16-bucket intensity histogram over
-    the decoded samples); anything else runs the deterministic fake so
-    the pipeline shape is exercisable without image fixtures.  A
-    corrupt or unsupported PNG yields a NULL-stats row (n_bytes kept) —
-    a 100 TB decode pass must skip bad files, not die on them.
+    Tier dispatch per payload: a PNG signature routes to the REAL PNG
+    decoder (:func:`_make_png_decode` — zlib inflate + numpy unfilter)
+    and a GIF signature to the REAL GIF decoder
+    (:func:`_make_gif_decode` — variable-width LZW + palette map);
+    both yield true width/height and the normalized 16-bucket
+    intensity histogram over the decoded samples.  Anything else runs
+    the deterministic fake so the pipeline shape is exercisable
+    without image fixtures.  A corrupt or unsupported image yields a
+    NULL-stats row (n_bytes kept) — a 100 TB decode pass must skip bad
+    files, not die on them.
 
     Arrow moves whole record batches to the Python worker; output
     schema is fixed (``DECODE_SCHEMA``) so downstream plans are stable
@@ -285,6 +619,7 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload
 
     fake_decode = _make_fake_decode()
     png_decode = _make_png_decode()
+    gif_decode = _make_gif_decode()
     intensity_hist = _make_intensity_hist()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -295,10 +630,15 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload
                     rows.append((doc_id, None, None, None, None))
                     continue
                 payload = bytes(payload)
+                real = None
                 if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    real = png_decode
+                elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                    real = gif_decode
+                if real is not None:
                     try:
-                        img = png_decode(payload)
-                    except (ValueError, zlib.error):
+                        img = real(payload)
+                    except (ValueError, IndexError, zlib.error):
                         rows.append((doc_id, None, None, len(payload), None))
                         continue
                     h, w = img.shape[0], img.shape[1]
@@ -374,8 +714,8 @@ def resize_images(
     id_col: str = "doc_id",
     bin_col: str = "payload",
 ) -> DataFrame:
-    """Resize step of the image pipeline.  PNG payloads take the REAL
-    path: decode (:func:`_make_png_decode`), nearest-neighbor resample
+    """Resize step of the image pipeline.  PNG and GIF payloads take
+    the REAL path: decode, nearest-neighbor resample
     to ``target_w × target_h`` (two numpy index gathers — the standard
     decode-side downsample for feature extraction), and the feature
     histogram is recomputed over the RESIZED pixels.  Non-PNG payloads
@@ -387,6 +727,7 @@ def resize_images(
 
     fake_decode = _make_fake_decode()
     png_decode = _make_png_decode()
+    gif_decode = _make_gif_decode()
     intensity_hist = _make_intensity_hist()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -397,10 +738,15 @@ def resize_images(
                     rows.append((doc_id, None, None, None, None))
                     continue
                 payload = bytes(payload)
+                real = None
                 if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    real = png_decode
+                elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                    real = gif_decode
+                if real is not None:
                     try:
-                        img = png_decode(payload)
-                    except (ValueError, zlib.error):
+                        img = real(payload)
+                    except (ValueError, IndexError, zlib.error):
                         rows.append((doc_id, None, None, None, None))
                         continue
                     h, w = img.shape[0], img.shape[1]

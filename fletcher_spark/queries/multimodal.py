@@ -234,6 +234,110 @@ def mm_decode_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_audio_features_roundtrip",
+    oracle="""
+WITH nn AS (
+  SELECT doc_id, text, strlen(text)::BIGINT AS len
+  FROM documents WHERE text IS NOT NULL
+),
+ch0 AS (
+  SELECT doc_id, text, unnest(range(1, len + 1)) AS i FROM nn
+),
+ch AS (
+  SELECT doc_id, i,
+         (ascii(substr(text, i::INT, 1)) - 128) / 128.0 AS v
+  FROM ch0
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(a) AS BIGINT)       AS amp_sum,
+         CAST(sum(a * a) AS BIGINT)   AS amp_sq_sum,
+         CAST(max(abs(a)) AS BIGINT)  AS peak_amp
+  FROM (SELECT doc_id, (v * 128)::BIGINT AS a, v FROM ch) GROUP BY doc_id
+),
+zc AS (
+  SELECT doc_id,
+         CAST(count(*) FILTER (
+           WHERE nv IS NOT NULL AND (v >= 0) != (nv >= 0)
+         ) AS BIGINT) AS zero_cross
+  FROM (
+    SELECT doc_id, v,
+           lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv
+    FROM ch
+  ) GROUP BY doc_id
+)
+SELECT doc.doc_id,
+  CASE WHEN doc.text IS NULL THEN NULL ELSE 8000 END AS sample_rate,
+  nn.len AS n_frames,
+  CASE WHEN doc.text IS NULL THEN NULL ELSE 1 END AS n_channels,
+  a.amp_sum, a.amp_sq_sum, a.peak_amp,
+  CASE WHEN doc.text IS NULL OR nn.len = 0 THEN NULL
+       ELSE coalesce(zc.zero_cross, 0) END AS zero_cross
+FROM documents doc
+LEFT JOIN nn USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN zc USING (doc_id)
+""",
+)
+def mm_audio_features_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec, driver-value-checked end to end (the brief's
+    audio modality): each document's bytes are wrapped as a genuine
+    8-bit mono PCM RIFF/WAVE file (every byte IS a sample —
+    pipeline/multimodal.py:_make_wav_encode), then PCM-decoded and
+    summarized by :func:`fletcher_spark.pipeline.multimodal.audio_features`
+    via the same ``mapInPandas`` tier as the image decode: RMS energy,
+    peak amplitude, DC offset, zero-crossing count.
+
+    The oracle never sees a WAV: it recomputes every statistic
+    character-wise from the source text (sample = (ascii − 128)/128),
+    so a mis-parsed chunk header, a wrong normalization constant, or a
+    dropped sample turns the row red.  The float stats are converted
+    back to their EXACT integer sample sums for the comparison —
+    8-bit samples are dyadic rationals (denominator 2⁷), so numpy's
+    sums are exact and ``rms²·n·128²``, ``mean·n·128``, ``peak·128``
+    round to the true integers: the cross-check is hash-exact with no
+    float tolerance at all (a 1-ulp summation-order tie at a rounding
+    boundary burned the rounded-decimal variant).
+
+    Scale: two chained Arrow map passes (encode, feature-extract), no
+    shuffle; audio bytes never leave the executor."""
+    import pandas as pd
+
+    d = load_tables(spark, sf_dir)["documents"]
+    enc = MM._make_wav_encode(8000)
+
+    def encode_batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        None if t is None else enc(t.encode("utf-8"))
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    payloads = d.select("doc_id", "text").mapInPandas(
+        encode_batches, "doc_id long, payload binary"
+    )
+    out = MM.audio_features(payloads, "doc_id", "payload")
+    n = F.col("n_frames")
+    return out.select(
+        "doc_id",
+        "sample_rate",
+        "n_frames",
+        "n_channels",
+        F.round(F.col("mean_amp") * n * 128, 0).cast("long").alias("amp_sum"),
+        F.round(F.col("rms") * F.col("rms") * n * 16384, 0)
+        .cast("long")
+        .alias("amp_sq_sum"),
+        F.round(F.col("peak") * 128, 0).cast("long").alias("peak_amp"),
+        "zero_cross",
+    )
+
+
+@query(
     "list_take_ops",
     oracle="""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev FROM embeddings)
@@ -333,3 +437,4 @@ from fletcher_spark.queries.registry import INTRODUCED_ROUND as _IR  # noqa: E40
 
 _IR["mm_resize_stub"] = 7
 _IR["mm_decode_png_roundtrip"] = 7
+_IR["mm_audio_features_roundtrip"] = 7

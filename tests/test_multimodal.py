@@ -231,6 +231,33 @@ def test_png_encode_decode_roundtrip_all_filters():
         assert np.array_equal(img.reshape(-1), want), seed
 
 
+def test_png_roundtrip_property():
+    """Hypothesis: encode→decode is the identity (plus zero padding)
+    for ARBITRARY byte payloads and widths — adversarial byte patterns
+    (0x00/0xFF runs, sawtooths) are exactly what stress the modular
+    filter arithmetic."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        data=st.binary(min_size=0, max_size=400),
+        width=st.integers(min_value=1, max_value=40),
+    )
+    def check(data, width):
+        dec = MM._make_png_decode()
+        enc = MM._make_png_encode(width)
+        img = dec(enc(data))
+        h = max(1, -(-len(data) // width))
+        assert img.shape == (h, width, 1)
+        want = np.zeros(h * width, dtype=np.uint8)
+        want[: len(data)] = np.frombuffer(data, np.uint8)
+        assert np.array_equal(img.reshape(-1), want)
+
+    check()
+
+
 def test_png_decode_rejects_unsupported_and_corrupt():
     import pytest as _pytest
 
@@ -255,6 +282,202 @@ def test_png_decode_rejects_unsupported_and_corrupt():
     )
     with _pytest.raises(ValueError):
         dec(p)
+
+
+def _uncompressed_gif(w, h, pixels, interlaced=False):
+    """Test-local GIF assembler using the classic 'uncompressed GIF'
+    trick: every pixel index is emitted as its own 9-bit literal code
+    with a CLEAR before each 254-code run so the LZW table never grows.
+    Completely independent bit-packing — shares nothing with the
+    production encoder, so it cross-checks the decoder the way the
+    hand-derived PNG filter bytes do."""
+    out_bits = []
+
+    def emit(code):
+        for b in range(9):
+            out_bits.append((code >> b) & 1)
+
+    emit(256)  # initial clear
+    for i, p in enumerate(pixels):
+        if i and i % 254 == 0:
+            emit(256)  # keep the table from growing
+        emit(p)
+    emit(257)  # EOI
+    stream = bytearray()
+    for i in range(0, len(out_bits), 8):
+        byte = 0
+        for j, bit in enumerate(out_bits[i : i + 8]):
+            byte |= bit << j
+        stream.append(byte)
+    head = b"GIF89a" + bytes([w & 0xFF, w >> 8, h & 0xFF, h >> 8, 0xF7, 0, 0])
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    flags = 0x40 if interlaced else 0
+    desc = b"\x2c" + bytes([0, 0, 0, 0, w & 0xFF, w >> 8, h & 0xFF, h >> 8, flags])
+    body = bytearray([8])
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        body.append(len(chunk))
+        body += chunk
+    body.append(0)
+    return head + palette + desc + bytes(body) + b"\x3b"
+
+
+def test_gif_decode_uncompressed_reference():
+    """Decoder vs an INDEPENDENT encoder (test-local 9-bit literal-code
+    GIF): pixels, shape, and the grayscale palette map must match."""
+    import numpy as np
+
+    dec = MM._make_gif_decode()
+    pixels = [(i * 7 + 3) % 256 for i in range(600)]  # > 254: crosses a CLEAR
+    img = dec(_uncompressed_gif(30, 20, pixels))
+    assert img.shape == (20, 30, 3)
+    want = np.array(pixels, np.uint8).reshape(20, 30)
+    assert np.array_equal(img[:, :, 0], want)
+    assert np.array_equal(img[:, :, 1], want) and np.array_equal(img[:, :, 2], want)
+
+
+def test_gif_decode_interlaced():
+    """Interlace flag: rows arrive in 8/8/4/2 pass order and must be
+    restored to sequential order."""
+    import numpy as np
+
+    dec = MM._make_gif_decode()
+    w, h = 4, 10
+    # row r filled with value r; pass order for h=10:
+    pass_order = [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    pixels = [r for r in pass_order for _ in range(w)]
+    img = dec(_uncompressed_gif(w, h, pixels, interlaced=True))
+    assert np.array_equal(img[:, 0, 0], np.arange(h, dtype=np.uint8))
+
+
+def test_gif_encode_decode_roundtrip_with_lzw_growth():
+    """Production LZW encoder (real compression, code width grows 9→10+
+    bits on repetitive data) → decoder → original bytes."""
+    import hashlib
+
+    import numpy as np
+
+    dec = MM._make_gif_decode()
+    enc = MM._make_gif_encode(32)
+    for data in (
+        hashlib.sha256(b"gif").digest() * 8,
+        (b"abcd" * 400) + bytes(range(256)) * 3,  # deep table: width growth
+        b"",
+        b"\x00" * 1000,
+    ):
+        img = dec(enc(data))
+        h = max(1, -(-len(data) // 32))
+        assert img.shape == (h, 32, 3)
+        want = np.zeros(h * 32, np.uint8)
+        want[: len(data)] = np.frombuffer(data, np.uint8)
+        assert np.array_equal(img[:, :, 0].reshape(-1), want)
+
+
+def test_gif_decode_rejects_corrupt():
+    import pytest as _pytest
+
+    dec = MM._make_gif_decode()
+    enc = MM._make_gif_encode(8)
+    for bad in (
+        b"GIF89a\x00",  # truncated
+        enc(b"hello world")[:40],  # cut inside the color table / descriptor
+        b"GIF89a" + bytes([4, 0, 4, 0, 0x00, 0, 0]) + b"\x3b",  # no color table, no image
+    ):
+        with _pytest.raises((ValueError, IndexError)):
+            dec(bad)
+
+
+def test_wav_decode_hand_built_16bit_stereo():
+    """16-bit stereo WAV built by hand (independent of the encoder):
+    samples, channel split, normalization, and word-aligned chunk walk."""
+    import struct
+
+    import numpy as np
+
+    dec = MM._make_wav_decode()
+    # L channel: 1000, -2000; R channel: 30000, -32768
+    frames = [(1000, 30000), (-2000, -32768)]
+    data = b"".join(struct.pack("<hh", l, r) for l, r in frames)
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, x = dec(payload)
+    assert rate == 44100 and x.shape == (2, 2)
+    want = np.array(frames, np.float64) / 32768.0
+    assert np.allclose(x, want, atol=0)
+
+
+def test_wav_roundtrip_and_features(spark):
+    """8-bit mono encode→decode is the identity on normalized samples,
+    and audio_features' statistics match a direct numpy computation;
+    non-WAV and corrupt payloads yield NULL-stats rows."""
+    import numpy as np
+
+    enc = MM._make_wav_encode(8000)
+    dec = MM._make_wav_decode()
+    data = bytes([0, 255, 128, 127, 129, 200, 50] * 11)
+    rate, x = dec(enc(data))
+    assert rate == 8000 and x.shape == (len(data), 1)
+    want = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+    assert np.array_equal(x[:, 0], want)
+
+    rows = [
+        (1, bytearray(enc(data))),
+        (2, b"not audio"),
+        (3, None),
+        (4, bytearray(enc(data)[:20])),  # truncated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in MM.audio_features(df).collect()}
+    mono = want
+    sign = mono >= 0
+    assert got[1]["n_frames"] == len(data) and got[1]["n_channels"] == 1
+    assert abs(got[1]["rms"] - float(np.sqrt(np.mean(mono * mono)))) < 1e-12
+    assert abs(got[1]["peak"] - float(np.abs(mono).max())) < 1e-12
+    assert got[1]["zero_cross"] == int(np.count_nonzero(sign[1:] != sign[:-1]))
+    assert got[2]["rms"] is None and got[3]["n_frames"] is None
+    assert got[4]["rms"] is None
+
+
+def test_wav_decode_rejects_unsupported():
+    """Float PCM (format 3) and 24-bit depth must raise, not
+    misdecode."""
+    import struct
+
+    import pytest as _pytest
+
+    dec = MM._make_wav_decode()
+
+    def wav(fmt_tag, bits):
+        fmt = struct.pack("<HHIIHH", fmt_tag, 1, 8000, 8000, 1, bits)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    with _pytest.raises(ValueError):
+        dec(wav(3, 32))
+    with _pytest.raises(ValueError):
+        dec(wav(1, 24))
+
+
+def test_decode_images_gif_tier(spark):
+    """decode_images dispatch extends to GIF: real dims + intensity
+    histogram from LZW-decoded pixels."""
+    enc = MM._make_gif_encode(16)
+    gif = enc(bytes(range(64)))
+    df = spark.createDataFrame([(1, bytearray(gif))], "doc_id long, payload binary")
+    r = MM.decode_images(df).collect()[0]
+    assert (r["width"], r["height"]) == (16, 4)
+    # grayscale palette triples every byte: buckets 0..3 hold 16*3/192
+    assert r["feat"][:4] == [0.25, 0.25, 0.25, 0.25]
+    assert r["n_bytes"] == len(gif)
 
 
 def test_decode_images_png_tier(spark):
@@ -302,26 +525,32 @@ def test_resize_images_png_tier(spark):
     assert s["feat"] == d["feat"]
 
 
-def test_png_decode_closure_is_self_contained(tmp_path):
-    """Like the fake-decode pickle test: the REAL decoder must ship to
-    workers by value (stdlib + numpy only)."""
+def test_real_codec_closures_are_self_contained(tmp_path):
+    """Like the fake-decode pickle test: every REAL codec closure (PNG,
+    GIF, WAV) must ship to workers by value (stdlib + numpy only)."""
     import subprocess
     import sys
 
     from pyspark import cloudpickle
 
-    enc = MM._make_png_encode(8)
-    png_path = tmp_path / "img.png"
-    png_path.write_bytes(enc(bytes(range(40))))
-    blob_path = tmp_path / "decode_png.pkl"
-    blob_path.write_bytes(cloudpickle.dumps(MM._make_png_decode()))
+    fixtures = {
+        "png": (MM._make_png_encode(8)(bytes(range(40))), MM._make_png_decode()),
+        "gif": (MM._make_gif_encode(8)(bytes(range(40))), MM._make_gif_decode()),
+        "wav": (MM._make_wav_encode(8000)(bytes(range(40))), MM._make_wav_decode()),
+    }
+    for kind, (payload, decoder) in fixtures.items():
+        (tmp_path / f"img.{kind}").write_bytes(payload)
+        (tmp_path / f"{kind}.pkl").write_bytes(cloudpickle.dumps(decoder))
     script = (
         "import pickle, sys; "
         "sys.modules['fletcher_spark'] = None; "
-        f"fn = pickle.load(open({str(blob_path)!r}, 'rb')); "
-        f"img = fn(open({str(png_path)!r}, 'rb').read()); "
-        "assert img.shape == (5, 8, 1), img.shape; "
-        "assert int(img.reshape(-1)[:40].sum()) == sum(range(40)); "
+        f"base = {str(tmp_path)!r}; "
+        "png = pickle.load(open(base + '/png.pkl', 'rb'))(open(base + '/img.png', 'rb').read()); "
+        "assert png.shape == (5, 8, 1) and int(png.reshape(-1)[:40].sum()) == sum(range(40)); "
+        "gif = pickle.load(open(base + '/gif.pkl', 'rb'))(open(base + '/img.gif', 'rb').read()); "
+        "assert gif.shape == (5, 8, 3) and int(gif[:, :, 0].reshape(-1)[:40].sum()) == sum(range(40)); "
+        "rate, x = pickle.load(open(base + '/wav.pkl', 'rb'))(open(base + '/img.wav', 'rb').read()); "
+        "assert rate == 8000 and x.shape == (40, 1); "
         "print('ok')"
     )
     out = subprocess.run(
@@ -332,6 +561,21 @@ def test_png_decode_closure_is_self_contained(tmp_path):
         timeout=60,
     )
     assert out.returncode == 0 and "ok" in out.stdout, out.stderr
+
+
+def test_resize_images_gif_tier(spark):
+    """Real resize extends to GIF payloads (decode → nearest-neighbor →
+    features over the resized RGB pixels)."""
+    enc = MM._make_gif_encode(16)
+    df = spark.createDataFrame(
+        [(1, bytearray(enc(bytes([200] * 128))))], "doc_id long, payload binary"
+    )
+    r = MM.resize_images(df, 4, 4).collect()[0]
+    assert (r["width"], r["height"]) == (4, 4)
+    assert r["scale"] == round(min(4 / 16, 4 / 8), 6)
+    want = [0.0] * 16
+    want[12] = 1.0
+    assert r["feat"] == want
 
 
 def test_image_dimensions_real_headers(spark):
