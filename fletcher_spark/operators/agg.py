@@ -303,7 +303,7 @@ def exact_cut_points_by_key(
     val_col: str,
     k: int,
     n_coarse: int = 256,
-    materialize: bool = True,
+    materialize: bool = False,
 ):
     """:func:`exact_cut_points` PER KEY GROUP — the keyed face of
     ``_cuts_by_key``: one ``(key..., cuts array<double>, n long)`` row
@@ -312,14 +312,17 @@ def exact_cut_points_by_key(
     ``ceil(i·n_key/k)``), same two-level prefix sum with every window
     partitioned by ``(key..., coarse-bucket)`` — nothing funnels.
 
-    With ``materialize=True`` (default) the cuts table is collected
-    and returned as a driver-pinned literal frame — correct ONLY when
-    the key domain is dimension-sized (sources, languages, shards…),
-    i.e. exactly when the caller would ``F.broadcast`` it back onto
-    the corpus anyway.  For an unbounded key domain pass
-    ``materialize=False``: the result stays a distributed frame to be
-    shuffle-joined on the key, and the caller owns the histogram
-    re-scan trade (persist the input if it feeds other branches)."""
+    Default is the LAZY distributed frame (to be shuffle-joined on the
+    key) — unlike the single-row variants, the keyed result is sized
+    by the key domain, which the operator cannot bound, so eager
+    driver collection must be an explicit opt-in.  Pass
+    ``materialize=True`` only when the key domain is dimension-sized
+    (sources, languages, shards…), i.e. exactly when the caller would
+    ``F.broadcast`` the cuts back onto the corpus anyway: the table is
+    then collected as a driver-pinned literal frame and the internal
+    histogram cache is released on return.  On the lazy path the
+    caller owns the histogram re-scan trade (persist the input if it
+    feeds other branches)."""
     keys = list(key_cols)
     melted = df.select(
         *keys, F.col(val_col).cast("double").alias("v")

@@ -134,9 +134,16 @@ def _make_png_decode():
         if channels is None:
             raise ValueError(f"unsupported PNG color type {ctype}")
         bpp = channels  # bytes per pixel at depth 8
-        raw = zlib.decompress(b"".join(idat))
         stride = w * bpp
-        if w == 0 or h == 0 or len(raw) != h * (stride + 1):
+        expected = h * (stride + 1)
+        if w == 0 or h == 0 or expected > 1 << 31:
+            raise ValueError("PNG dimensions out of range")
+        # bound the inflate by the size IHDR promises: a decompression
+        # bomb must fail the length check, not allocate first
+        # (skip-not-die means MemoryError is not an acceptable outcome)
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
+        if len(raw) != expected:  # over-long streams hit expected + 1
             raise ValueError("IDAT payload does not match dimensions")
         out = np.empty((h, stride), dtype=np.uint8)
         prior = np.zeros(stride, dtype=np.uint8)
@@ -427,6 +434,11 @@ def _make_gif_encode(width: int = 32):
 
     def encode_gif(data: bytes) -> bytes:
         h = max(1, -(-len(data) // width))
+        if width > 0xFFFF or h > 0xFFFF:
+            raise ValueError(
+                f"payload needs {h} rows at width {width}: "
+                "GIF dimensions are 16-bit (max 65535)"
+            )
         px = np.zeros(h * width, dtype=np.uint8)
         px[: len(data)] = np.frombuffer(data, dtype=np.uint8)
         head = b"GIF89a" + bytes(
@@ -597,6 +609,38 @@ def _make_intensity_hist(n_feat: int = _N_FEAT):
     return intensity_hist
 
 
+#: sentinel returned by the dispatch closure for non-real-codec payloads
+_FAKE_TIER = "fake"
+
+
+def _make_real_image_decode():
+    """ONE dispatch closure shared by decode_images and resize_images
+    (so a new codec or a change to the caught-exception set lands in
+    both): payload → decoded ``ndarray`` (real codec succeeded),
+    ``None`` (real codec signature but corrupt/unsupported — callers
+    emit a NULL-stats row), or the ``_FAKE_TIER`` sentinel (not a
+    real-codec format — callers run the deterministic fake)."""
+    import zlib
+
+    png_decode = _make_png_decode()
+    gif_decode = _make_gif_decode()
+    fake = _FAKE_TIER
+
+    def real_decode(payload: bytes):
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            decoder = png_decode
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            decoder = gif_decode
+        else:
+            return fake
+        try:
+            return decoder(payload)
+        except (ValueError, IndexError, zlib.error):
+            return None
+
+    return real_decode
+
+
 def decode_images(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
     """Decode/feature-extract a binary image column via ``mapInPandas``.
 
@@ -615,12 +659,10 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload
     schema is fixed (``DECODE_SCHEMA``) so downstream plans are stable
     regardless of which tier each payload hits.
     """
-    import zlib
-
     fake_decode = _make_fake_decode()
-    png_decode = _make_png_decode()
-    gif_decode = _make_gif_decode()
+    real_decode = _make_real_image_decode()
     intensity_hist = _make_intensity_hist()
+    fake = _FAKE_TIER
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -630,22 +672,15 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload
                     rows.append((doc_id, None, None, None, None))
                     continue
                 payload = bytes(payload)
-                real = None
-                if payload[:8] == b"\x89PNG\r\n\x1a\n":
-                    real = png_decode
-                elif payload[:6] in (b"GIF87a", b"GIF89a"):
-                    real = gif_decode
-                if real is not None:
-                    try:
-                        img = real(payload)
-                    except (ValueError, IndexError, zlib.error):
-                        rows.append((doc_id, None, None, len(payload), None))
-                        continue
+                img = real_decode(payload)
+                if isinstance(img, str) and img == fake:
+                    w, h, feat = fake_decode(payload)
+                    rows.append((doc_id, w, h, len(payload), feat))
+                elif img is None:  # corrupt/unsupported real-codec payload
+                    rows.append((doc_id, None, None, len(payload), None))
+                else:
                     h, w = img.shape[0], img.shape[1]
                     rows.append((doc_id, w, h, len(payload), intensity_hist(img)))
-                    continue
-                w, h, feat = fake_decode(payload)
-                rows.append((doc_id, w, h, len(payload), feat))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "n_bytes", "feat"]
             )
@@ -718,17 +753,17 @@ def resize_images(
     the REAL path: decode, nearest-neighbor resample
     to ``target_w × target_h`` (two numpy index gathers — the standard
     decode-side downsample for feature extraction), and the feature
-    histogram is recomputed over the RESIZED pixels.  Non-PNG payloads
-    run the fake, which derives source dims exactly like
-    ``decode_images`` and emits the (scale-invariant) histogram, so
-    decode→resize compose deterministically on either tier and the
-    composed schema, batch shape, and null handling are identical."""
-    import zlib
-
+    histogram is recomputed over the RESIZED pixels.  Payloads that
+    are not a real-codec format run the fake, which derives source
+    dims exactly like ``decode_images`` and emits the
+    (scale-invariant) histogram, so decode→resize compose
+    deterministically on either tier and the composed schema, batch
+    shape, and null handling are identical; corrupt real-codec
+    payloads yield all-NULL rows."""
     fake_decode = _make_fake_decode()
-    png_decode = _make_png_decode()
-    gif_decode = _make_gif_decode()
+    real_decode = _make_real_image_decode()
     intensity_hist = _make_intensity_hist()
+    fake = _FAKE_TIER
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -738,17 +773,14 @@ def resize_images(
                     rows.append((doc_id, None, None, None, None))
                     continue
                 payload = bytes(payload)
-                real = None
-                if payload[:8] == b"\x89PNG\r\n\x1a\n":
-                    real = png_decode
-                elif payload[:6] in (b"GIF87a", b"GIF89a"):
-                    real = gif_decode
-                if real is not None:
-                    try:
-                        img = real(payload)
-                    except (ValueError, IndexError, zlib.error):
-                        rows.append((doc_id, None, None, None, None))
-                        continue
+                img = real_decode(payload)
+                if isinstance(img, str) and img == fake:
+                    w, h, feat = fake_decode(payload)
+                    scale = min(target_w / w, target_h / h)
+                    rows.append((doc_id, target_w, target_h, round(scale, 6), feat))
+                elif img is None:  # corrupt/unsupported real-codec payload
+                    rows.append((doc_id, None, None, None, None))
+                else:
                     h, w = img.shape[0], img.shape[1]
                     ys = (np.arange(target_h) * h) // target_h
                     xs = (np.arange(target_w) * w) // target_w
@@ -763,10 +795,6 @@ def resize_images(
                             intensity_hist(resized),
                         )
                     )
-                    continue
-                w, h, feat = fake_decode(payload)
-                scale = min(target_w / w, target_h / h)
-                rows.append((doc_id, target_w, target_h, round(scale, 6), feat))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "scale", "feat"]
             )

@@ -122,12 +122,15 @@ _BOUNDING_RE = re.compile(
 #: derived in-plan from the key span) adapts with the data and stays
 #: bounding; so does an aggregate whose keys don't include the bucket
 #: (e.g. a global keys=[] summary downstream of one).
-_FIXED_RATIO_RE = re.compile(r"FLOOR\(.*? / \d+(?:\.\d+)?\)")
+#: the no-comma/no-bracket body keeps the lazy match from spanning
+#: sibling expressions in a Project/keys list (e.g. tainting an
+#: unrelated ``avg((b / 7.0)) AS g`` that follows a harmless FLOOR)
+_FIXED_RATIO_RE = re.compile(r"FLOOR\([^,\[\]]*? / \d+(?:\.\d+)?\)")
 
 #: a Project line defining a fixed-ratio bucket attribute:
 #: ``FLOOR((doc_id#6L / 64)) AS bk#123L`` → captures "123"
 _FIXED_RATIO_DEF_RE = re.compile(
-    r"FLOOR\(.*? / \d+(?:\.\d+)?\)\) AS \w+#(\d+)"
+    r"FLOOR\([^,\[\]]*? / \d+(?:\.\d+)?\)\) AS \w+#(\d+)"
 )
 
 _AGG_RE = re.compile(r"HashAggregate|ObjectHashAggregate|SortAggregate")

@@ -588,7 +588,8 @@ def winsorize_by_source_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fletcher_spark.operators.agg import exact_cut_points_by_key
 
     d = load_tables(spark, sf_dir)["documents"]
-    cuts = exact_cut_points_by_key(d, ["source"], "n_chars", 20)
+    # materialize: |sources| is dimension-sized, the broadcast case
+    cuts = exact_cut_points_by_key(d, ["source"], "n_chars", 20, materialize=True)
     band = cuts.select(
         "source",
         F.element_at("cuts", 1).alias("p05"),

@@ -65,11 +65,15 @@ agg AS (
   FROM ch GROUP BY doc_id
 )
 SELECT d.doc_id,
-  64 + ('0x' || substr(md5(d.text), 1, 2))::INT % 192 AS width,
-  64 + ('0x' || substr(md5(d.text), 3, 2))::INT % 192 AS height,
+  CASE WHEN d.text LIKE 'GIF87a%' OR d.text LIKE 'GIF89a%' THEN NULL
+       ELSE 64 + ('0x' || substr(md5(d.text), 1, 2))::INT % 192 END AS width,
+  CASE WHEN d.text LIKE 'GIF87a%' OR d.text LIKE 'GIF89a%' THEN NULL
+       ELSE 64 + ('0x' || substr(md5(d.text), 3, 2))::INT % 192 END AS height,
   strlen(d.text)::BIGINT AS n_bytes,
-  round(coalesce(a.c0, 0) / greatest(strlen(d.text), 1), 6) AS feat0,
-  round(coalesce(a.c15, 0) / greatest(strlen(d.text), 1), 6) AS feat15
+  CASE WHEN d.text LIKE 'GIF87a%' OR d.text LIKE 'GIF89a%' THEN NULL
+       ELSE round(coalesce(a.c0, 0) / greatest(strlen(d.text), 1), 6) END AS feat0,
+  CASE WHEN d.text LIKE 'GIF87a%' OR d.text LIKE 'GIF89a%' THEN NULL
+       ELSE round(coalesce(a.c15, 0) / greatest(strlen(d.text), 1), 6) END AS feat15
 FROM documents d
 LEFT JOIN agg a USING (doc_id)
 """,
@@ -86,8 +90,16 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     features a 16-bucket byte histogram — and the corpus is pure ASCII
     (byte == ascii(char) for every row, verified at build time), so the
     DuckDB oracle replays the exact decode arithmetic character-wise.
-    A real decoder swap keeps the mapInPandas plumbing and drops the
-    oracle back to metadata-only (mm_binary_features covers that tier)."""
+    Since r6 the decode path dispatches real codecs by payload
+    signature, so the oracle mirrors the dispatch exactly: an ASCII
+    text starting with the GIF magic ('GIF87a'/'GIF89a') routes to the
+    real GIF decoder, which deterministically rejects it (pure-ASCII
+    bytes cannot carry a color-table flag — bit 7 of every byte is 0),
+    yielding a NULL-stats row with n_bytes kept; the oracle's CASE
+    replays that.  The PNG magic starts with 0x89, unreachable from
+    ASCII text, so no PNG arm is needed.  The real-codec tiers get
+    their own value checks (mm_decode_png_roundtrip,
+    mm_audio_features_roundtrip)."""
     d = load_tables(spark, sf_dir)["documents"]
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     out = MM.decode_images(payloads, "doc_id", "payload")
@@ -105,9 +117,12 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_resize_stub",
     oracle="""
 SELECT doc_id,
-       CASE WHEN text IS NULL THEN NULL ELSE 64 END AS width,
-       CASE WHEN text IS NULL THEN NULL ELSE 64 END AS height,
-       CASE WHEN text IS NULL THEN NULL ELSE round(least(
+       CASE WHEN text IS NULL OR text LIKE 'GIF87a%' OR text LIKE 'GIF89a%'
+            THEN NULL ELSE 64 END AS width,
+       CASE WHEN text IS NULL OR text LIKE 'GIF87a%' OR text LIKE 'GIF89a%'
+            THEN NULL ELSE 64 END AS height,
+       CASE WHEN text IS NULL OR text LIKE 'GIF87a%' OR text LIKE 'GIF89a%'
+            THEN NULL ELSE round(least(
          64.0 / (64 + ('0x' || substr(md5(text), 1, 2))::INT % 192),
          64.0 / (64 + ('0x' || substr(md5(text), 3, 2))::INT % 192)
        ), 6) END AS scale
@@ -119,9 +134,11 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     resize_images — a real PIL resize drops into the same batch loop):
     binary payload → fit-within-64×64 scale factor via ``mapInPandas``.
     Value-checked like mm_decode_stub: source dims are md5-derived so
-    the oracle replays the scale arithmetic exactly.  (No 6-decimal
-    rounding ties exist: 64/w with w<512 can't terminate in an exact
-    half at the 7th digit, so Python round == SQL round here.)"""
+    the oracle replays the scale arithmetic exactly, including the r6
+    dispatch arm (ASCII GIF-magic text → real-decoder reject → NULL
+    row; see mm_decode_stub).  (No 6-decimal rounding ties exist: 64/w
+    with w<512 can't terminate in an exact half at the 7th digit, so
+    Python round == SQL round here.)"""
     d = load_tables(spark, sf_dir)["documents"]
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     out = MM.resize_images(payloads, 64, 64, "doc_id", "payload")

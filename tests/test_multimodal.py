@@ -480,6 +480,39 @@ def test_decode_images_gif_tier(spark):
     assert r["n_bytes"] == len(gif)
 
 
+def test_ascii_gif_magic_text_deterministically_rejects(spark):
+    """The mm_decode_stub/mm_resize_stub oracles replay the r6 codec
+    dispatch with a CASE on the GIF magic; that replay is only sound if
+    EVERY pure-ASCII payload starting with the magic fails the real
+    decoder (→ NULL-stats row).  It must: ASCII bytes have bit 7 clear,
+    so neither a global nor a local color-table flag can be set, and
+    the decoder requires a palette.  Pinned here against adversarial
+    ASCII continuations."""
+    dec = MM._make_gif_decode()
+    evil = [
+        "GIF89a hello world, just text",
+        "GIF87a" + "A" * 200,
+        "GIF89a" + "\x2c" + "B" * 50,  # ',' = image-descriptor marker
+        "GIF89a" + "\x21\x01\x00" + "C" * 30,  # '!' = extension marker
+        "GIF89a",
+    ]
+    for t in evil:
+        payload = t.encode("ascii")
+        try:
+            dec(payload)
+            raise AssertionError(f"ASCII GIF-magic text decoded: {t[:20]!r}")
+        except (ValueError, IndexError):
+            pass
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(evil)], "doc_id long, text string"
+    )
+    payloads = df.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out = {r["doc_id"]: r for r in MM.decode_images(payloads).collect()}
+    for i, t in enumerate(evil):
+        assert out[i]["width"] is None and out[i]["feat"] is None, t[:20]
+        assert out[i]["n_bytes"] == len(t)
+
+
 def test_decode_images_png_tier(spark):
     """decode_images dispatch: PNG payloads get REAL dims + intensity
     histogram; non-PNG payloads keep the stub; corrupt PNGs yield NULL
