@@ -481,3 +481,102 @@ def simhash_chunks_packed(sig: Column, n_chunks: int = 8) -> Column:
             for k in range(n_chunks)
         ]
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact SUBSTRING dedup (Lee et al. 2022): cut every duplicated
+    ≥k-token span at arbitrary offsets, keeping only the corpus-wide
+    canonical first occurrence (min ``(id, pos)``) of each duplicated
+    k-gram.  Returns one row per input doc: ``(id, n_tokens, n_spans,
+    n_dup_tokens, text_clean)`` where ``n_spans`` counts MERGED
+    (overlapping/adjacent) removed spans and ``n_tokens − n_dup_tokens
+    == len(split(text_clean))`` always holds.
+
+    Plan shape (the 100 TB contract): stride-1 k-gram hashes are
+    map-only; duplicate detection is ONE gram-keyed partial/final
+    HashAggregate carrying the canonical occurrence as
+    ``min(struct(id, pos))``, joined back on the gram key — never a
+    corpus-wide rank window.  Span merge and text reconstruction
+    shuffle by doc id only; both windows partition on the doc id
+    (high-cardinality — no single-partition funnel).  Singleton grams
+    (~95 % of a fresh-crawl corpus) survive to the join-back; slotting
+    a Bloom filter of duplicated grams before it is the standard
+    shuffle-skipping refinement at petabyte scale."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col).alias("_id"), F.split(text_col, " ", -1).alias("toks"))
+    n = F.size("toks")
+    occ = (
+        toks.select(
+            "_id",
+            F.explode(
+                F.when(n >= k, F.sequence(F.lit(1), n - k + 1))
+                .otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
+            F.col("toks"),
+        )
+        .select(
+            "_id",
+            "pos",
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), F.lit(k)))).alias("gram"),
+        )
+        # feeds the dup aggregate AND the mark join-back; the returned
+        # plan references it, so lifetime is the LRU cache contract
+        .persist()
+    )
+    dup = (
+        occ.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct("_id", "pos")).alias("canon"),
+        )
+        .filter(F.col("c") >= 2)
+        .select("gram", "canon")
+    )
+    marked = (
+        occ.join(dup, "gram")
+        .filter(F.struct("_id", "pos") != F.col("canon"))
+        .select("_id", "pos")
+    )
+    w_prev = (
+        Window.partitionBy("_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("_id").orderBy("pos")
+    isl = (
+        marked.withColumn("pmax", F.max(F.col("pos") + (k - 1)).over(w_prev))
+        .withColumn(
+            "new_isl",
+            F.when(F.col("pmax").isNull() | (F.col("pos") > F.col("pmax") + 1), 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_isl").over(w_run))
+    )
+    spans = isl.groupBy("_id", "island").agg(
+        F.min("pos").alias("a"), (F.max("pos") + (k - 1)).alias("b")
+    )
+    iv = spans.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("b") - F.col("a") + 1).alias("n_dup_tokens"),
+        F.array_sort(
+            F.collect_list(F.array(F.col("a").cast("long"), F.col("b").cast("long")))
+        ).alias("ivs"),
+    )
+    out = toks.join(iv, "_id", "left")
+    ivs = F.coalesce("ivs", F.array().cast("array<array<bigint>>"))
+    keep = F.filter(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda i: ~F.exists(ivs, lambda v: (v.getItem(0) <= i) & (i <= v.getItem(1))),
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+        F.concat_ws(" ", F.transform(keep, lambda i: F.element_at("toks", i))).alias(
+            "text_clean"
+        ),
+    )

@@ -963,5 +963,92 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: exact-substring dedup window, in tokens.  Lee et al. (2022,
+#: "Deduplicating Training Data Makes Language Models Better") use 50
+#: BPE tokens over web-scale corpora; the synthetic docs run 10–99
+#: whitespace tokens, so 8 keeps the span/doc ratio comparable.
+_SUBSTR_K = 8
+
+
+@query(
+    "dedup_substring_exact",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id,
+             unnest(range(1, greatest(len(toks) - {_SUBSTR_K - 1}, 0) + 1)) AS pos,
+             toks
+      FROM tok),
+h AS (SELECT doc_id, pos,
+             md5(array_to_string(list_slice(toks, pos, pos + {_SUBSTR_K - 1}), ' ')) AS gram
+      FROM g),
+mk AS (SELECT doc_id, pos FROM (
+   SELECT doc_id, pos,
+          count(*) OVER (PARTITION BY gram) AS c,
+          row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+   FROM h) WHERE c >= 2 AND rn > 1),
+w AS (SELECT doc_id, pos,
+         max(pos + {_SUBSTR_K - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM mk),
+isl AS (SELECT doc_id, pos,
+         sum(CASE WHEN pmax IS NULL OR pos > pmax + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM w),
+sp AS (SELECT doc_id, island, min(pos) AS a, max(pos) + {_SUBSTR_K - 1} AS b
+       FROM isl GROUP BY 1, 2),
+iv AS (SELECT doc_id, count(*)::BIGINT AS n_spans,
+              sum(b - a + 1)::BIGINT AS n_dup_tokens,
+              list([a, b] ORDER BY a) AS ivs
+       FROM sp GROUP BY doc_id)
+SELECT t.doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       coalesce(iv.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(iv.n_dup_tokens, 0)::BIGINT AS n_dup_tokens,
+       coalesce(array_to_string(
+         list_transform(
+           list_filter(range(1, len(toks) + 1),
+             i -> len(list_filter(coalesce(iv.ivs, []),
+                                  v -> v[1] <= i AND i <= v[2])) = 0),
+           i -> toks[i]), ' '), '') AS text_clean
+FROM tok t LEFT JOIN iv USING (doc_id)
+""",
+)
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SUBSTRING dedup (Lee et al. 2022): remove every duplicated
+    ≥K-token span at ARBITRARY offsets, not just whole docs or fixed
+    passage boundaries — the strongest exact method in the training-data
+    literature, and the gap left by ``dedup_exact`` (whole-key) and
+    ``dedup_passages_c4`` (non-overlapping chunks).  Stride-1 K-token
+    grams are hashed; a gram occurring ≥2 times corpus-wide keeps only
+    its canonical first occurrence (min ``(doc_id, pos)``); every other
+    occurrence's ``[pos, pos+K-1]`` span is marked, overlapping/adjacent
+    spans merge per doc, and the covered tokens are cut from the text.
+    Output per doc: token counts before/removed, merged span count, and
+    the cleaned text (token accounting: ``n_tokens - n_dup_tokens ==
+    len(split(text_clean))``, pinned in tests/test_dedup_substring.py).
+
+    Scale: the gram table is n_tokens rows/doc (stride 1) but only two
+    narrow columns wide after the map-only hash.  Duplicate detection is
+    a gram-keyed HashAggregate (partial/final, shuffle = |distinct
+    grams|) joined back on the same gram key — NOT a corpus-wide rank
+    window; the canonical-occurrence rule rides the aggregate as
+    ``min(struct(doc_id, pos))``.  Span merge + reconstruction shuffle
+    by doc_id only (windows partition on doc_id: high-cardinality,
+    never a funnel).  At 100 TB the gram→agg join is where a Bloom
+    filter of duplicated grams slots in to skip shuffling singleton
+    occurrences (~95 % of the corpus here); the suffix-array pass of the
+    paper is a single-machine algorithm — this is its shuffle-native
+    re-expression.
+
+    Reference analog: none (fletcher has no corpus ops); the C4/passage
+    variants live at queries/llmprep.py and this file.  DuckDB oracle
+    replays the same md5 gram family bit-for-bit, expressing the
+    canonical-first rule as a rank window (oracle clarity over oracle
+    speed) and the token cut as nested list lambdas."""
+    d = spread(load_tables(spark, sf_dir)["documents"])
+    return D.substring_dedup(d, "doc_id", "text", _SUBSTR_K)
+
+
 INTRODUCED_ROUND["dedup_levenshtein_block"] = 5
 INTRODUCED_ROUND["dedup_prefix_filter_join"] = 5
+INTRODUCED_ROUND["dedup_substring_exact"] = 7
