@@ -138,3 +138,80 @@ def test_band_index_reuse_shuffles_only_the_batch(spark, band_index_table):
         assert sorted(map(tuple, cand.collect())) == sorted(map(tuple, inline.collect()))
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+@pytest.fixture(scope="module")
+def gram_index_table(spark, tmp_path_factory):
+    """substring_dedup's 100 TB claim made real: the CORPUS k-gram
+    occurrence table persisted as a bucketed, in-bucket-sorted table
+    the daily ingest job probes — the substring analog of the band
+    index above."""
+    d = load_tables(spark, SF_DIR)["documents"]
+    toks = d.select("doc_id", F.split("text", " ", -1).alias("toks"))
+    n = F.size("toks")
+    occ = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(n >= 8, F.sequence(F.lit(1), n - 7))
+            .otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        "pos",
+        F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), F.lit(8)))).alias("gram"),
+    )
+    corpus = occ.filter(F.col("doc_id") % 10 != 0)
+
+    warehouse = str(tmp_path_factory.mktemp("gramidx"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS gramdb")
+    (
+        corpus.write.mode("overwrite")
+        .bucketBy(8, "gram")
+        .sortBy("gram")
+        .option("path", f"{warehouse}/corpus_grams")
+        .saveAsTable("gramdb.corpus_grams")
+    )
+    yield "gramdb.corpus_grams", occ
+    spark.sql("DROP TABLE IF EXISTS gramdb.corpus_grams")
+
+
+def test_gram_index_reuse_shuffles_only_the_batch(spark, gram_index_table):
+    """Incremental exact-substring dedup against the persisted gram
+    index: a new batch's k-grams probe the corpus index (any hit marks
+    the batch span — the corpus occurrence is by definition older, so
+    canonical-first needs no min(struct) in the incremental shape).
+    The corpus side must come straight off the bucketed scan: the ONLY
+    gram Exchange in the join is the (small) batch side, making daily
+    substring dedup O(batch), not O(corpus)."""
+    table, occ = gram_index_table
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch = occ.filter(F.col("doc_id") % 10 == 0)
+        marked = (
+            batch.alias("b")
+            .join(spark.table(table).alias("c"), F.col("b.gram") == F.col("c.gram"))
+            .select(F.col("b.doc_id").alias("doc_id"), F.col("b.pos").alias("pos"))
+            .distinct()
+        )
+        plan = marked._jdf.queryExecution().executedPlan().toString()
+        # exactly ONE gram exchange: the batch side.  The corpus index's
+        # bucket partitioning satisfies the join requirement.  (The
+        # distinct's (doc_id, pos) aggregate shuffle is batch-sized.)
+        assert plan.count("Exchange hashpartitioning(gram") == 1, plan
+        assert "SortMergeJoin" in plan, plan
+
+        # parity with the inline formulation
+        inline = (
+            batch.alias("b")
+            .join(
+                occ.filter(F.col("doc_id") % 10 != 0).alias("c"),
+                F.col("b.gram") == F.col("c.gram"),
+            )
+            .select(F.col("b.doc_id").alias("doc_id"), F.col("b.pos").alias("pos"))
+            .distinct()
+        )
+        assert sorted(map(tuple, marked.collect())) == sorted(map(tuple, inline.collect()))
+        assert marked.count() > 0  # planted dups guarantee batch hits
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
