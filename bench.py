@@ -20,7 +20,10 @@ ann_pq_adc 5.0 s vs 1.3-1.5 s re-timed).  The min of two runs bounds
 scheduler noise at one extra pass's cost; since the session cache is
 shared across the sweep anyway (see the no-clearCache note below), the
 min is a steady-state warm number — the quantity the per-round overlap
-comparison actually wants.
+comparison actually wants.  When the two samples disagree by >25 %,
+BOTH may have straddled a contention burst, so a third sample runs and
+the min of three is recorded — only disagreeing queries pay for it
+(typically a handful per sweep).
 """
 
 from __future__ import annotations
@@ -85,8 +88,13 @@ def main() -> None:
         if name in getattr(registry, "BENCH_EXCLUDE", set()):
             continue
         try:
-            # min-of-2: see module docstring (contention hygiene)
-            timings[name] = round(min(run(name), run(name)), 3)
+            # min-of-2, adaptive third sample: see module docstring
+            # (contention hygiene)
+            t1, t2 = run(name), run(name)
+            best = min(t1, t2)
+            if max(t1, t2) > 1.25 * best and best > 0.05:
+                best = min(best, run(name))
+            timings[name] = round(best, 3)
         except Exception as exc:  # a failing query must not hide the rest
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0

@@ -495,7 +495,9 @@ def substring_dedup(
     k-gram.  Returns one row per input doc: ``(id, n_tokens, n_spans,
     n_dup_tokens, text_clean)`` where ``n_spans`` counts MERGED
     (overlapping/adjacent) removed spans and ``n_tokens − n_dup_tokens
-    == len(split(text_clean))`` always holds.
+    == len(split(text_clean))`` holds for every non-null text; a NULL
+    text yields an all-NULL row (the pipeline-wide null convention —
+    same as the multimodal decode tiers).
 
     Plan shape (the 100 TB contract): stride-1 k-gram hashes are
     map-only; duplicate detection is ONE gram-keyed partial/final
@@ -508,6 +510,9 @@ def substring_dedup(
     a Bloom filter of duplicated grams before it is the standard
     shuffle-skipping refinement at petabyte scale."""
     from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
 
     toks = df.select(F.col(id_col).alias("_id"), F.split(text_col, " ", -1).alias("toks"))
     n = F.size("toks")
@@ -561,8 +566,10 @@ def substring_dedup(
     iv = spans.groupBy("_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("b") - F.col("a") + 1).alias("n_dup_tokens"),
-        F.array_sort(
-            F.collect_list(F.array(F.col("a").cast("long"), F.col("b").cast("long")))
+        # no ordering needed: ivs only feeds an order-independent
+        # exists() membership test below
+        F.collect_list(
+            F.array(F.col("a").cast("long"), F.col("b").cast("long"))
         ).alias("ivs"),
     )
     out = toks.join(iv, "_id", "left")
@@ -571,12 +578,24 @@ def substring_dedup(
         F.sequence(F.lit(1), F.size("toks")),
         lambda i: ~F.exists(ivs, lambda v: (v.getItem(0) <= i) & (i <= v.getItem(1))),
     )
+    null_in = F.col("toks").isNull()
     return out.select(
         F.col("_id").alias(id_col),
-        F.size("toks").cast("long").alias("n_tokens"),
-        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
-        F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
-        F.concat_ws(" ", F.transform(keep, lambda i: F.element_at("toks", i))).alias(
-            "text_clean"
-        ),
+        F.when(null_in, F.lit(None))
+        .otherwise(F.size("toks"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.when(null_in, F.lit(None))
+        .otherwise(F.coalesce("n_spans", F.lit(0)))
+        .cast("long")
+        .alias("n_spans"),
+        F.when(null_in, F.lit(None))
+        .otherwise(F.coalesce("n_dup_tokens", F.lit(0)))
+        .cast("long")
+        .alias("n_dup_tokens"),
+        F.when(null_in, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat_ws(" ", F.transform(keep, lambda i: F.element_at("toks", i)))
+        )
+        .alias("text_clean"),
     )

@@ -1002,14 +1002,17 @@ iv AS (SELECT doc_id, count(*)::BIGINT AS n_spans,
        FROM sp GROUP BY doc_id)
 SELECT t.doc_id,
        len(toks)::BIGINT AS n_tokens,
-       coalesce(iv.n_spans, 0)::BIGINT AS n_spans,
-       coalesce(iv.n_dup_tokens, 0)::BIGINT AS n_dup_tokens,
-       coalesce(array_to_string(
+       CASE WHEN t.toks IS NULL THEN NULL
+            ELSE coalesce(iv.n_spans, 0) END::BIGINT AS n_spans,
+       CASE WHEN t.toks IS NULL THEN NULL
+            ELSE coalesce(iv.n_dup_tokens, 0) END::BIGINT AS n_dup_tokens,
+       CASE WHEN t.toks IS NULL THEN NULL
+            ELSE coalesce(array_to_string(
          list_transform(
            list_filter(range(1, len(toks) + 1),
              i -> len(list_filter(coalesce(iv.ivs, []),
                                   v -> v[1] <= i AND i <= v[2])) = 0),
-           i -> toks[i]), ' '), '') AS text_clean
+           i -> toks[i]), ' '), '') END AS text_clean
 FROM tok t LEFT JOIN iv USING (doc_id)
 """,
 )

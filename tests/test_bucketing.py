@@ -183,7 +183,12 @@ def test_gram_index_reuse_shuffles_only_the_batch(spark, gram_index_table):
     canonical-first needs no min(struct) in the incremental shape).
     The corpus side must come straight off the bucketed scan: the ONLY
     gram Exchange in the join is the (small) batch side, making daily
-    substring dedup O(batch), not O(corpus)."""
+    substring dedup O(batch), not O(corpus).
+
+    NOTE: the index probe covers batch-vs-corpus duplicates only; a
+    full daily job additionally runs substring_dedup WITHIN the batch
+    (O(batch) by construction) for spans duplicated only inside the
+    day's crawl, then appends the batch's grams to the index."""
     table, occ = gram_index_table
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:

@@ -183,3 +183,25 @@ def test_substring_dedup_matches_reference(spark, corpus, k):
         for r in substring_dedup(df, "doc_id", "text", k).collect()
     }
     assert got == _reference(corpus, k)
+
+
+def test_null_text_yields_all_null_row(spark):
+    """NULL text follows the pipeline-wide null convention (same as the
+    multimodal decode tiers): an all-NULL row, never a fabricated
+    zero-token doc — and it must not perturb other docs' results."""
+    t = _words("w", 20)
+    got = _run(spark, [(1, t), (2, None), (3, t)])
+    r = got[2]
+    assert r["n_tokens"] is None and r["n_spans"] is None
+    assert r["n_dup_tokens"] is None and r["text_clean"] is None
+    assert got[1]["text_clean"] == t and got[3]["text_clean"] == ""
+
+
+def test_k_below_one_raises(spark):
+    """k < 1 is a caller bug: fail fast instead of emitting
+    negative-length spans that violate the output invariants."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        substring_dedup(df, "doc_id", "text", 0)
