@@ -483,6 +483,37 @@ def simhash_chunks_packed(sig: Column, n_chunks: int = 8) -> Column:
     )
 
 
+def gram_occurrences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Stride-1 k-token gram occurrence table ``(id, pos, gram)`` — the
+    probe/index row format of exact substring dedup: the corpus side is
+    what :func:`substring_dedup` aggregates, what the bucketed gram
+    index persists, and what an incremental ingest job computes for the
+    day's batch (tests/test_bucketing.py, tests/test_streaming.py).
+    ``pos`` is 1-based; docs under k tokens and NULL texts contribute
+    no rows.  Map-only: split → bounded sequence explode → md5."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    t = df.select(F.col(id_col), F.split(text_col, " ", -1).alias("_toks"))
+    n = F.size("_toks")
+    return t.select(
+        id_col,
+        F.explode(
+            F.when(n >= k, F.sequence(F.lit(1), n - k + 1))
+            .otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+        F.col("_toks"),
+    ).select(
+        id_col,
+        "pos",
+        F.md5(F.concat_ws(" ", F.slice("_toks", F.col("pos"), F.lit(k)))).alias("gram"),
+    )
+
+
 def substring_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -515,20 +546,9 @@ def substring_dedup(
         raise ValueError(f"k must be >= 1, got {k}")
 
     toks = df.select(F.col(id_col).alias("_id"), F.split(text_col, " ", -1).alias("toks"))
-    n = F.size("toks")
     occ = (
-        toks.select(
-            "_id",
-            F.explode(
-                F.when(n >= k, F.sequence(F.lit(1), n - k + 1))
-                .otherwise(F.array().cast("array<int>"))
-            ).alias("pos"),
-            F.col("toks"),
-        )
-        .select(
-            "_id",
-            "pos",
-            F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), F.lit(k)))).alias("gram"),
+        gram_occurrences(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id", text_col, k
         )
         # feeds the dup aggregate AND the mark join-back; the returned
         # plan references it, so lifetime is the LRU cache contract

@@ -146,21 +146,10 @@ def gram_index_table(spark, tmp_path_factory):
     occurrence table persisted as a bucketed, in-bucket-sorted table
     the daily ingest job probes — the substring analog of the band
     index above."""
+    from fletcher_spark.pipeline.dedup import gram_occurrences
+
     d = load_tables(spark, SF_DIR)["documents"]
-    toks = d.select("doc_id", F.split("text", " ", -1).alias("toks"))
-    n = F.size("toks")
-    occ = toks.select(
-        "doc_id",
-        F.explode(
-            F.when(n >= 8, F.sequence(F.lit(1), n - 7))
-            .otherwise(F.array().cast("array<int>"))
-        ).alias("pos"),
-        "toks",
-    ).select(
-        "doc_id",
-        "pos",
-        F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), F.lit(8)))).alias("gram"),
-    )
+    occ = gram_occurrences(d, "doc_id", "text", 8)
     corpus = occ.filter(F.col("doc_id") % 10 != 0)
 
     warehouse = str(tmp_path_factory.mktemp("gramidx"))
