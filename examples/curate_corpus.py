@@ -1,8 +1,8 @@
 """End-to-end corpus curation demo — the pipeline a training-data run
 executes, wired from the library's operators:
 
-    quality filter → exact dedup → MinHash near-dup → PII redaction →
-    deterministic split → length-bucketed shard write
+    quality filter → exact dedup → substring dedup → MinHash near-dup →
+    PII redaction → deterministic split → length-bucketed shard write
 
 Run:  python examples/curate_corpus.py [sf_dir] [out_dir]
 (defaults: /root/testdata/sf0.001, /tmp/curated)
@@ -48,7 +48,20 @@ def main() -> None:
     winners = keep.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     deduped = keep.join(winners, ["fp", "doc_id"]).drop("fp")
 
-    # 3. near-dup removal: MinHash-LSH candidates, exact-Jaccard verify,
+    # 3. exact SUBSTRING dedup (Lee et al. 2022): cut duplicated
+    #    ≥8-token spans at arbitrary offsets, keep the canonical first
+    #    occurrence — catches boilerplate/quote overlap whole-doc dedup
+    #    misses; docs left empty by the cut fall out here
+    cut = D.substring_dedup(deduped, "doc_id", "text", 8)
+    deduped = (
+        deduped.drop("text", "n_chars")
+        .join(cut.filter(F.col("n_dup_tokens") < F.col("n_tokens")), "doc_id")
+        .withColumnRenamed("text_clean", "text")
+        .withColumn("n_chars", F.length("text"))
+        .drop("n_tokens", "n_spans", "n_dup_tokens")
+    )
+
+    # 4. near-dup removal: MinHash-LSH candidates, exact-Jaccard verify,
     #    drop the higher doc_id of each surviving pair
     sh = D.shingle_frame(deduped, "text", 3).persist()
     sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
@@ -61,11 +74,11 @@ def main() -> None:
     )
     survivors = deduped.join(dupes, "doc_id", "left_anti")
 
-    # 4. PII redaction (chained codegen regex, byte-identical pass-through
+    # 5. PII redaction (chained codegen regex, byte-identical pass-through
     #    for clean text)
     redacted = survivors.withColumn("text", T.redact_pii(F.col("text")))
 
-    # 5. deterministic split on a content-stable hash
+    # 6. deterministic split on a content-stable hash
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 100
@@ -76,7 +89,7 @@ def main() -> None:
     findings = [f for f in lint_plan(train) if f.severity == "error"]
     assert not findings, findings
 
-    # 6. shard write: range-partitioned on the shuffle key, sorted within
+    # 7. shard write: range-partitioned on the shuffle key, sorted within
     #    shards — deterministic membership, resumable
     write_training_shards(train, out, n_shards=4, order_col="doc_id")
     n = spark.read.parquet(out).count()
