@@ -20,10 +20,12 @@ ann_pq_adc 5.0 s vs 1.3-1.5 s re-timed).  The min of two runs bounds
 scheduler noise at one extra pass's cost; since the session cache is
 shared across the sweep anyway (see the no-clearCache note below), the
 min is a steady-state warm number — the quantity the per-round overlap
-comparison actually wants.  When the two samples disagree by >25 %,
-BOTH may have straddled a contention burst, so a third sample runs and
-the min of three is recorded — only disagreeing queries pay for it
-(typically a handful per sweep).
+comparison actually wants.  When the two samples disagree by >25 % and
+the best is over 50 ms (below that, scheduler jitter alone explains
+any ratio and a third sample is pure cost), BOTH may have straddled a
+contention burst, so a third sample runs and the min of three is
+recorded — only disagreeing queries pay for it (typically a handful
+per sweep).
 """
 
 from __future__ import annotations

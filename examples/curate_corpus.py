@@ -51,7 +51,11 @@ def main() -> None:
     # 3. exact SUBSTRING dedup (Lee et al. 2022): cut duplicated
     #    ≥8-token spans at arbitrary offsets, keep the canonical first
     #    occurrence — catches boilerplate/quote overlap whole-doc dedup
-    #    misses; docs left empty by the cut fall out here
+    #    misses; docs left empty by the cut fall out here.
+    #    persist the stage-2 output first: it feeds substring_dedup's
+    #    two internal branches AND the join-back — unpersisted, the
+    #    exact-dedup shuffle would re-run once per consumer
+    deduped = deduped.persist()
     cut = D.substring_dedup(deduped, "doc_id", "text", 8)
     deduped = (
         deduped.drop("text", "n_chars")
@@ -59,6 +63,9 @@ def main() -> None:
         .withColumnRenamed("text_clean", "text")
         .withColumn("n_chars", F.length("text"))
         .drop("n_tokens", "n_spans", "n_dup_tokens")
+        # ... and the rebuilt corpus feeds the shingle frame and the
+        # stage-4 anti-join
+        .persist()
     )
 
     # 4. near-dup removal: MinHash-LSH candidates, exact-Jaccard verify,

@@ -495,9 +495,16 @@ def gram_occurrences(
     index persists, and what an incremental ingest job computes for the
     day's batch (tests/test_bucketing.py, tests/test_streaming.py).
     ``pos`` is 1-based; docs under k tokens and NULL texts contribute
-    no rows.  Map-only: split → bounded sequence explode → md5."""
+    no rows.  Map-only: split → bounded sequence explode → md5.
+    The output format is fixed, so ``id_col`` may not collide with the
+    other output/internal names."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if id_col in ("pos", "gram", "_toks"):
+        raise ValueError(
+            f"id_col {id_col!r} collides with the fixed (id, pos, gram) "
+            "output format — rename the id column first"
+        )
     t = df.select(F.col(id_col), F.split(text_col, " ", -1).alias("_toks"))
     n = F.size("_toks")
     return t.select(
@@ -525,10 +532,13 @@ def substring_dedup(
     canonical first occurrence (min ``(id, pos)``) of each duplicated
     k-gram.  Returns one row per input doc: ``(id, n_tokens, n_spans,
     n_dup_tokens, text_clean)`` where ``n_spans`` counts MERGED
-    (overlapping/adjacent) removed spans and ``n_tokens − n_dup_tokens
-    == len(split(text_clean))`` holds for every non-null text; a NULL
-    text yields an all-NULL row (the pipeline-wide null convention —
-    same as the multimodal decode tiers).
+    (overlapping/adjacent) removed spans and, for every non-null text,
+    ``n_tokens − n_dup_tokens`` equals the number of tokens remaining
+    in ``text_clean`` (0 when it is the empty string — note
+    ``split("")`` yields ``[""]``, so validate with an emptiness check,
+    not a bare re-split); a NULL text yields an all-NULL row (the
+    pipeline-wide null convention — same as the multimodal decode
+    tiers).
 
     Plan shape (the 100 TB contract): stride-1 k-gram hashes are
     map-only; duplicate detection is ONE gram-keyed partial/final
@@ -541,9 +551,6 @@ def substring_dedup(
     a Bloom filter of duplicated grams before it is the standard
     shuffle-skipping refinement at petabyte scale."""
     from pyspark.sql import Window
-
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
 
     toks = df.select(F.col(id_col).alias("_id"), F.split(text_col, " ", -1).alias("toks"))
     occ = (

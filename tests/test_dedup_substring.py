@@ -205,3 +205,16 @@ def test_k_below_one_raises(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="k must be >= 1"):
         substring_dedup(df, "doc_id", "text", 0)
+
+
+def test_gram_occurrences_rejects_colliding_id_col(spark):
+    """The (id, pos, gram) output format is fixed: an id column named
+    like an output/internal column must be rejected up front, not fail
+    later with an ambiguous-reference AnalysisException."""
+    import pytest
+
+    from fletcher_spark.pipeline.dedup import gram_occurrences
+
+    df = spark.createDataFrame([(1, "a b c d")], "pos long, text string")
+    with pytest.raises(ValueError, match="collides"):
+        gram_occurrences(df, "pos", "text", 2)
