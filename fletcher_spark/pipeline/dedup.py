@@ -488,6 +488,7 @@ def gram_occurrences(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    scope_cols: tuple = (),
 ) -> DataFrame:
     """Stride-1 k-token gram occurrence table ``(id, pos, gram)`` — the
     probe/index row format of exact substring dedup: the corpus side is
@@ -497,7 +498,15 @@ def gram_occurrences(
     ``pos`` is 1-based; docs under k tokens and NULL texts contribute
     no rows.  Map-only: split → bounded sequence explode → md5.
     The output format is fixed, so ``id_col`` may not collide with the
-    other output/internal names."""
+    other output/internal names.
+
+    ``scope_cols`` fold scope values (language, source, tenant…) into
+    the gram hash, so identical token runs in DIFFERENT scopes never
+    collide — scoped dedup costs zero extra columns, joins, or shuffle
+    keys downstream.  ``\\x1f`` (unit separator) delimits scope values
+    from the token text; a NULL scope value hashes as a distinct
+    sentinel rather than disappearing (``concat_ws`` would silently
+    drop it, merging NULL-scope docs into a neighbor scope)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if id_col in ("pos", "gram", "_toks"):
@@ -505,8 +514,15 @@ def gram_occurrences(
             f"id_col {id_col!r} collides with the fixed (id, pos, gram) "
             "output format — rename the id column first"
         )
-    t = df.select(F.col(id_col), F.split(text_col, " ", -1).alias("_toks"))
+    t = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in scope_cols],
+        F.split(text_col, " ", -1).alias("_toks"),
+    )
     n = F.size("_toks")
+    scope_parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in scope_cols
+    ]
     return t.select(
         id_col,
         F.explode(
@@ -514,10 +530,17 @@ def gram_occurrences(
             .otherwise(F.array().cast("array<int>"))
         ).alias("pos"),
         F.col("_toks"),
+        *[F.col(c) for c in scope_cols],
     ).select(
         id_col,
         "pos",
-        F.md5(F.concat_ws(" ", F.slice("_toks", F.col("pos"), F.lit(k)))).alias("gram"),
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                *scope_parts,
+                F.concat_ws(" ", F.slice("_toks", F.col("pos"), F.lit(k))),
+            )
+        ).alias("gram"),
     )
 
 
@@ -526,6 +549,7 @@ def substring_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    scope_cols: tuple = (),
 ) -> DataFrame:
     """Exact SUBSTRING dedup (Lee et al. 2022): cut every duplicated
     ≥k-token span at arbitrary offsets, keeping only the corpus-wide
@@ -538,7 +562,10 @@ def substring_dedup(
     ``split("")`` yields ``[""]``, so validate with an emptiness check,
     not a bare re-split); a NULL text yields an all-NULL row (the
     pipeline-wide null convention — same as the multimodal decode
-    tiers).
+    tiers).  ``scope_cols`` restricts duplication to matching scope
+    values (dedup within language/source/tenant): the scope is folded
+    into the gram hash (see :func:`gram_occurrences`), so the plan is
+    IDENTICAL to the global form — no extra join keys or shuffles.
 
     Plan shape (the 100 TB contract): stride-1 k-gram hashes are
     map-only; duplicate detection is ONE gram-keyed partial/final
@@ -555,7 +582,15 @@ def substring_dedup(
     toks = df.select(F.col(id_col).alias("_id"), F.split(text_col, " ", -1).alias("toks"))
     occ = (
         gram_occurrences(
-            df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id", text_col, k
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.col(text_col),
+                *[F.col(c) for c in scope_cols],
+            ),
+            "_id",
+            text_col,
+            k,
+            scope_cols,
         )
         # feeds the dup aggregate AND the mark join-back; the returned
         # plan references it, so lifetime is the LRU cache contract

@@ -218,3 +218,30 @@ def test_gram_occurrences_rejects_colliding_id_col(spark):
     df = spark.createDataFrame([(1, "a b c d")], "pos long, text string")
     with pytest.raises(ValueError, match="collides"):
         gram_occurrences(df, "pos", "text", 2)
+
+
+def test_scope_cols_restrict_dedup_to_matching_scope(spark):
+    """scope_cols folds the scope into the gram hash: identical spans
+    in DIFFERENT languages are kept; within one language the usual
+    canonical-first cut applies; a NULL scope is its own scope (never
+    merged into a neighbor).  The global form must still cut across
+    scopes when scope_cols is omitted."""
+    from fletcher_spark.pipeline.dedup import substring_dedup as sd
+
+    t = _words("w", 10)
+    rows = [(1, t, "en"), (2, t, "de"), (3, t, "en"), (4, t, None), (5, t, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    scoped = {r["doc_id"]: r for r in sd(df, "doc_id", "text", 8, ("lang",)).collect()}
+    # en: doc 1 canonical, doc 3 cut; de: doc 2 is alone -> kept;
+    # NULL scope: doc 4 canonical, doc 5 cut
+    assert scoped[1]["text_clean"] == t and scoped[2]["text_clean"] == t
+    assert scoped[3]["text_clean"] == "" and scoped[3]["n_dup_tokens"] == 10
+    assert scoped[4]["text_clean"] == t
+    assert scoped[5]["text_clean"] == "" and scoped[5]["n_dup_tokens"] == 10
+
+    # global form: only doc 1 survives
+    global_ = {r["doc_id"]: r for r in sd(df, "doc_id", "text", 8).collect()}
+    assert global_[1]["text_clean"] == t
+    for i in (2, 3, 4, 5):
+        assert global_[i]["text_clean"] == "", i
