@@ -256,6 +256,13 @@ def exact_cut_points(
     other quantiles) share it instead of re-scanning the source; its
     lifetime stays with the caller.
 
+    .. versionchanged:: r6
+       The default flipped to ``materialize=True`` (it was lazy),
+       so calling this now runs an eager Spark job at plan-construction
+       time.  Callers composing plans offline, or passing ``prehist``
+       and owning lifetimes themselves, should pass
+       ``materialize=False`` explicitly to keep the old lazy behavior.
+
     ``n_coarse`` sizing: each in-bucket window partition holds
     ~|distinct| / n_coarse histogram rows, and the offsets window holds
     n_coarse rows — balance them with ``n_coarse ≈ sqrt(|distinct|)``

@@ -503,25 +503,38 @@ def gram_occurrences(
     ``scope_cols`` fold scope values (language, source, tenant…) into
     the gram hash, so identical token runs in DIFFERENT scopes never
     collide — scoped dedup costs zero extra columns, joins, or shuffle
-    keys downstream.  ``\\x1f`` (unit separator) delimits scope values
-    from the token text; a NULL scope value hashes as a distinct
-    sentinel rather than disappearing (``concat_ws`` would silently
-    drop it, merging NULL-scope docs into a neighbor scope)."""
+    keys downstream.  Each scope part is md5-hashed BEFORE folding, so
+    scope values are opaque: a value containing the ``\\x1f`` delimiter
+    (or any other byte) cannot splice itself into a neighboring part
+    and merge two distinct scope combinations.  A NULL scope value
+    folds as a non-hex sentinel no real value can hash to — its own
+    scope, never merged into a neighbor (``concat_ws`` alone would
+    silently drop it)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    if id_col in ("pos", "gram", "_toks"):
+    reserved = ("pos", "gram", "_toks")
+    if id_col in reserved:
         raise ValueError(
             f"id_col {id_col!r} collides with the fixed (id, pos, gram) "
             "output format — rename the id column first"
         )
+    for c in scope_cols:
+        if c in reserved or c == id_col:
+            raise ValueError(
+                f"scope column {c!r} collides with the fixed (id, pos, gram) "
+                "output format or the id column — rename it first"
+            )
     t = df.select(
         F.col(id_col),
         *[F.col(c) for c in scope_cols],
         F.split(text_col, " ", -1).alias("_toks"),
     )
     n = F.size("_toks")
+    # md5 each part (hex — can never contain the \x1f delimiter); md5 of
+    # NULL is NULL, so the coalesced sentinel is unreachable from data
     scope_parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in scope_cols
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("\x00null"))
+        for c in scope_cols
     ]
     return t.select(
         id_col,
@@ -544,12 +557,61 @@ def gram_occurrences(
     )
 
 
+#: seeds for the two Bloom hash functions (arbitrary odd constants);
+#: build and probe sides derive bit positions from the SAME JVM-side
+#: ``xxhash64(gram, seed)`` expressions, so false negatives are
+#: impossible by construction.
+_BLOOM_SEEDS = (0x9E3779B1, 0x85EBCA77)
+
+
+def _dup_gram_prefilter(occ: DataFrame, dup: DataFrame, n_bits: int) -> DataFrame:
+    """Map-side Bloom pre-filter for the substring-dedup join-back.
+
+    Packs the duplicated-gram set into a word-level bitmap DataFrame
+    (``(word_index, 64-bit word)`` — at most ``n_bits/64`` rows, i.e.
+    ≤ 8 MB at the default 2^26 bits, the same cap Spark's own runtime
+    bloom uses) and broadcast-hash-joins it onto the occurrence table
+    once per hash seed, keeping only occurrences whose bit is set.
+    Singleton grams (~95 % of a fresh-crawl corpus) die map-side in the
+    broadcast lookup instead of shuffling into the gram join.  False
+    positives just fall through to the exact join and drop there —
+    correctness never depends on the bloom; when ``|dup|`` saturates
+    the bitmap the filter passes everything and the join is unchanged.
+    Fully declarative: no driver collect, no eager job — the bitmap is
+    built by a word-keyed ``bit_or`` aggregate and shipped by Spark's
+    own broadcast machinery.
+    """
+    bits = [
+        F.pmod(F.xxhash64("gram", F.lit(s)), F.lit(n_bits)) for s in _BLOOM_SEEDS
+    ]
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit % 64 AS INT))")
+    words = (
+        dup.select(F.explode(F.array(*bits)).alias("_bit"))
+        .select(F.shiftright("_bit", 6).alias("_w"), mask.alias("_m"))
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_word"))
+    )
+    probe = occ
+    for s in _BLOOM_SEEDS:
+        probe = (
+            probe.withColumn(
+                "_bit", F.pmod(F.xxhash64("gram", F.lit(s)), F.lit(n_bits))
+            )
+            .withColumn("_w", F.shiftright("_bit", 6))
+            .join(F.broadcast(words), "_w")
+            .filter(mask.bitwiseAND(F.col("_word")) != 0)
+            .drop("_bit", "_w", "_word")
+        )
+    return probe
+
+
 def substring_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
     scope_cols: tuple = (),
+    bloom_bits: int | None = 1 << 26,
 ) -> DataFrame:
     """Exact SUBSTRING dedup (Lee et al. 2022): cut every duplicated
     ≥k-token span at arbitrary offsets, keeping only the corpus-wide
@@ -573,10 +635,23 @@ def substring_dedup(
     ``min(struct(id, pos))``, joined back on the gram key — never a
     corpus-wide rank window.  Span merge and text reconstruction
     shuffle by doc id only; both windows partition on the doc id
-    (high-cardinality — no single-partition funnel).  Singleton grams
-    (~95 % of a fresh-crawl corpus) survive to the join-back; slotting
-    a Bloom filter of duplicated grams before it is the standard
-    shuffle-skipping refinement at petabyte scale."""
+    (high-cardinality — no single-partition funnel).  The join-back is
+    pre-filtered by a broadcast Bloom bitmap of the duplicated grams
+    (``bloom_bits`` wide, default 2^26 ≈ 8 MB — Spark's own
+    runtime-bloom cap) so singleton occurrences (~95 % of a fresh-crawl
+    corpus) die map-side instead of shuffling; ``bloom_bits=None``
+    disables the pre-filter (identical results — the exact join drops
+    bloom false positives either way).  Reconstruction walks the gaps
+    between the sorted merged spans (``O(tokens + spans)`` per doc),
+    not token×span membership tests.
+
+    Side effect: the internal gram-occurrence table is ``persist()``-ed
+    and intentionally NOT unpersisted — the returned (lazy) plan
+    references it from both the duplicate aggregate and the join-back,
+    so its lifetime follows Spark's LRU block-eviction contract, the
+    same convention as :func:`fletcher_spark.operators.agg.exact_cut_points`.
+    Call ``spark.catalog.clearCache()`` if you need the memory back
+    after fully consuming the result."""
     from pyspark.sql import Window
 
     toks = df.select(F.col(id_col).alias("_id"), F.split(text_col, " ", -1).alias("toks"))
@@ -605,8 +680,9 @@ def substring_dedup(
         .filter(F.col("c") >= 2)
         .select("gram", "canon")
     )
+    probe = occ if bloom_bits is None else _dup_gram_prefilter(occ, dup, bloom_bits)
     marked = (
-        occ.join(dup, "gram")
+        probe.join(dup, "gram")
         .filter(F.struct("_id", "pos") != F.col("canon"))
         .select("_id", "pos")
     )
@@ -628,17 +704,34 @@ def substring_dedup(
     iv = spans.groupBy("_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("b") - F.col("a") + 1).alias("n_dup_tokens"),
-        # no ordering needed: ivs only feeds an order-independent
-        # exists() membership test below
         F.collect_list(
             F.array(F.col("a").cast("long"), F.col("b").cast("long"))
         ).alias("ivs"),
     )
     out = toks.join(iv, "_id", "left")
-    ivs = F.coalesce("ivs", F.array().cast("array<array<bigint>>"))
-    keep = F.filter(
-        F.sequence(F.lit(1), F.size("toks")),
-        lambda i: ~F.exists(ivs, lambda v: (v.getItem(0) <= i) & (i <= v.getItem(1))),
+    # gap sweep over the SORTED merged spans: kept tokens are exactly
+    # the complement intervals [1,a1-1], [b1+1,a2-1], …, [bn+1,n] —
+    # O(tokens + spans) per doc, vs the O(tokens × spans) per-token
+    # exists() membership scan this replaces.  Spans are disjoint and
+    # non-adjacent by construction, so only the first/last gap can be
+    # empty (guarded by the s<=e branch).
+    sp = F.array_sort(F.coalesce("ivs", F.array().cast("array<array<bigint>>")))
+    starts = F.concat(
+        F.array(F.lit(1).cast("long")),
+        F.transform(sp, lambda v: v.getItem(1) + 1),
+    )
+    ends = F.concat(
+        F.transform(sp, lambda v: v.getItem(0) - 1),
+        F.array(F.size("toks").cast("long")),
+    )
+    keep = F.flatten(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.when(s <= e, F.sequence(s, e)).otherwise(
+                F.array().cast("array<bigint>")
+            ),
+        )
     )
     null_in = F.col("toks").isNull()
     return out.select(
@@ -657,7 +750,9 @@ def substring_dedup(
         .alias("n_dup_tokens"),
         F.when(null_in, F.lit(None).cast("string"))
         .otherwise(
-            F.concat_ws(" ", F.transform(keep, lambda i: F.element_at("toks", i)))
+            F.concat_ws(
+                " ", F.transform(keep, lambda i: F.element_at("toks", i.cast("int")))
+            )
         )
         .alias("text_clean"),
     )

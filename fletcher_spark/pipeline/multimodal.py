@@ -480,6 +480,10 @@ def _make_wav_decode():
         while pos + 8 <= n:
             cid = payload[pos : pos + 4]
             ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            if cid in (b"fmt ", b"data") and pos + 8 + ln > n:
+                # a declared length overrunning the payload is a
+                # truncated file, not a short decode (ADVICE r6)
+                raise ValueError(f"truncated {cid.decode('ascii').strip()} chunk")
             body = payload[pos + 8 : pos + 8 + ln]
             if cid == b"fmt ":
                 fmt = body

@@ -1037,11 +1037,12 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; the canonical-occurrence rule rides the aggregate as
     ``min(struct(doc_id, pos))``.  Span merge + reconstruction shuffle
     by doc_id only (windows partition on doc_id: high-cardinality,
-    never a funnel).  At 100 TB the gram→agg join is where a Bloom
-    filter of duplicated grams slots in to skip shuffling singleton
-    occurrences (~95 % of the corpus here); the suffix-array pass of the
-    paper is a single-machine algorithm — this is its shuffle-native
-    re-expression.
+    never a funnel).  The join-back is pre-filtered by a broadcast
+    Bloom bitmap of duplicated grams (8 MB cap) so singleton
+    occurrences (~95 % of the corpus here) die map-side instead of
+    shuffling — the petabyte refinement, implemented; the suffix-array
+    pass of the paper is a single-machine algorithm — this is its
+    shuffle-native re-expression.
 
     Reference analog: none (fletcher has no corpus ops); the C4/passage
     variants live at queries/llmprep.py and this file.  DuckDB oracle

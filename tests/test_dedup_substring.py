@@ -220,6 +220,104 @@ def test_gram_occurrences_rejects_colliding_id_col(spark):
         gram_occurrences(df, "pos", "text", 2)
 
 
+def test_bloom_prefilter_matches_plain_join_bit_for_bit(spark):
+    """bloom_bits=None (plain join) and the default Bloom pre-filter
+    must agree on every output column — the bloom is a pure shuffle
+    refinement, never a semantics knob.  Run on a dense-collision
+    corpus so both duplicated and singleton grams are exercised."""
+    shared = _words("s", 15)
+    rows = [
+        (1, shared),
+        (2, shared + " " + _words("a", 9)),
+        (3, _words("b", 3) + " " + shared + " " + _words("c", 4)),
+        (4, _words("d", 40)),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = {
+        r["doc_id"]: tuple(r)
+        for r in substring_dedup(df, "doc_id", "text", 8, bloom_bits=None).collect()
+    }
+    bloom = {
+        r["doc_id"]: tuple(r) for r in substring_dedup(df, "doc_id", "text", 8).collect()
+    }
+    assert bloom == plain
+
+
+def test_bloom_prefilter_branch_taken_on_tiny_dup_ratio(spark):
+    """Planted corpus where almost every gram is a singleton (one
+    duplicated 8-gram in 60 docs of unique text): the pre-filter branch
+    must appear in the physical plan as broadcast joins feeding the
+    gram join-back, and the one duplicated span must still be cut."""
+    dup_run = _words("dup", 8)
+    rows = [(i, _words(f"u{i}_", 20)) for i in range(1, 59)]
+    rows += [(100, dup_run), (101, dup_run)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = substring_dedup(df, "doc_id", "text", 8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the bitmap word-lookup joins
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[100]["text_clean"] == dup_run
+    assert got[101]["text_clean"] == "" and got[101]["n_dup_tokens"] == 8
+    for i in range(1, 59):
+        assert got[i]["n_dup_tokens"] == 0
+
+
+def test_many_disjoint_spans_reconstruction(spark):
+    """Adversarial many-spans doc (200 disjoint 2-token spans, each
+    separated by one unique token): the gap-sweep reconstruction must
+    cut every span and keep every separator — the shape that made the
+    old per-token exists() scan O(tokens × spans)."""
+    k = 2
+    donor = " ".join(f"s{i}a s{i}b d{i}x d{i}y" for i in range(200))
+    victim = " ".join(f"s{i}a s{i}b u{i}" for i in range(200))
+    got = _run(spark, [(1, donor), (2, victim)], k=k)
+    assert got[1]["n_dup_tokens"] == 0 and got[1]["text_clean"] == donor
+    assert got[2]["n_spans"] == 200 and got[2]["n_dup_tokens"] == 400
+    assert got[2]["text_clean"] == " ".join(f"u{i}" for i in range(200))
+
+
+def test_scope_values_with_delimiter_bytes_do_not_collide(spark):
+    """Scope folding is injection-proof: a scope value containing the
+    \\x1f delimiter (or literally equal to the NULL sentinel) must not
+    merge with a different scope combination — each part is hashed
+    before folding (ADVICE r6)."""
+    from fletcher_spark.pipeline.dedup import substring_dedup as sd
+
+    t = _words("w", 10)
+    rows = [
+        # two scope columns; ("a\x1fb", "c") must differ from ("a", "b\x1fc")
+        (1, t, "a\x1fb", "c"),
+        (2, t, "a", "b\x1fc"),
+        # the literal sentinel string must not merge with a real NULL
+        (3, t, "\x00null", "c"),
+        (4, t, None, "c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, s1 string, s2 string")
+    got = {
+        r["doc_id"]: r for r in sd(df, "doc_id", "text", 8, ("s1", "s2")).collect()
+    }
+    for i in (1, 2, 3, 4):
+        assert got[i]["text_clean"] == t and got[i]["n_dup_tokens"] == 0, i
+
+
+def test_gram_occurrences_rejects_colliding_scope_col(spark):
+    """scope_cols get the same up-front reserved-name validation as
+    id_col — a scope column named 'pos'/'_toks' (or equal to id_col)
+    must fail fast, not with a downstream ambiguous-reference error."""
+    import pytest
+
+    from fletcher_spark.pipeline.dedup import gram_occurrences
+
+    df = spark.createDataFrame(
+        [(1, "a b c d", "x")], "doc_id long, text string, pos string"
+    )
+    with pytest.raises(ValueError, match="scope column"):
+        gram_occurrences(df, "doc_id", "text", 2, scope_cols=("pos",))
+    with pytest.raises(ValueError, match="scope column"):
+        gram_occurrences(df, "doc_id", "text", 2, scope_cols=("doc_id",))
+
+
 def test_scope_cols_restrict_dedup_to_matching_scope(spark):
     """scope_cols folds the scope into the gram hash: identical spans
     in DIFFERENT languages are kept; within one language the usual

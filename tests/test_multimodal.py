@@ -467,6 +467,21 @@ def test_wav_decode_rejects_unsupported():
         dec(wav(1, 24))
 
 
+def test_wav_decode_rejects_truncated_data_chunk():
+    """A data chunk whose declared length overruns the payload is a
+    truncated file: it must raise ValueError (the docstring's promise),
+    not silently decode fewer samples (ADVICE r6)."""
+    import struct
+
+    import pytest as _pytest
+
+    dec = MM._make_wav_decode()
+    full = MM._make_wav_encode(8000)(bytes(range(64)))
+    assert dec(full)[1].shape == (64, 1)  # intact file decodes fully
+    with _pytest.raises(ValueError, match="truncated"):
+        dec(full[:-10])  # declared data length now overruns the payload
+
+
 def test_decode_images_gif_tier(spark):
     """decode_images dispatch extends to GIF: real dims + intensity
     histogram from LZW-decoded pixels."""
