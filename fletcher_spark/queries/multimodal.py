@@ -354,6 +354,118 @@ def mm_audio_features_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JPEG_C_ORACLE = ",\n".join(
+    (
+        "  CASE WHEN doc.text IS NULL THEN NULL\n"
+        "       ELSE CAST(64 * (coalesce(a.a0, 0) + dims.height // 2 - dims.len)"
+        " AS BIGINT)\n"
+        "  END AS c0"
+    )
+    if b == 0
+    else (
+        f"  CASE WHEN doc.text IS NULL THEN NULL"
+        f" ELSE CAST(64 * coalesce(a.a{b}, 0) AS BIGINT) END AS c{b}"
+    )
+    for b in range(16)
+)
+
+
+@query(
+    "mm_decode_jpeg_roundtrip",
+    oracle=f"""
+WITH nn AS (
+  SELECT doc_id, text, strlen(text)::BIGINT AS len
+  FROM documents WHERE text IS NOT NULL
+),
+dims AS (
+  SELECT doc_id, len,
+         CAST(8 * greatest(1, ceil(len / 4.0)) AS BIGINT) AS height
+  FROM nn
+),
+ch AS (
+  SELECT doc_id, text, unnest(range(1, len + 1)) AS i FROM nn
+),
+agg AS (
+  SELECT doc_id,
+{_PNG_BUCKET_ORACLE}
+  FROM ch GROUP BY doc_id
+)
+SELECT doc.doc_id,
+  CASE WHEN doc.text IS NULL THEN NULL ELSE 32 END AS width,
+  CAST(dims.height AS INT) AS height,
+{_JPEG_C_ORACLE}
+FROM documents doc
+LEFT JOIN dims USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+""",
+)
+def mm_decode_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG codec, driver-value-checked end to end — the
+    codec-triad completion (PNG r6, WAV r6, JPEG r7): each document's
+    bytes become one CONSTANT 8×8 block each in a genuine grayscale
+    baseline JFIF stream (width 32 → 4 blocks per row, zero-valued
+    padding blocks, quantization all-ones), then decoded by the
+    dependency-free JPEG decoder (pipeline/multimodal.py:
+    _make_jpeg_decode — marker parse, table-driven Huffman entropy
+    decode, dequant, batched einsum IDCT) via the same ``mapInPandas``
+    tier as ``decode_images``.  Output: true decoded dimensions + the
+    EXACT 16-bucket intensity histogram counts.
+
+    JPEG is lossy in general, but a constant block carries only an
+    integral DC coefficient (8·(v−128)), so q=1 quantization plus the
+    rounded IDCT is BIT-exact — each decoded pixel equals its source
+    byte, and each char contributes exactly 64 pixels to bucket
+    ``ascii // 16`` (padding blocks → 64 zeros each into bucket 0).
+    The oracle never sees a JPEG: it recomputes the histogram
+    character-wise from the source text, so one wrong Huffman code,
+    zigzag slot, dequant factor, or IDCT basis element anywhere turns
+    the row red.  The general AC/ZRL/no-EOB paths are pinned by the
+    hand-derived MCU test (tests/test_multimodal.py).
+
+    Scale: two chained Arrow map passes (encode, decode).  Entropy
+    coding is CPU-bound Python (unlike PNG's C-speed zlib), so a
+    round-robin ``repartition`` of the narrow (id, text) projection
+    decouples map parallelism from parquet scan splits — the standard
+    move for a compute-heavy UDF stage whose input is a few dense
+    splits; the heavy payload bytes themselves are created after the
+    exchange and never shuffle."""
+    import pandas as pd
+
+    d = load_tables(spark, sf_dir)["documents"]
+    enc = MM._make_jpeg_encode(_PNG_W)
+
+    def encode_batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        None if t is None else enc(t.encode("utf-8"))
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    payloads = (
+        d.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(encode_batches, "doc_id long, payload binary")
+    )
+    out = MM.decode_images(payloads, "doc_id", "payload")
+    npx = (F.col("width") * F.col("height")).cast("double")
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        *[
+            F.round(F.element_at("feat", b + 1) * npx, 0)
+            .cast("long")
+            .alias(f"c{b}")
+            for b in range(16)
+        ],
+    )
+
+
 @query(
     "list_take_ops",
     oracle="""
@@ -455,3 +567,4 @@ from fletcher_spark.queries.registry import INTRODUCED_ROUND as _IR  # noqa: E40
 _IR["mm_resize_stub"] = 7
 _IR["mm_decode_png_roundtrip"] = 7
 _IR["mm_audio_features_roundtrip"] = 7
+_IR["mm_decode_jpeg_roundtrip"] = 8

@@ -284,6 +284,149 @@ def test_png_decode_rejects_unsupported_and_corrupt():
         dec(p)
 
 
+def test_jpeg_roundtrip_bytes_exact():
+    """Bytes-as-blocks JPEG roundtrip is BIT-exact: constant 8×8 blocks
+    carry only an integral DC coefficient, so quantization at q=1 loses
+    nothing and the rounded IDCT reproduces every input byte, including
+    the 0/255 extremes.  This exactness is what the driver-oracle query
+    relies on."""
+    import numpy as np
+
+    enc = MM._make_jpeg_encode(32)
+    dec = MM._make_jpeg_decode()
+    data = bytes(range(256)) + bytes([0, 255, 128, 1, 254])
+    img = dec(enc(data))
+    assert img.shape == (8 * -(-len(data) // 4), 32, 1)
+    blocks = img.reshape(-1, 8, 4, 8, 1).transpose(0, 2, 1, 3, 4).reshape(-1, 64)
+    assert (blocks == blocks[:, :1]).all()  # every block constant
+    want = np.zeros(len(blocks), dtype=np.uint8)
+    want[: len(data)] = np.frombuffer(data, np.uint8)
+    assert np.array_equal(blocks[:, 0], want)
+
+
+def test_jpeg_hand_derived_mcu_with_ac():
+    """Hand-built MCU with AC coefficients: a single block whose
+    quantized coefficients (including negatives, a >16-zero run that
+    forces a ZRL symbol, and a nonzero at k=63 so no EOB is emitted)
+    goes through the real Huffman encoder, then the production decoder;
+    the expected pixels are recomputed here with an INDEPENDENT
+    four-nested-loop IDCT straight from the spec formula — nothing
+    shared with the decoder's einsum path."""
+    import numpy as np
+
+    zz = MM._jpeg_zigzag()
+    qtable_zz = [(k % 7) + 1 for k in range(64)]
+    coeffs = np.zeros((1, 64), dtype=np.int64)
+    coeffs[0, 0] = -37  # DC
+    coeffs[0, 1] = 12
+    coeffs[0, 2] = -5
+    coeffs[0, 20] = 9  # 17-zero run from k=3 -> ZRL + run 1
+    coeffs[0, 63] = -2  # last position: the no-EOB path
+    payload = MM._make_jpeg_encode_raw()(coeffs, 8, 8, qtable_zz)
+    got = MM._make_jpeg_decode()(payload)[:, :, 0].astype(np.int64)
+
+    S = np.zeros((8, 8))
+    for k in range(64):
+        S[zz[k] // 8, zz[k] % 8] = coeffs[0, k] * qtable_zz[k]
+    want = np.zeros((8, 8))
+    c = lambda u: (1 / np.sqrt(2)) if u == 0 else 1.0
+    for x in range(8):
+        for y in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    acc += (
+                        c(u) * c(v) * S[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            want[x, y] = acc / 4 + 128
+    want = np.clip(np.round(want), 0, 255).astype(np.int64)
+    assert np.array_equal(got, want)
+
+
+def test_jpeg_roundtrip_property():
+    """Random payload bytes at several widths roundtrip exactly through
+    encode → decode (same property shape as the PNG version)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    dec = MM._make_jpeg_decode()
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        data=st.binary(min_size=0, max_size=200),
+        width=st.sampled_from([8, 16, 32, 64]),
+    )
+    def check(data, width):
+        n_bw = width // 8
+        img = dec(MM._make_jpeg_encode(width)(data))
+        blocks = (
+            img.reshape(-1, 8, n_bw, 8, 1).transpose(0, 2, 1, 3, 4).reshape(-1, 64)
+        )
+        assert (blocks == blocks[:, :1]).all()
+        want = np.zeros(len(blocks), dtype=np.uint8)
+        want[: len(data)] = np.frombuffer(data, np.uint8)
+        assert np.array_equal(blocks[:, 0], want)
+
+    check()
+
+
+def test_jpeg_decode_rejects_unsupported_and_corrupt():
+    """Progressive frames, restart intervals, color scans, and
+    truncation must raise ValueError (→ NULL-stats rows upstream), not
+    misdecode."""
+    import pytest as _pytest
+
+    dec = MM._make_jpeg_decode()
+    enc = MM._make_jpeg_encode(8)
+    good = enc(bytes(range(32)))
+
+    with _pytest.raises(ValueError):
+        dec(b"\xff\xd8not a marker")
+    with _pytest.raises(ValueError):
+        dec(good[:40])  # truncated before SOS
+    with _pytest.raises(ValueError):
+        dec(good[:-30])  # truncated scan data
+    # progressive: flip the SOF0 marker byte to SOF2
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError):
+        dec(prog)
+    # nonzero restart interval: splice a DRI segment after SOI
+    dri = good[:2] + b"\xff\xdd\x00\x04\x00\x08" + good[2:]
+    with _pytest.raises(ValueError):
+        dec(dri)
+    # multi-component SOF: patch component count from 1 to 3
+    i = good.find(b"\xff\xc0")
+    bad_sof = bytearray(good)
+    bad_sof[i + 9] = 3  # marker(2) + len(2) + prec(1) + h(2) + w(2)
+    with _pytest.raises(ValueError):
+        dec(bytes(bad_sof))
+
+
+def test_decode_images_jpeg_tier(spark):
+    """Dispatch: a JPEG-signature payload routes to the real decoder
+    (true dims + exact histogram), a corrupt JPEG yields a NULL-stats
+    row, and non-codec payloads still hit the deterministic fake."""
+    enc = MM._make_jpeg_encode(32)
+    rows = [
+        (1, bytearray(enc(bytes([16] * 100)))),  # all pixels bucket 1
+        (2, bytearray(b"\xff\xd8garbage")),  # corrupt JPEG
+        (3, bytearray(b"plain bytes")),  # fake tier
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in MM.decode_images(df).collect()}
+    assert got[1]["width"] == 32 and got[1]["height"] == 8 * 25
+    # 100 blocks of value 16 (bucket 1) + padding zeros (bucket 0)
+    feat = got[1]["feat"]
+    npx = 32 * 8 * 25
+    assert round(feat[1] * npx) == 100 * 64
+    assert round(feat[0] * npx) == npx - 100 * 64
+    assert got[2]["width"] is None and got[2]["n_bytes"] == len(rows[1][1])
+    assert got[3]["width"] is not None  # fake tier still populates
+
+
 def _uncompressed_gif(w, h, pixels, interlaced=False):
     """Test-local GIF assembler using the classic 'uncompressed GIF'
     trick: every pixel index is emitted as its own 9-bit literal code
