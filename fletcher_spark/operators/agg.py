@@ -145,24 +145,30 @@ REDUCTIONS = {
 }
 
 
-def _cuts_by_key(hist, key_cols: tuple, k: int, n_coarse: int):
+def _cuts_by_key(hist, key_cols: tuple, k: int, n_coarse: int, hint_broadcast: bool = True):
     """Shared two-level prefix-sum core: a persisted ``(key..., v, c)``
     value histogram → ``(key..., cuts array<double>, n long)``.  The
     ONLY place the rank arithmetic (coarse clamp, keyed cumulative
     sums, ``ceil(i·n/k)`` thresholds) lives — exact_cut_points and
     exact_cut_points_multi are thin wrappers, so a fix applies to both
-    by construction."""
+    by construction.
+
+    ``hint_broadcast`` forces the internal stats/offsets join-backs to
+    broadcast — right for the unkeyed (1-row) and dimension-keyed
+    cases.  The HIGH-cardinality keyed path must pass False: stats is
+    |keys| rows and offsets |keys|×n_coarse, both key-domain-sized, so
+    the hint would force an unbounded broadcast at scale; unhinted,
+    Catalyst broadcasts them at toy scale and shuffle-joins at real
+    scale — both on the same key the histogram is already partitioned
+    by."""
     from pyspark.sql import Window
 
     keys = list(key_cols)
+    bc = F.broadcast if hint_broadcast else (lambda d: d)
     stats = hist.groupBy(*keys).agg(
         F.min("v").alias("vmin"), F.max("v").alias("vmax"), F.sum("c").alias("n")
     )
-    h = (
-        hist.join(F.broadcast(stats), keys)
-        if keys
-        else hist.crossJoin(F.broadcast(stats))
-    )
+    h = hist.join(bc(stats), keys) if keys else hist.crossJoin(F.broadcast(stats))
     span = F.col("vmax") - F.col("vmin")
     coarse = (
         F.when(span <= 0, F.lit(0))
@@ -190,7 +196,7 @@ def _cuts_by_key(hist, key_cols: tuple, k: int, n_coarse: int):
             *keys, "cb", F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias("off")
         )
     )
-    g = h2.join(F.broadcast(offs), keys + ["cb"]).withColumn(
+    g = h2.join(bc(offs), keys + ["cb"]).withColumn(
         "cum", F.col("off") + F.col("cum_in")
     )
     aggs = [
@@ -337,7 +343,11 @@ def exact_cut_points_by_key(
     hist = melted.groupBy(*keys, "v").agg(F.count(F.lit(1)).alias("c"))
     if materialize:
         hist = hist.persist()
-    out = _cuts_by_key(hist, tuple(keys), k, n_coarse)
+    # lazy = the high-cardinality-key contract: the internal
+    # stats/offsets join-backs must not carry forced broadcast hints
+    # (key-domain-sized); materialize=True asserts a dimension-sized
+    # domain where the hint is right
+    out = _cuts_by_key(hist, tuple(keys), k, n_coarse, hint_broadcast=materialize)
     if not materialize:
         return out
     rows = out.collect()

@@ -892,3 +892,83 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 for _n in ("fk_orphan_audit", "source_vocab_overlap"):
     INTRODUCED_ROUND[_n] = 5
+
+
+@query(
+    "cust_quartiles_keyed_lazy",
+    oracle="""
+WITH v AS (
+  SELECT o_custkey, o_totalprice::DOUBLE AS x FROM orders
+  WHERE o_totalprice IS NOT NULL
+),
+h AS (SELECT o_custkey, x, count(*) AS c FROM v GROUP BY 1, 2),
+cum AS (
+  SELECT o_custkey, x, sum(c) OVER (PARTITION BY o_custkey ORDER BY x) AS cw
+  FROM h
+),
+nn AS (SELECT o_custkey, count(*) AS n FROM v GROUP BY 1),
+cuts AS (
+  SELECT cum.o_custkey,
+         min(x) FILTER (WHERE cw >= ceil(1 * n / 4.0)) AS q1,
+         min(x) FILTER (WHERE cw >= ceil(2 * n / 4.0)) AS med,
+         min(x) FILTER (WHERE cw >= ceil(3 * n / 4.0)) AS q3
+  FROM cum JOIN nn USING (o_custkey) GROUP BY 1
+)
+SELECT v.o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(min(q1), 2) AS q1,
+       round(min(med), 2) AS med,
+       round(min(q3), 2) AS q3,
+       CAST(count(*) FILTER (WHERE x >= q1 AND x <= q3) AS BIGINT) AS n_in_iqr
+FROM v JOIN cuts USING (o_custkey)
+GROUP BY v.o_custkey
+""",
+)
+def cust_quartiles_keyed_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-price quartiles on the LAZY keyed-cuts path
+    (VERDICT r6 ask #6): ``exact_cut_points_by_key`` over a
+    NON-dimension key (``o_custkey`` — corpus-cardinality, 10× fewer
+    rows than orders but unboundedly many at scale), so the cut table
+    must NOT be driver-collected or broadcast — ``materialize=False``
+    keeps it a distributed frame and the application is a plain
+    shuffle join on the key (plan-asserted non-broadcast in
+    tests/test_plans.py).  Rank-cut semantics match
+    winsorize_by_source_cuts: ``cut_i`` = smallest value whose
+    within-key cumulative count ≥ ``ceil(i·n/4)``; output per customer
+    is the quartile triple plus the count of orders inside [q1, q3].
+
+    Scale: histogram and both prefix-sum windows partition by
+    (custkey, coarse-bucket); the join-back shuffles on the same key
+    the cut table is already keyed by.  Nothing is collected, nothing
+    is broadcast, no window sees more than one customer's histogram
+    slice."""
+    from fletcher_spark.operators.agg import exact_cut_points_by_key
+
+    o = load_tables(spark, sf_dir)["orders"].select("o_custkey", "o_totalprice")
+    cuts = exact_cut_points_by_key(
+        o, ["o_custkey"], "o_totalprice", 4, materialize=False
+    )
+    band = cuts.select(
+        "o_custkey",
+        F.element_at("cuts", 1).alias("q1"),
+        F.element_at("cuts", 2).alias("med"),
+        F.element_at("cuts", 3).alias("q3"),
+    )
+    x = F.col("o_totalprice").cast("double")
+    return (
+        o.filter(F.col("o_totalprice").isNotNull())
+        .join(band, "o_custkey")  # shuffle join: the lazy, non-broadcast path
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("q1"), 2).alias("q1"),
+            F.round(F.min("med"), 2).alias("med"),
+            F.round(F.min("q3"), 2).alias("q3"),
+            F.sum(((x >= F.col("q1")) & (x <= F.col("q3"))).cast("long")).alias(
+                "n_in_iqr"
+            ),
+        )
+    )
+
+
+INTRODUCED_ROUND["cust_quartiles_keyed_lazy"] = 8

@@ -49,6 +49,27 @@ def test_q3_top_k_not_global_sort(spark):
     assert "TakeOrderedAndProject" in p, p
 
 
+def test_keyed_cuts_lazy_path_is_join_based(spark):
+    """cust_quartiles_keyed_lazy applies per-key cuts over a
+    NON-dimension key: the cut table must stay distributed — never a
+    driver-pinned LocalTableScan — and with size-driven broadcasts off
+    (what a 100 TB input looks like to the planner) the application
+    must degrade to a plain shuffle join on the key, not require a
+    broadcast to plan at all (VERDICT r6 ask #6).  At toy scale
+    Catalyst may legitimately broadcast the small fact side; that
+    size-based choice is exactly what the lazy path leaves to the
+    planner."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = plan(spark, "cust_quartiles_keyed_lazy")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "LocalTableScan" not in p, p  # nothing driver-collected
+    assert "BroadcastHashJoin" not in p, p  # no forced broadcast anywhere
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+
+
 def test_map_only_queries_have_no_exchange(spark):
     """Pure column-compute queries are scan→project; any Exchange is a
     planning regression (these run at 100 TB as embarrassingly-parallel
