@@ -557,52 +557,52 @@ def gram_occurrences(
     )
 
 
-#: seeds for the two Bloom hash functions (arbitrary odd constants);
-#: build and probe sides derive bit positions from the SAME JVM-side
-#: ``xxhash64(gram, seed)`` expressions, so false negatives are
-#: impossible by construction.
-_BLOOM_SEEDS = (0x9E3779B1, 0x85EBCA77)
-
-
 def _dup_gram_prefilter(occ: DataFrame, dup: DataFrame, n_bits: int) -> DataFrame:
     """Map-side Bloom pre-filter for the substring-dedup join-back.
 
     Packs the duplicated-gram set into a word-level bitmap DataFrame
     (``(word_index, 64-bit word)`` — at most ``n_bits/64`` rows, i.e.
     ≤ 8 MB at the default 2^26 bits, the same cap Spark's own runtime
-    bloom uses) and broadcast-hash-joins it onto the occurrence table
-    once per hash seed, keeping only occurrences whose bit is set.
-    Singleton grams (~95 % of a fresh-crawl corpus) die map-side in the
-    broadcast lookup instead of shuffling into the gram join.  False
-    positives just fall through to the exact join and drop there —
-    correctness never depends on the bloom; when ``|dup|`` saturates
-    the bitmap the filter passes everything and the join is unchanged.
-    Fully declarative: no driver collect, no eager job — the bitmap is
-    built by a word-keyed ``bit_or`` aggregate and shipped by Spark's
-    own broadcast machinery.
+    bloom uses) and broadcast-hash-joins it onto the occurrence table,
+    keeping only occurrences whose bit is set.  Singleton grams (~95 %
+    of a fresh-crawl corpus) die map-side in the broadcast lookup
+    instead of shuffling into the gram join.  ONE hash function by
+    design: with ``m`` bits and ``n`` set grams the false-positive rate
+    is ``≈ n/m`` (6 % at n = 4 M, m = 2^26) — a second hash would halve
+    an already-small leak at the price of a second broadcast probe over
+    every occurrence, the wrong trade for a filter whose misses merely
+    fall through to the exact join and drop there.  Correctness never
+    depends on the bloom: when ``|dup|`` saturates the bitmap the
+    filter passes everything and the join is unchanged.  Fully
+    declarative: no driver collect, no eager job — the bitmap is built
+    by a word-keyed ``bit_or`` aggregate and shipped by Spark's own
+    broadcast machinery.  (Spark's own InjectRuntimeFilter can't serve
+    here: its ``might_contain`` is not a registered SQL function, and
+    its thresholds — probe scan ≥ 10 GB, build ≤ 10 MB estimate —
+    never fire for a gram-aggregate build side.)
     """
-    bits = [
-        F.pmod(F.xxhash64("gram", F.lit(s)), F.lit(n_bits)) for s in _BLOOM_SEEDS
-    ]
+    bit = F.pmod(F.xxhash64("gram"), F.lit(n_bits))
     mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit % 64 AS INT))")
     words = (
-        dup.select(F.explode(F.array(*bits)).alias("_bit"))
+        dup.select(bit.alias("_bit"))
         .select(F.shiftright("_bit", 6).alias("_w"), mask.alias("_m"))
         .groupBy("_w")
         .agg(F.bit_or("_m").alias("_word"))
     )
-    probe = occ
-    for s in _BLOOM_SEEDS:
-        probe = (
-            probe.withColumn(
-                "_bit", F.pmod(F.xxhash64("gram", F.lit(s)), F.lit(n_bits))
-            )
-            .withColumn("_w", F.shiftright("_bit", 6))
-            .join(F.broadcast(words), "_w")
-            .filter(mask.bitwiseAND(F.col("_word")) != 0)
-            .drop("_bit", "_w", "_word")
-        )
-    return probe
+    return (
+        occ.withColumn("_bit", bit)
+        .withColumn("_w", F.shiftright("_bit", 6))
+        .join(F.broadcast(words), "_w")
+        .filter(mask.bitwiseAND(F.col("_word")) != 0)
+        .drop("_bit", "_w", "_word")
+    )
+
+
+#: input-size estimate (bytes) above which ``bloom_bits="auto"`` turns
+#: the join-back pre-filter on: below it the bitmap's extra aggregate
+#: pass costs more than the shuffle it saves (the same cost model
+#: behind Spark's own InjectRuntimeFilter size thresholds).
+_BLOOM_AUTO_THRESHOLD = 1 << 30
 
 
 def substring_dedup(
@@ -611,7 +611,7 @@ def substring_dedup(
     text_col: str = "text",
     k: int = 8,
     scope_cols: tuple = (),
-    bloom_bits: int | None = 1 << 26,
+    bloom_bits: int | None | str = "auto",
 ) -> DataFrame:
     """Exact SUBSTRING dedup (Lee et al. 2022): cut every duplicated
     ≥k-token span at arbitrary offsets, keeping only the corpus-wide
@@ -635,13 +635,22 @@ def substring_dedup(
     ``min(struct(id, pos))``, joined back on the gram key — never a
     corpus-wide rank window.  Span merge and text reconstruction
     shuffle by doc id only; both windows partition on the doc id
-    (high-cardinality — no single-partition funnel).  The join-back is
-    pre-filtered by a broadcast Bloom bitmap of the duplicated grams
-    (``bloom_bits`` wide, default 2^26 ≈ 8 MB — Spark's own
-    runtime-bloom cap) so singleton occurrences (~95 % of a fresh-crawl
-    corpus) die map-side instead of shuffling; ``bloom_bits=None``
-    disables the pre-filter (identical results — the exact join drops
-    bloom false positives either way).  Reconstruction walks the gaps
+    (high-cardinality — no single-partition funnel).  The join-back can
+    be pre-filtered by a broadcast Bloom bitmap of the duplicated grams
+    (``bloom_bits`` wide; 2^26 ≈ 8 MB is Spark's own runtime-bloom cap)
+    so singleton occurrences (~95 % of a fresh-crawl corpus) die
+    map-side instead of shuffling.  The default ``bloom_bits="auto"``
+    decides from the optimizer's input-size ESTIMATE (no job runs) —
+    on above ``_BLOOM_AUTO_THRESHOLD`` (1 GiB), off below; an UNKNOWN
+    estimate (e.g. a python-local input, which reports ``Long.Max``)
+    counts as large, the scale-safe side.  This mirrors
+    the size thresholds Spark's own InjectRuntimeFilter uses: at small
+    scale the bitmap's extra aggregate pass over the gram table costs
+    more than the shuffle it saves (measured ~+60 % at sf0.1), while at
+    crawl scale the saved shuffle dominates.  Pass an int to force the
+    pre-filter, ``None`` to force it off — results are identical either
+    way (the exact join drops bloom false positives), only the plan
+    changes.  Reconstruction walks the gaps
     between the sorted merged spans (``O(tokens + spans)`` per doc),
     not token×span membership tests.
 
@@ -680,6 +689,11 @@ def substring_dedup(
         .filter(F.col("c") >= 2)
         .select("gram", "canon")
     )
+    if bloom_bits == "auto":
+        # plan-estimate gate, the InjectRuntimeFilter pattern: file-source
+        # statistics only — nothing executes here
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        bloom_bits = (1 << 26) if est > _BLOOM_AUTO_THRESHOLD else None
     probe = occ if bloom_bits is None else _dup_gram_prefilter(occ, dup, bloom_bits)
     marked = (
         probe.join(dup, "gram")

@@ -1037,10 +1037,14 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; the canonical-occurrence rule rides the aggregate as
     ``min(struct(doc_id, pos))``.  Span merge + reconstruction shuffle
     by doc_id only (windows partition on doc_id: high-cardinality,
-    never a funnel).  The join-back is pre-filtered by a broadcast
-    Bloom bitmap of duplicated grams (8 MB cap) so singleton
-    occurrences (~95 % of the corpus here) die map-side instead of
-    shuffling — the petabyte refinement, implemented; the suffix-array
+    never a funnel).  At crawl scale the join-back is pre-filtered by
+    a broadcast Bloom bitmap of duplicated grams (8 MB cap) so
+    singleton occurrences (~95 % of a fresh corpus) die map-side
+    instead of shuffling — the petabyte refinement, implemented and
+    COST-GATED on the optimizer's input-size estimate
+    (``bloom_bits="auto"``: on above 1 GiB, off below, where the
+    bitmap's extra aggregate pass outweighs the saved shuffle — the
+    InjectRuntimeFilter pattern); the suffix-array
     pass of the paper is a single-machine algorithm — this is its
     shuffle-native re-expression.
 

@@ -239,28 +239,60 @@ def test_bloom_prefilter_matches_plain_join_bit_for_bit(spark):
         for r in substring_dedup(df, "doc_id", "text", 8, bloom_bits=None).collect()
     }
     bloom = {
-        r["doc_id"]: tuple(r) for r in substring_dedup(df, "doc_id", "text", 8).collect()
+        r["doc_id"]: tuple(r)
+        for r in substring_dedup(
+            df, "doc_id", "text", 8, bloom_bits=1 << 26
+        ).collect()
     }
     assert bloom == plain
 
 
 def test_bloom_prefilter_branch_taken_on_tiny_dup_ratio(spark):
     """Planted corpus where almost every gram is a singleton (one
-    duplicated 8-gram in 60 docs of unique text): the pre-filter branch
-    must appear in the physical plan as broadcast joins feeding the
-    gram join-back, and the one duplicated span must still be cut."""
+    duplicated 8-gram in 60 docs of unique text): with the pre-filter
+    forced on, the bitmap build (its ``bit_or`` word aggregate) and the
+    broadcast word-lookup join must appear in the physical plan, and
+    the one duplicated span must still be cut."""
     dup_run = _words("dup", 8)
     rows = [(i, _words(f"u{i}_", 20)) for i in range(1, 59)]
     rows += [(100, dup_run), (101, dup_run)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = substring_dedup(df, "doc_id", "text", 8)
+    out = substring_dedup(df, "doc_id", "text", 8, bloom_bits=1 << 26)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan  # the bitmap word-lookup joins
+    assert "bit_or" in plan  # the bitmap word aggregate
+    assert "BroadcastHashJoin" in plan  # the bitmap word-lookup join
     got = {r["doc_id"]: r for r in out.collect()}
     assert got[100]["text_clean"] == dup_run
     assert got[101]["text_clean"] == "" and got[101]["n_dup_tokens"] == 8
     for i in range(1, 59):
         assert got[i]["n_dup_tokens"] == 0
+
+
+def test_bloom_auto_gate_follows_input_size_estimate(spark):
+    """``bloom_bits="auto"`` (the default) decides from the optimizer's
+    size estimate without running a job: a tiny input plans WITHOUT the
+    bitmap branch (no ``bit_or`` word aggregate), and the threshold
+    constant gates the flip — the InjectRuntimeFilter pattern."""
+    import fletcher_spark.pipeline.dedup as D
+
+    # parquet-backed input: the file source reports a real size estimate
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    auto_plan = substring_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "bit_or" not in auto_plan  # tiny known input: pre-filter off
+    old = D._BLOOM_AUTO_THRESHOLD
+    try:
+        D._BLOOM_AUTO_THRESHOLD = -1  # every estimate exceeds it
+        forced = substring_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        D._BLOOM_AUTO_THRESHOLD = old
+    assert "bit_or" in forced  # large estimate: pre-filter on
+    # UNKNOWN size (python-local input → MaxValue estimate) counts as
+    # large — the conservative scale-safe branch
+    local = spark.createDataFrame(
+        [(1, _words("a", 12)), (2, _words("a", 12))], "doc_id long, text string"
+    )
+    unk = substring_dedup(local)._jdf.queryExecution().executedPlan().toString()
+    assert "bit_or" in unk
 
 
 def test_many_disjoint_spans_reconstruction(spark):
