@@ -707,16 +707,30 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: blocks above this size re-block on the 16-char prefix (adaptive
+#: block splitting).  At the cap a block contributes ≤ cap²/2 ≈ 32k
+#: pairs; below it the flat 8-char scheme is untouched.
+_LEV_BLOCK_CAP = 256
+
+
 @query(
     "dedup_levenshtein_block",
-    oracle="""
-WITH b AS (
-  SELECT doc_id, substr(text, 1, 8) AS blk, substr(text, 1, 60) AS pfx
+    oracle=f"""
+WITH b0 AS (
+  SELECT doc_id, substr(text, 1, 8) AS blk8, substr(text, 1, 16) AS blk16,
+         substr(text, 1, 60) AS pfx
   FROM documents
+),
+b AS (
+  SELECT doc_id, pfx,
+         CASE WHEN count(*) OVER (PARTITION BY blk8) > {_LEV_BLOCK_CAP}
+              THEN '2' || chr(31) || blk16
+              ELSE '1' || chr(31) || blk8 END AS key
+  FROM b0
 )
 SELECT a.doc_id AS id_a, c.doc_id AS id_b,
        CAST(levenshtein(a.pfx, c.pfx) AS BIGINT) AS dist
-FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+FROM b a JOIN b c ON a.key = c.key AND a.doc_id < c.doc_id
 WHERE levenshtein(a.pfx, c.pfx) <= 20
 """,
 )
@@ -728,10 +742,22 @@ def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap; edit distance catches transposed/inserted characters in
     ORDER-sensitive strings).
 
-    All-pairs exists only inside an 8-char-prefix block (the standard
-    blocking key for edit distance: distance ≥ |len_a − len_b| and
-    dissimilar prefixes can't be close), so the join is a block-keyed
-    equi-join — Σ|block|², never corpus².  Distances are exact integers
+    All-pairs exists only inside a prefix block (the standard blocking
+    key for edit distance: distance ≥ |len_a − len_b| and dissimilar
+    prefixes can't be close), so the join is a block-keyed equi-join —
+    Σ|block|², never corpus².  Fixed blocking keys SATURATE as the
+    corpus grows (every key's membership grows linearly, so pairs grow
+    quadratically: the r7 scale probe measured 119× pairs / 80× wall at
+    10× docs), so blocks over ``_LEV_BLOCK_CAP`` re-block on the
+    16-char prefix — adaptive block splitting, the record-linkage
+    standard.  The split key is decided by an in-plan per-block count
+    window (one extra blk8-keyed exchange, no collect); level tags
+    ('1'/'2' + unit separator) keep the two key spaces disjoint.
+    Recall inside an oversized block narrows to 16-char-prefix
+    agreement — the documented trade: those blocks are precisely where
+    the flat scheme drowns in false candidates.  Both sub-cap corpora
+    (sf0.01/sf0.1 — plan-identical results to the flat scheme) and the
+    split branch are driver/test-checked.  Distances are exact integers
     (`F.levenshtein` == DuckDB `levenshtein`), so parity needs no
     rounding.  The hot loop uses Spark's 3-arg ``levenshtein(l, r,
     threshold)``: the banded DP costs O(threshold·len) per pair instead
@@ -740,11 +766,26 @@ def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     the win grows with prefix length.  Above-threshold pairs return −1,
     which the ≤-threshold filter drops, so the kept rows carry exactly
     the distances the oracle's full DP computes."""
+    from pyspark.sql import Window
+
     d = load_tables(spark, sf_dir)["documents"]
     b = d.select(
         "doc_id",
-        F.substring("text", 1, 8).alias("blk"),
+        F.substring("text", 1, 8).alias("blk8"),
+        F.substring("text", 1, 16).alias("blk16"),
         F.substring("text", 1, 60).alias("pfx"),
+    )
+    # NULL text -> NULL key (concat propagates) -> dropped by the join,
+    # matching the flat scheme's NULL-block behavior
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("blk8"))
+    b = b.select(
+        "doc_id",
+        "pfx",
+        F.when(
+            cnt > _LEV_BLOCK_CAP, F.concat(F.lit("2\x1f"), F.col("blk16"))
+        )
+        .otherwise(F.concat(F.lit("1\x1f"), F.col("blk8")))
+        .alias("blk"),
     )
     a, c = b.alias("a"), b.alias("c")
     return (

@@ -74,6 +74,36 @@ def test_levenshtein_pairs_are_blocked_and_symmetric_free(spark):
         seen.add((r["id_a"], r["id_b"]))
 
 
+def test_levenshtein_adaptive_block_split(spark, tmp_path):
+    """Blocks over _LEV_BLOCK_CAP re-block on the 16-char prefix
+    (adaptive block splitting — the r7 scale-probe fix for fixed-key
+    saturation).  An oversized planted block must split into 16-char
+    sub-blocks (no cross-sub-block pairs); a sub-cap corpus must
+    reproduce the flat 8-char scheme bit-for-bit."""
+    import fletcher_spark.queries.dedup as QD
+
+    cap = QD._LEV_BLOCK_CAP
+    # one 8-char block of cap+2 docs: two 16-char sub-prefixes, each
+    # internally identical -> pairs only within a sub-block
+    half = (cap + 2) // 2
+    rows = [(i, f"PREFIX__sub_A___tail number {i}") for i in range(half)]
+    rows += [(1000 + i, f"PREFIX__sub_B___tail number {i}") for i in range(cap + 2 - half)]
+    # plus a sub-cap block pair that must keep flat-scheme behavior
+    rows += [(5000, "tiny blk x"), (5001, "tiny blk y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = registry.QUERIES["dedup_levenshtein_block"](spark, str(tmp_path)).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    # no pair may span the A/B sub-blocks
+    assert all((a < 1000) == (b < 1000) or a >= 5000 for a, b in pairs), sorted(pairs)[:5]
+    # within-sub-block pairs survive, as does the sub-cap tiny block
+    assert any(a < 1000 and b < 1000 for a, b in pairs)
+    assert any(a >= 1000 and a < 5000 for a, b in pairs) or any(
+        b >= 1000 and b < 5000 for a, b in pairs
+    )
+    assert (5000, 5001) in pairs  # flat scheme intact below the cap
+
+
 def test_pagerank_is_a_distribution(spark):
     rows = registry.QUERIES["pagerank_nation_trade"](spark, SF_DIR).collect()
     n = len(rows)
