@@ -707,9 +707,12 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: blocks above this size re-block on the 16-char prefix (adaptive
-#: block splitting).  At the cap a block contributes ≤ cap²/2 ≈ 32k
-#: pairs; below it the flat 8-char scheme is untouched.
+#: blocks above this size re-block on the next-longer prefix (adaptive
+#: block splitting, cascade 8 → 16 → 32 → full 60-char compare prefix).
+#: Every non-final level's blocks are ≤ cap (≤ cap·n/2 pairs per level,
+#: i.e. O(n) candidate waste); final-level blocks share the ENTIRE
+#: compare prefix, so their pairs are genuine distance-0 outputs —
+#: total waste is O(n·cap·levels + output), never Σ|block|² unbounded.
 _LEV_BLOCK_CAP = 256
 
 
@@ -718,15 +721,26 @@ _LEV_BLOCK_CAP = 256
     oracle=f"""
 WITH b0 AS (
   SELECT doc_id, substr(text, 1, 8) AS blk8, substr(text, 1, 16) AS blk16,
-         substr(text, 1, 60) AS pfx
+         substr(text, 1, 32) AS blk32, substr(text, 1, 60) AS pfx
   FROM documents
+),
+-- unconditional per-level counts: rows sharing a longer prefix share
+-- every shorter one, so global counts equal the cascade's
+-- filtered-cohort counts (the Spark side computes them filtered)
+b1 AS (
+  SELECT *,
+         count(*) OVER (PARTITION BY blk8)  AS c8,
+         count(*) OVER (PARTITION BY blk16) AS c16,
+         count(*) OVER (PARTITION BY blk32) AS c32
+  FROM b0
 ),
 b AS (
   SELECT doc_id, pfx,
-         CASE WHEN count(*) OVER (PARTITION BY blk8) > {_LEV_BLOCK_CAP}
-              THEN '2' || chr(31) || blk16
-              ELSE '1' || chr(31) || blk8 END AS key
-  FROM b0
+         CASE WHEN c8  <= {_LEV_BLOCK_CAP} THEN '1' || chr(31) || blk8
+              WHEN c16 <= {_LEV_BLOCK_CAP} THEN '2' || chr(31) || blk16
+              WHEN c32 <= {_LEV_BLOCK_CAP} THEN '3' || chr(31) || blk32
+              ELSE '4' || chr(31) || pfx END AS key
+  FROM b1
 )
 SELECT a.doc_id AS id_a, c.doc_id AS id_b,
        CAST(levenshtein(a.pfx, c.pfx) AS BIGINT) AS dist
@@ -748,16 +762,21 @@ def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ|block|², never corpus².  Fixed blocking keys SATURATE as the
     corpus grows (every key's membership grows linearly, so pairs grow
     quadratically: the r7 scale probe measured 119× pairs / 80× wall at
-    10× docs), so blocks over ``_LEV_BLOCK_CAP`` re-block on the
-    16-char prefix — adaptive block splitting, the record-linkage
-    standard.  The split key is decided by an in-plan per-block count
-    window (one extra blk8-keyed exchange, no collect); level tags
-    ('1'/'2' + unit separator) keep the two key spaces disjoint.
-    Recall inside an oversized block narrows to 16-char-prefix
-    agreement — the documented trade: those blocks are precisely where
-    the flat scheme drowns in false candidates.  Both sub-cap corpora
-    (sf0.01/sf0.1 — plan-identical results to the flat scheme) and the
-    split branch are driver/test-checked.  Distances are exact integers
+    10× docs), so blocks over ``_LEV_BLOCK_CAP`` cascade onto longer
+    prefixes (8 → 16 → 32 → the full 60-char compare prefix) —
+    adaptive block splitting, the record-linkage standard.  Split keys
+    are decided by in-plan per-block count windows, each level running
+    only on the rows the previous level couldn't place (a sub-cap
+    corpus pays for ONE window); level tags keep the key spaces
+    disjoint.  Every non-final level's blocks are cap-bounded and the
+    final level's blocks share the entire compare prefix (their pairs
+    are genuine distance-0 outputs), so candidate waste is
+    O(n·cap·levels + output) — never unbounded Σ|block|².  Recall
+    inside an oversized block narrows to longer-prefix agreement — the
+    documented trade: those blocks are precisely where the flat scheme
+    drowns in false candidates.  Both sub-cap corpora (sf0.01/sf0.1 —
+    results identical to the flat scheme) and the split branches are
+    driver/test-checked.  Distances are exact integers
     (`F.levenshtein` == DuckDB `levenshtein`), so parity needs no
     rounding.  The hot loop uses Spark's 3-arg ``levenshtein(l, r,
     threshold)``: the banded DP costs O(threshold·len) per pair instead
@@ -773,18 +792,30 @@ def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.substring("text", 1, 8).alias("blk8"),
         F.substring("text", 1, 16).alias("blk16"),
+        F.substring("text", 1, 32).alias("blk32"),
         F.substring("text", 1, 60).alias("pfx"),
     )
-    # NULL text -> NULL key (concat propagates) -> dropped by the join,
-    # matching the flat scheme's NULL-block behavior
-    cnt = F.count(F.lit(1)).over(Window.partitionBy("blk8"))
+    # Cascade decided in ONE pass: the three count windows partition on
+    # NESTED prefixes (blk8 ⊇ blk16 ⊇ blk32 cohorts), so Spark's
+    # ClusteredDistribution check satisfies all three from a single
+    # hash(blk8) exchange — three WindowExecs, one shuffle, no sorts
+    # (whole-partition counts).  Nesting also makes the (blk8, blk16)
+    # count equal the global blk16 count, which is what the oracle's
+    # unconditional-window formulation computes.
+    # NULL text -> NULL key (concat propagates) -> dropped by the join.
+    c8 = F.count(F.lit(1)).over(Window.partitionBy("blk8"))
+    c16 = F.count(F.lit(1)).over(Window.partitionBy("blk8", "blk16"))
+    c32 = F.count(F.lit(1)).over(Window.partitionBy("blk8", "blk16", "blk32"))
+    cap = _LEV_BLOCK_CAP
     b = b.select(
         "doc_id",
         "pfx",
-        F.when(
-            cnt > _LEV_BLOCK_CAP, F.concat(F.lit("2\x1f"), F.col("blk16"))
-        )
-        .otherwise(F.concat(F.lit("1\x1f"), F.col("blk8")))
+        F.when(c8 <= cap, F.concat(F.lit("1\x1f"), F.col("blk8")))
+        .when(c16 <= cap, F.concat(F.lit("2\x1f"), F.col("blk16")))
+        .when(c32 <= cap, F.concat(F.lit("3\x1f"), F.col("blk32")))
+        # final level: the full compare prefix — uncapped, but every
+        # pair inside such a block is a genuine distance-0 output
+        .otherwise(F.concat(F.lit("4\x1f"), F.col("pfx")))
         .alias("blk"),
     )
     a, c = b.alias("a"), b.alias("c")

@@ -104,6 +104,38 @@ def test_levenshtein_adaptive_block_split(spark, tmp_path):
     assert (5000, 5001) in pairs  # flat scheme intact below the cap
 
 
+def test_levenshtein_cascade_deep_levels(spark, tmp_path, monkeypatch):
+    """Blocks oversized at 8 AND 16 chars cascade to the 32-char level,
+    and blocks sharing the full 60-char compare prefix land in the
+    uncapped final level where every pair is a genuine distance-0
+    output.  Cap monkeypatched small so each level is exercised with a
+    handful of docs."""
+    import fletcher_spark.queries.dedup as QD
+
+    monkeypatch.setattr(QD, "_LEV_BLOCK_CAP", 4)
+    base32 = "PREFIX__16chars_-32charsXXXXXXX_"  # 32 chars
+    assert len(base32) == 32
+    rows = []
+    # 6 docs sharing blk8+blk16, split 3/3 within chars 17-32 (each
+    # group's 32-char prefix identical, tails differ) -> level-3 keys
+    rows += [(i, "PREFIX__16chars_A_group_pad_____ tail %d" % i) for i in range(3)]
+    rows += [(10 + i, "PREFIX__16chars_B_group_pad_____ tail %d" % i) for i in range(3)]
+    # 6 docs sharing the FULL 60-char prefix -> final level, all pairs
+    ident = base32 + "same_same_same_same_same_ta "  # 60 chars
+    rows += [(100 + i, ident + "uniq%d" % i) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = registry.QUERIES["dedup_levenshtein_block"](spark, str(tmp_path)).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["dist"] for r in got}
+    # level-3 split: no A-B cross pairs, within-group pairs kept
+    assert all((a < 10) == (b < 10) for a, b in pairs if a < 100), pairs
+    assert any(a < 10 and b < 10 for a, b in pairs)
+    assert any(10 <= a < 100 and 10 <= b < 100 for a, b in pairs)
+    # final level: all 15 identical-prefix pairs present at distance 0
+    fin = {(a, b): d for (a, b), d in pairs.items() if a >= 100}
+    assert len(fin) == 15 and set(fin.values()) == {0}, fin
+
+
 def test_pagerank_is_a_distribution(spark):
     rows = registry.QUERIES["pagerank_nation_trade"](spark, SF_DIR).collect()
     n = len(rows)
