@@ -694,6 +694,12 @@ def substring_dedup(
         # statistics only — nothing executes here
         est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         bloom_bits = (1 << 26) if est > _BLOOM_AUTO_THRESHOLD else None
+    elif bloom_bits is not None and (not isinstance(bloom_bits, int) or bloom_bits < 64):
+        # fail fast: pmod(hash, 0) is REMAINDER_BY_ZERO under ANSI mode
+        # and a silent drop-everything NULL filter with ansi off
+        raise ValueError(
+            f"bloom_bits must be None, 'auto', or an int >= 64, got {bloom_bits!r}"
+        )
     probe = occ if bloom_bits is None else _dup_gram_prefilter(occ, dup, bloom_bits)
     marked = (
         probe.join(dup, "gram")

@@ -515,6 +515,8 @@ def _make_jpeg_encode_raw():
         """coeffs: (n_blocks, 64) int array, zigzag order, ALREADY
         quantized; blocks row-major over the ceil(h/8)×ceil(w/8) grid;
         qtable_zz: 64 ints (zigzag order, values 1..255)."""
+        if not (1 <= width <= 65535 and 1 <= height <= 65535):
+            raise ValueError("JPEG dimensions must fit SOF0's 2-byte fields")
         out = bytearray(b"\xff\xd8")  # SOI
         # DQT (Pq=0 8-bit, Tq=0)
         out += b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + b"\x00"
@@ -650,6 +652,11 @@ def _make_jpeg_encode(width: int = 32):
     def encode_jpeg(data: bytes) -> bytes:
         vals = np.frombuffer(data, dtype=np.uint8)
         n_bh = max(1, -(-len(vals) // n_bw))
+        if 8 * n_bh > 65535:  # SOF0 height is a 2-byte field
+            raise ValueError(
+                f"payload of {len(vals)} bytes exceeds JPEG height limit at "
+                f"width {width}; chunk the payload or widen the block grid"
+            )
         blocks = np.zeros(n_bh * n_bw, dtype=np.int64)
         blocks[: len(vals)] = vals
         coeffs = np.zeros((n_bh * n_bw, 64), dtype=np.int64)
@@ -811,6 +818,13 @@ def _make_jpeg_decode():
 
         n_bw, n_bh = -(-w // 8), -(-h // 8)
         n_blocks = n_bw * n_bh
+        # bound allocation by the ENTROPY DATA actually present before
+        # trusting the header (skip-not-die: a 30-byte payload whose SOF
+        # declares 16384×16384 must raise, not allocate 2 GiB and OOM
+        # the worker).  Every block consumes ≥ 2 scan bits (shortest DC
+        # code + shortest EOB), so blocks can't outnumber 4·scan_bytes.
+        if n_blocks > 4 * slen + 64:
+            raise ValueError("SOF block count implausible for scan length")
         coeffs = np.zeros((n_blocks, 64), dtype=np.int64)
         diffs = np.zeros(n_blocks, dtype=np.int64)
 

@@ -798,10 +798,13 @@ def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cascade decided in ONE pass: the three count windows partition on
     # NESTED prefixes (blk8 ⊇ blk16 ⊇ blk32 cohorts), so Spark's
     # ClusteredDistribution check satisfies all three from a single
-    # hash(blk8) exchange — three WindowExecs, one shuffle, no sorts
-    # (whole-partition counts).  Nesting also makes the (blk8, blk16)
-    # count equal the global blk16 count, which is what the oracle's
-    # unconditional-window formulation computes.
+    # hash(blk8) exchange — three WindowExecs, one shuffle.  Each
+    # WindowExec still requires child ordering on its partition keys, so
+    # the plan carries three partition-LOCAL sorts of the projection
+    # (no extra exchanges; the sorts are the cascade's CPU price).
+    # Nesting also makes the (blk8, blk16) count equal the global blk16
+    # count, which is what the oracle's unconditional-window
+    # formulation computes.
     # NULL text -> NULL key (concat propagates) -> dropped by the join.
     c8 = F.count(F.lit(1)).over(Window.partitionBy("blk8"))
     c16 = F.count(F.lit(1)).over(Window.partitionBy("blk8", "blk16"))

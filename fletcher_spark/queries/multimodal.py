@@ -171,7 +171,9 @@ _PNG_C_ORACLE = ",\n".join(
     "mm_decode_png_roundtrip",
     oracle=f"""
 WITH nn AS (
-  SELECT doc_id, text, strlen(text)::BIGINT AS len
+  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text,
+         strlen(regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g'))::BIGINT
+           AS len
   FROM documents WHERE text IS NOT NULL
 ),
 dims AS (
@@ -232,7 +234,10 @@ def mm_decode_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    payloads = d.select("doc_id", "text").mapInPandas(
+    # sanitize to ASCII so bytes == characters and the character-wise
+    # DuckDB oracle is exact for any corpus (no-op on the test SFs)
+    t8 = F.regexp_replace(F.col("text"), "[^\\x00-\\x7F]", "?")
+    payloads = d.select("doc_id", t8.alias("text")).mapInPandas(
         encode_batches, "doc_id long, payload binary"
     )
     out = MM.decode_images(payloads, "doc_id", "payload")
@@ -254,7 +259,9 @@ def mm_decode_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_audio_features_roundtrip",
     oracle="""
 WITH nn AS (
-  SELECT doc_id, text, strlen(text)::BIGINT AS len
+  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text,
+         strlen(regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g'))::BIGINT
+           AS len
   FROM documents WHERE text IS NOT NULL
 ),
 ch0 AS (
@@ -335,7 +342,10 @@ def mm_audio_features_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    payloads = d.select("doc_id", "text").mapInPandas(
+    # sanitize to ASCII so bytes == characters and the character-wise
+    # DuckDB oracle is exact for any corpus (no-op on the test SFs)
+    t8 = F.regexp_replace(F.col("text"), "[^\\x00-\\x7F]", "?")
+    payloads = d.select("doc_id", t8.alias("text")).mapInPandas(
         encode_batches, "doc_id long, payload binary"
     )
     out = MM.audio_features(payloads, "doc_id", "payload")
@@ -374,7 +384,11 @@ _JPEG_C_ORACLE = ",\n".join(
     "mm_decode_jpeg_roundtrip",
     oracle=f"""
 WITH nn AS (
-  SELECT doc_id, text, strlen(text)::BIGINT AS len
+  SELECT doc_id,
+         substr(regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g'), 1, 8000)
+           AS text,
+         strlen(substr(regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g'),
+                       1, 8000))::BIGINT AS len
   FROM documents WHERE text IS NOT NULL
 ),
 dims AS (
@@ -446,8 +460,17 @@ def mm_decode_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # sanitize to ASCII and cap at 8000 chars BEFORE encoding: (a) bytes
+    # == characters afterwards, so the character-wise DuckDB oracle is
+    # exact for any corpus, not just ASCII ones; (b) the height stays
+    # under SOF0's 2-byte field (8000 bytes -> 2000 block rows -> 16000
+    # pixels) for arbitrarily long documents.  No-op at the test SFs
+    # (ASCII, max 577 chars).
+    t8 = F.substring(
+        F.regexp_replace(F.col("text"), "[^\\x00-\\x7F]", "?"), 1, 8000
+    )
     payloads = (
-        d.select("doc_id", "text")
+        d.select("doc_id", t8.alias("text"))
         .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(encode_batches, "doc_id long, payload binary")
     )

@@ -275,8 +275,10 @@ def test_bloom_auto_gate_follows_input_size_estimate(spark):
     constant gates the flip — the InjectRuntimeFilter pattern."""
     import fletcher_spark.pipeline.dedup as D
 
+    from tests.conftest import SF_DIR
+
     # parquet-backed input: the file source reports a real size estimate
-    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     auto_plan = substring_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "bit_or" not in auto_plan  # tiny known input: pre-filter off
     old = D._BLOOM_AUTO_THRESHOLD
@@ -293,6 +295,13 @@ def test_bloom_auto_gate_follows_input_size_estimate(spark):
     )
     unk = substring_dedup(local)._jdf.queryExecution().executedPlan().toString()
     assert "bit_or" in unk
+    # invalid widths fail fast instead of REMAINDER_BY_ZERO mid-job (or
+    # a silent drop-everything NULL filter with ansi off)
+    import pytest as _pytest
+
+    for bad in (0, -8, 63, 2.5):
+        with _pytest.raises(ValueError, match="bloom_bits"):
+            substring_dedup(local, bloom_bits=bad)
 
 
 def test_many_disjoint_spans_reconstruction(spark):

@@ -403,6 +403,15 @@ def test_jpeg_decode_rejects_unsupported_and_corrupt():
     bad_sof[i + 9] = 3  # marker(2) + len(2) + prec(1) + h(2) + w(2)
     with _pytest.raises(ValueError):
         dec(bytes(bad_sof))
+    # adversarial header: SOF declares 16384x16384 over a tiny scan —
+    # must raise BEFORE allocating gigabyte coefficient arrays
+    huge = bytearray(good)
+    huge[i + 5 : i + 9] = (16384).to_bytes(2, "big") * 2
+    with _pytest.raises(ValueError, match="implausible"):
+        dec(bytes(huge))
+    # encoder: payload whose block rows overflow SOF0's 2-byte height
+    with _pytest.raises(ValueError, match="height limit"):
+        MM._make_jpeg_encode(8)(bytes(8200))
 
 
 def test_decode_images_jpeg_tier(spark):
