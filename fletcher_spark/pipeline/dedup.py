@@ -691,8 +691,14 @@ def substring_dedup(
     )
     if bloom_bits == "auto":
         # plan-estimate gate, the InjectRuntimeFilter pattern: file-source
-        # statistics only — nothing executes here
-        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        # statistics only — no JOB runs, but reading the estimate does make
+        # Catalyst analyze+optimize the input plan eagerly on the driver,
+        # and the py4j path below is private API; if either misbehaves,
+        # fall back to "large" (the scale-safe side, same as Long.Max)
+        try:
+            est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:
+            est = _BLOOM_AUTO_THRESHOLD + 1
         bloom_bits = (1 << 26) if est > _BLOOM_AUTO_THRESHOLD else None
     elif bloom_bits is not None and (not isinstance(bloom_bits, int) or bloom_bits < 64):
         # fail fast: pmod(hash, 0) is REMAINDER_BY_ZERO under ANSI mode

@@ -644,7 +644,7 @@ def _make_jpeg_encode(width: int = 32):
     is a conformant baseline JFIF stream any JPEG reader opens; AC
     coefficients and the general Huffman path are exercised separately
     via :func:`_make_jpeg_encode_raw`."""
-    if width % 8 or width == 0:
+    if width <= 0 or width % 8:
         raise ValueError("width must be a positive multiple of 8")
     encode_raw = _make_jpeg_encode_raw()
     n_bw = width // 8
@@ -900,6 +900,14 @@ def _make_jpeg_decode():
                     raise ValueError("AC coefficient overrun")
                 coeffs[b, k] = extend(take(s), s)
                 k += 1
+
+        # pad 1-bits may be PEEKED by the last block's speculative refill
+        # (those stay in ``nacc``), but any code that ENDED past the real
+        # stream decoded from padding — the stream is truncated even when
+        # under refill()'s 2-pad-byte bound, so catch it here instead of
+        # returning silently-wrong final-block pixels
+        if (sp << 3) - nacc > slen << 3:
+            raise ValueError("truncated scan data")
 
         coeffs[:, 0] = np.cumsum(diffs)
         coeffs *= qtabs[q_id][None, :]

@@ -713,7 +713,13 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: i.e. O(n) candidate waste); final-level blocks share the ENTIRE
 #: compare prefix, so their pairs are genuine distance-0 outputs —
 #: total waste is O(n·cap·levels + output), never Σ|block|² unbounded.
-_LEV_BLOCK_CAP = 256
+#: Default 64 is the measured LINEAR regime of the r7 sf0.1→sf1 cap
+#: sweep (SCALE.md: cap 64 → 10.5× pairs at 10× docs ≈ linear; the
+#: prior 256 sat in a 74×-pairs transition regime).  Raise it to trade
+#: wall-clock for recall inside oversized 8-char blocks — the trade,
+#: and the pair set's NON-MONOTONICITY in corpus size it implies, are
+#: documented in SCALE.md §dedup_levenshtein_block.
+_LEV_BLOCK_CAP = 64
 
 
 @query(

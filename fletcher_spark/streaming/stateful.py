@@ -59,42 +59,28 @@ def running_user_profile(events: DataFrame) -> DataFrame:
     )
 
 
-def streaming_first_seen(
-    df: DataFrame,
-    key_col: str = "fp",
-    payload_cols: tuple[str, ...] = ("doc_id",),
-    ttl_ms: int | None = None,
-) -> DataFrame:
-    """Streaming exact dedup on the Spark 4 ``transformWithStateInPandas``
-    API: emit each key's FIRST row only, remembering seen keys in a
-    per-key ``ValueState`` — optionally with a TTL so state self-expires
-    (the feature the older ``applyInPandasWithState`` path cannot
-    express; with a TTL this is "dedup within the last N hours", the
-    production corpus-ingest shape where unbounded seen-sets are not an
-    option).
+def make_first_seen_processor(out_cols: list[str], ttl_ms: int | None = None):
+    """Build the ``FirstSeen`` StatefulProcessor used by
+    :func:`streaming_first_seen`: emit a key's first row only, with the
+    seen-marker ``ValueState`` optionally TTL'd so "seen" expires and
+    the key is emitted again — dedup within the last N hours.
 
-    Scale: state is keyed by the dedup fingerprint and lives in the
-    executor state store (same shuffle as a groupBy on the key); TTL
-    bounds its size.  Emits at most one row per key ever (append mode).
-
-    The processor class is defined INSIDE this function so cloudpickle
-    serializes it by value — Spark Python workers never need
-    fletcher_spark importable (same constraint as
-    pipeline/multimodal.py:_make_fake_decode).
-
-    Runtime requirements: the RocksDB state store provider
-    (``spark.sql.streaming.stateStore.providerClass``) and the
-    ``protobuf`` package (the API's Python driver worker speaks
-    protobuf to the state server; part of standard pyspark extra
-    deps).  tests/test_streaming.py gates on the latter.
+    Module-level factory (rather than a class nested in the query
+    function) so a pure-Python fake ``StatefulProcessorHandle`` /
+    ``ValueState`` can drive init/handleInputRows through the
+    first-seen, duplicate-drop, and TTL-expired sequences in a unit
+    test — this container has no protobuf runtime, so the state-server
+    wiring itself stays env-gated (tests/test_streaming.py).  The class
+    is still DEFINED inside the factory so cloudpickle serializes it by
+    value and Spark Python workers never need fletcher_spark importable
+    (same constraint as pipeline/multimodal.py:_make_fake_decode).
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
 
-    out_cols = [key_col, *payload_cols]
-    out_schema = ", ".join(f"{c} string" for c in out_cols)
+    out_cols = list(out_cols)
 
     class FirstSeen(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -115,11 +101,46 @@ def streaming_first_seen(
         def close(self) -> None:
             pass
 
+    return FirstSeen()
+
+
+def streaming_first_seen(
+    df: DataFrame,
+    key_col: str = "fp",
+    payload_cols: tuple[str, ...] = ("doc_id",),
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming exact dedup on the Spark 4 ``transformWithStateInPandas``
+    API: emit each key's FIRST row only, remembering seen keys in a
+    per-key ``ValueState`` — optionally with a TTL so state self-expires
+    (the feature the older ``applyInPandasWithState`` path cannot
+    express; with a TTL this is "dedup within the last N hours", the
+    production corpus-ingest shape where unbounded seen-sets are not an
+    option).
+
+    Scale: state is keyed by the dedup fingerprint and lives in the
+    executor state store (same shuffle as a groupBy on the key); TTL
+    bounds its size.  Emits at most one row per key ever (append mode).
+
+    The processor comes from :func:`make_first_seen_processor`, which
+    defines the class inside the factory so cloudpickle serializes it
+    by value — Spark Python workers never need fletcher_spark
+    importable (same constraint as
+    pipeline/multimodal.py:_make_fake_decode).
+
+    Runtime requirements: the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` package (the API's Python driver worker speaks
+    protobuf to the state server; part of standard pyspark extra
+    deps).  tests/test_streaming.py gates on the latter.
+    """
+    out_cols = [key_col, *payload_cols]
+    out_schema = ", ".join(f"{c} string" for c in out_cols)
     return (
         df.select([F.col(c).cast("string") for c in out_cols])
         .groupBy(key_col)
         .transformWithStateInPandas(
-            statefulProcessor=FirstSeen(),
+            statefulProcessor=make_first_seen_processor(out_cols, ttl_ms),
             outputStructType=out_schema,
             outputMode="Append",
             # State TTL requires a clock: Spark rejects ttl on

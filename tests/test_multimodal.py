@@ -412,6 +412,57 @@ def test_jpeg_decode_rejects_unsupported_and_corrupt():
     # encoder: payload whose block rows overflow SOF0's 2-byte height
     with _pytest.raises(ValueError, match="height limit"):
         MM._make_jpeg_encode(8)(bytes(8200))
+    # encoder: negative multiples of 8 must fail fast at construction,
+    # not later inside encode_raw with a misleading SOF0 error
+    for bad_w in (-8, -16, 0, 12):
+        with _pytest.raises(ValueError, match="positive multiple"):
+            MM._make_jpeg_encode(bad_w)
+
+
+def test_jpeg_decode_rejects_tail_truncation():
+    """A scan truncated within its final bytes must raise, not decode the
+    last blocks' symbols from refill-pad 1-bits and return slightly wrong
+    pixels silently (the post-loop consumed-bits check).
+
+    Our own encoder's tables have no all-ones codes, so pad bits always
+    trip "invalid huffman code" there — the silent path needs a FOREIGN
+    conformant stream whose EOB code is all ones.  Handcraft one: custom
+    1-bit DHTs (DC cat1 = "1", EOB = "1"), two DC-only blocks encoded as
+    "101" each; dropping the single scan byte makes the pre-fix decoder
+    decode both blocks from pad 1-bits and return 136/144 instead of
+    112/120 with no error."""
+    import numpy as np
+    import pytest as _pytest
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    head = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([64] * 64))
+        + seg(0xC4, bytes([0x00, 2] + [0] * 15) + bytes([0, 1]))
+        + seg(0xC4, bytes([0x10, 2] + [0] * 15) + bytes([0x01, 0x00]))
+        + seg(
+            0xC0,
+            bytes([8]) + (8).to_bytes(2, "big") + (16).to_bytes(2, "big")
+            + bytes([1, 1, 0x11, 0]),
+        )
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    )
+    dec = MM._make_jpeg_decode()
+    good = head + bytes([0b10110111]) + b"\xff\xd9"
+    assert sorted(set(dec(good).ravel().tolist())) == [112, 120]
+    with _pytest.raises(ValueError, match="truncated scan"):
+        dec(head + b"\xff\xd9")  # scan byte dropped → symbols from pad
+
+    # and mid-scan truncations of our own encoder's streams still raise
+    enc = MM._make_jpeg_encode(16)
+    rng = np.random.default_rng(7)
+    for _ in range(4):
+        full = enc(rng.integers(0, 256, size=96, dtype=np.uint8).tobytes())
+        for cut in (1, 2):
+            with _pytest.raises(ValueError):
+                dec(full[: -(2 + cut)] + b"\xff\xd9")
 
 
 def test_decode_images_jpeg_tier(spark):

@@ -237,6 +237,113 @@ def test_transform_with_state_first_seen_ttl(spark):
     assert len(rows) == 50
 
 
+class _FakeValueState:
+    """Pure-Python stand-in for pyspark's ValueState implementing the
+    TTL contract: a value expires ``ttl_ms`` after the update that
+    wrote it (reads of expired state behave as absent)."""
+
+    def __init__(self, ttl_ms, clock):
+        self._ttl = ttl_ms
+        self._clock = clock
+        self._val = None
+        self._expires = None
+
+    def _live(self):
+        return self._val is not None and (
+            self._expires is None or self._clock() < self._expires
+        )
+
+    def exists(self):
+        return self._live()
+
+    def get(self):
+        return self._val if self._live() else None
+
+    def update(self, v):
+        self._val = v
+        self._expires = None if self._ttl is None else self._clock() + self._ttl
+
+    def clear(self):
+        self._val = None
+        self._expires = None
+
+
+class _FakeHandle:
+    """Records getValueState registrations and hands out fake states."""
+
+    def __init__(self, clock):
+        self._clock = clock
+        self.calls = []
+        self.states = {}
+
+    def getValueState(self, stateName, schema, ttlDurationMs=None):
+        self.calls.append((stateName, schema, ttlDurationMs))
+        st = _FakeValueState(ttlDurationMs, self._clock)
+        self.states[stateName] = st
+        return st
+
+
+def test_first_seen_processor_ttl_semantics_mock_handle():
+    """FirstSeen's init/handleInputRows logic driven through a fake
+    StatefulProcessorHandle/ValueState — first-seen emit, duplicate
+    drop, TTL-expired re-emit, and no-refresh-on-suppressed-rows — so
+    the TTL state semantics are pytest-covered without the protobuf
+    runtime the transformWithStateInPandas wiring needs (which stays
+    env-gated above)."""
+    import pandas as pd
+
+    from fletcher_spark.streaming.stateful import make_first_seen_processor
+
+    now = [0]
+    handle = _FakeHandle(lambda: now[0])
+    proc = make_first_seen_processor(["fp", "doc_id"], ttl_ms=1000)
+    proc.init(handle)
+    # the ttl must reach the state registration verbatim
+    assert handle.calls == [("seen", "seen boolean", 1000)]
+
+    def batch(*rows):
+        # leading empty frame: the processor must skip it, not emit it
+        return iter(
+            [
+                pd.DataFrame(columns=["fp", "doc_id"]),
+                pd.DataFrame(rows, columns=["fp", "doc_id"]),
+            ]
+        )
+
+    # t=0: fresh key emits exactly the first row, stringified
+    out = list(proc.handleInputRows(("k1",), batch(("k1", 7), ("k1", 8)), None))
+    assert len(out) == 1 and out[0].values.tolist() == [["k1", "7"]]
+
+    # t=500: still inside the TTL — duplicate dropped
+    now[0] = 500
+    assert list(proc.handleInputRows(("k1",), batch(("k1", 9)), None)) == []
+
+    # t=1500: seen-state expired (update was at t=0, ttl 1000) → re-emit
+    now[0] = 1500
+    out = list(proc.handleInputRows(("k1",), batch(("k1", 10)), None))
+    assert len(out) == 1 and out[0].values.tolist() == [["k1", "10"]]
+
+    # suppressed rows must NOT refresh the TTL: the t=1500 emit set the
+    # expiry to 2500; a drop at t=2000 leaves it there, so t=2600 emits
+    now[0] = 2000
+    assert list(proc.handleInputRows(("k1",), batch(("k1", 11)), None)) == []
+    now[0] = 2600
+    out = list(proc.handleInputRows(("k1",), batch(("k1", 12)), None))
+    assert len(out) == 1 and out[0].values.tolist() == [["k1", "12"]]
+
+    # an all-empty batch on a fresh key emits nothing but marks seen
+    proc2 = make_first_seen_processor(["fp", "doc_id"], ttl_ms=None)
+    handle2 = _FakeHandle(lambda: now[0])
+    proc2.init(handle2)
+    assert handle2.calls == [("seen", "seen boolean", None)]
+    empty = iter([pd.DataFrame(columns=["fp", "doc_id"])])
+    assert list(proc2.handleInputRows(("k2",), empty, None)) == []
+    # ...and without a TTL the marker never expires
+    now[0] = 10**12
+    assert list(proc2.handleInputRows(("k2",), batch(("k2", 1)), None)) == []
+    assert proc.close() is None and proc2.close() is None
+
+
 def test_stream_stream_interval_join_matches_batch(spark):
     """Stream-stream interval join (click attribution): watermarked
     view/click streams joined within a 15-minute bound must produce
