@@ -1,0 +1,74 @@
+"""Opt-in 10× scale-ratio regression tests (``pytest -m scale``).
+
+Wraps tools/scale_probe.py on a reduced query set and asserts each
+query's sf0.1 → sf1 wall-clock ratio stays under a recorded bound, so
+a regression in a banding/bucketing/cascade bound fails a test instead
+of waiting for the next judge round (VERDICT r7 ask #5).
+
+Runs in a SUBPROCESS on purpose: the probe needs
+``spark.driver.memory=48g`` (the sf1 working sets blow the 1g
+local-mode default), and driver memory is fixed at JVM launch — the
+pytest session's already-running Spark JVM can't be reconfigured.
+
+Deselected by default via pytest.ini's ``-m "not scale"`` addopts; the
+probe takes minutes and needs/creates the gitignored ``.tmp/sf1``
+scratch (~150 MB).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PROBE = os.path.join(REPO, "tools", "scale_probe.py")
+SF1 = os.path.join(REPO, ".tmp", "sf1")
+
+# ratio bound = measured ratio (SCALE.md r7/r8 probe tables) + headroom
+# for probe noise and box contention.  10× data on 32 cores: anything
+# ≤ ~12 is at-most-linear; the bounds are per-query because baseline
+# wall-clocks differ by 10× (sub-second queries carry scheduling noise).
+BOUNDS = {
+    # the r7 scale-killer, re-fixed default cap 64 (measured ~3× at 10×)
+    "dedup_levenshtein_block": 12.0,
+    # highest extended-sweep ratio (4.84× r7); prefix-filter bound
+    "dedup_prefix_filter_join": 10.0,
+    # banded MinHash-LSH (2.85× r7) — the flagship near-dup bound
+    "dedup_minhash_lsh": 7.0,
+    # multi-stage curation pipeline (4.35× r7, cores idle at sf0.1)
+    "pipeline_curate_corpus": 9.0,
+}
+
+
+@pytest.mark.scale
+def test_scale_probe_ratios_within_bounds():
+    if not os.path.isdir(SF1):
+        gen = subprocess.run(
+            [sys.executable, PROBE, "gen"], capture_output=True, text=True
+        )
+        assert gen.returncode == 0, gen.stderr[-2000:]
+    run = subprocess.run(
+        [sys.executable, PROBE, "run", ",".join(BOUNDS)],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    assert run.returncode == 0, run.stderr[-2000:]
+    # the probe prints a human table then one JSON line
+    json_line = next(
+        ln for ln in reversed(run.stdout.strip().splitlines()) if ln.startswith("{")
+    )
+    out = json.loads(json_line)
+    failures = {
+        name: ratio
+        for name, (_, _, ratio) in out.items()
+        if ratio > BOUNDS[name]
+    }
+    assert not failures, (
+        f"scale ratios exceeded recorded bounds (10x data): {failures}; "
+        f"full probe output: {out}"
+    )
