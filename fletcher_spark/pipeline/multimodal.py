@@ -207,6 +207,8 @@ def _make_png_encode(width: int = 32):
     roundtrip query and the codec tests; it is a real conformant
     encoder (any PNG reader opens its output), just not an optimizing
     one."""
+    if width <= 0:
+        raise ValueError("width must be a positive integer")
     import struct
     import zlib
 
@@ -385,6 +387,8 @@ def _make_gif_encode(width: int = 32):
     :func:`_make_png_encode` so the two codecs are drop-in alternates
     in the roundtrip tests.  A conformant encoder — any GIF reader
     opens its output."""
+    if width <= 0 or width > 0xFFFF:  # GIF logical-screen width is u16
+        raise ValueError("width must be a positive integer <= 65535")
 
     def lzw_encode(indices: bytes, min_code_size: int) -> bytes:
         clear = 1 << min_code_size
@@ -984,6 +988,8 @@ def _make_wav_encode(rate: int = 8000):
     the audio analog of :func:`_make_png_encode`'s bytes-as-pixels
     layout, so roundtrip oracles can recompute features from the
     source bytes."""
+    if rate <= 0 or rate > 0xFFFFFFFF:  # fmt-chunk sample rate is u32
+        raise ValueError("rate must be a positive integer <= 2^32-1")
     import struct
 
     def encode_wav(data: bytes) -> bytes:

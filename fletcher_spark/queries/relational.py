@@ -317,16 +317,37 @@ ORDER BY e1.event_type
 )
 def range_join_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: events followed by another event of the same user
-    within 5 minutes.  Equi-join on user_id keeps it a hash join with a
-    residual range predicate — never a cross product."""
+    within 5 minutes — as a TIME-BUCKETED equi-join, the standard
+    bounded-range-join binning.
+
+    Joining on user_id alone (with the range as a residual filter) is
+    never a cross product, but its intermediates are Σ n_u² — quadratic
+    in each user's event count.  The r8 scale probe measured exactly
+    that shape: 6.77 M candidate pairs filtered down to 771 outputs at
+    sf0.1 (8,800× waste), 13× wall at 10× data, and at 100 TB a single
+    bot user with millions of events would make its partition quadratic.
+    Bucketing by ``ts div 5min`` and exploding the LEFT side to the two
+    buckets a follower can land in ({b, b+1}, since 0 < t2−t1 ≤ 5 min)
+    makes the join key (user_id, bucket): every qualifying pair is
+    matched exactly once (the two exploded keys are distinct), the
+    range predicate stays as the residual, and candidates shrink to
+    same-user events in ADJACENT buckets — temporal-density-
+    proportional, 67× fewer here, hot-user-safe.  ``div`` is exact
+    int64 arithmetic (no double rounding at epoch-microsecond scale)."""
     t = load_tables(spark, sf_dir)
+    five_min_us = 300 * 1_000_000
     e1 = t["events"].select(
         F.col("user_id"), F.col("ts_us").alias("t1"), F.col("event_type").alias("lead_type")
     )
-    e2 = t["events"].select(F.col("user_id"), F.col("ts_us").alias("t2"))
-    five_min_us = 300 * 1_000_000
+    e2 = t["events"].select(
+        F.col("user_id"),
+        F.col("ts_us").alias("t2"),
+        F.expr(f"ts_us div {five_min_us}").alias("jb"),
+    )
+    b1 = F.expr(f"t1 div {five_min_us}")
+    e1x = e1.withColumn("jb", F.explode(F.array(b1, b1 + F.lit(1))))
     return (
-        e1.join(e2, "user_id")
+        e1x.join(e2, ["user_id", "jb"])
         .filter((F.col("t2") > F.col("t1")) & (F.col("t2") <= F.col("t1") + five_min_us))
         .groupBy("lead_type")
         .agg(F.count(F.lit(1)).alias("n_follow"))

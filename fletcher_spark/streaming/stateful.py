@@ -89,13 +89,16 @@ def make_first_seen_processor(out_cols: list[str], ttl_ms: int | None = None):
         def handleInputRows(self, key, rows, timer_values):
             if self._seen.exists():
                 return
-            self._seen.update((True,))
             first = None
             for pdf in rows:
                 if len(pdf):
                     first = pdf.iloc[[0]][out_cols].astype(str)
                     break
+            # mark seen only once a row is actually EMITTED: an input of
+            # empty-only chunks (the Arrow serializer does produce empty
+            # frames) must not suppress the key's true first row forever
             if first is not None:
+                self._seen.update((True,))
                 yield first
 
         def close(self) -> None:

@@ -105,6 +105,18 @@ def interval_join(
     state stays O(key-rate × max_delay) regardless of stream length.
     Batch at 100 TB: one shuffle on the key for both sides, the range
     predicate evaluates as a post-join residual within each key group.
+
+    Scale note (batch, hot keys): the residual form's intermediates are
+    Σ n_left(k)·n_right(k) per key — quadratic for a key with millions
+    of rows on both sides.  Streaming is immune (state eviction bounds
+    the live window to max_delay), and this module's callers join
+    filtered event subsets where per-key cardinality is small.  For a
+    BATCH range self-join over raw events, bin by time bucket instead —
+    the (key, ts div delay) + explode-{b, b+1} pattern in
+    queries/relational.py:range_join_follows (r8: 67× fewer candidates,
+    13× → 1.9× wall at 10× data); it is not applied here because the
+    derived-bucket equality key is unnecessary state-complexity for the
+    streaming path this function exists to serve.
     """
     return left.join(
         right,

@@ -417,6 +417,17 @@ def test_jpeg_decode_rejects_unsupported_and_corrupt():
     for bad_w in (-8, -16, 0, 12):
         with _pytest.raises(ValueError, match="positive multiple"):
             MM._make_jpeg_encode(bad_w)
+    # sibling factories fail fast on invalid geometry too, not later
+    # inside the encode call with a misleading numpy/struct error
+    for bad_w in (-8, 0):
+        with _pytest.raises(ValueError, match="positive"):
+            MM._make_png_encode(bad_w)
+        with _pytest.raises(ValueError, match="positive"):
+            MM._make_gif_encode(bad_w)
+        with _pytest.raises(ValueError, match="positive"):
+            MM._make_wav_encode(bad_w)
+    with _pytest.raises(ValueError, match="positive"):
+        MM._make_gif_encode(0x10000)  # GIF width field is u16
 
 
 def test_jpeg_decode_rejects_tail_truncation():

@@ -33,7 +33,7 @@ SF1 = os.path.join(REPO, ".tmp", "sf1")
 # ≤ ~12 is at-most-linear; the bounds are per-query because baseline
 # wall-clocks differ by 10× (sub-second queries carry scheduling noise).
 BOUNDS = {
-    # the r7 scale-killer, re-fixed default cap 64 (measured ~3× at 10×)
+    # the r7 scale-killer, cap-64 default (measured 4.04× at 10×, r8)
     "dedup_levenshtein_block": 12.0,
     # highest extended-sweep ratio (4.84× r7); prefix-filter bound
     "dedup_prefix_filter_join": 10.0,
@@ -44,11 +44,25 @@ BOUNDS = {
 }
 
 
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
 @pytest.mark.scale
 def test_scale_probe_ratios_within_bounds():
-    if not os.path.isdir(SF1):
+    # gate on the full expected TABLE SET, not the directory: gen()
+    # creates the dir before writing, so an interrupted generation
+    # would otherwise be silently reused forever
+    if not all(
+        os.path.isfile(os.path.join(SF1, f"{t}.parquet")) for t in TABLES
+    ):
         gen = subprocess.run(
-            [sys.executable, PROBE, "gen"], capture_output=True, text=True
+            [sys.executable, PROBE, "gen"],
+            capture_output=True,
+            text=True,
+            timeout=1800,
         )
         assert gen.returncode == 0, gen.stderr[-2000:]
     run = subprocess.run(

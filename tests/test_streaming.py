@@ -331,16 +331,20 @@ def test_first_seen_processor_ttl_semantics_mock_handle():
     out = list(proc.handleInputRows(("k1",), batch(("k1", 12)), None))
     assert len(out) == 1 and out[0].values.tolist() == [["k1", "12"]]
 
-    # an all-empty batch on a fresh key emits nothing but marks seen
+    # an all-empty input (the Arrow serializer does produce empty
+    # frames) must NOT mark the key seen — the true first row in a
+    # later batch still emits
     proc2 = make_first_seen_processor(["fp", "doc_id"], ttl_ms=None)
     handle2 = _FakeHandle(lambda: now[0])
     proc2.init(handle2)
     assert handle2.calls == [("seen", "seen boolean", None)]
     empty = iter([pd.DataFrame(columns=["fp", "doc_id"])])
     assert list(proc2.handleInputRows(("k2",), empty, None)) == []
+    out = list(proc2.handleInputRows(("k2",), batch(("k2", 1)), None))
+    assert len(out) == 1 and out[0].values.tolist() == [["k2", "1"]]
     # ...and without a TTL the marker never expires
     now[0] = 10**12
-    assert list(proc2.handleInputRows(("k2",), batch(("k2", 1)), None)) == []
+    assert list(proc2.handleInputRows(("k2",), batch(("k2", 2)), None)) == []
     assert proc.close() is None and proc2.close() is None
 
 
