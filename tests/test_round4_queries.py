@@ -136,6 +136,54 @@ def test_levenshtein_cascade_deep_levels(spark, tmp_path, monkeypatch):
     assert len(fin) == 15 and set(fin.values()) == {0}, fin
 
 
+def test_range_join_follows_bucket_boundaries(spark, tmp_path):
+    """The r8 time-bucket binning must be invisible in the results:
+    followers exactly at t1 + 5min (inclusive bound, lands in bucket
+    b+1 when t1 is bucket-aligned), followers crossing a bucket edge,
+    same-timestamp non-followers (strict >), and pairs within one
+    bucket must all match the unbinned definition with no duplicates
+    from the {b, b+1} explode."""
+    import datetime as dt
+
+    five_min = 300 * 1_000_000  # µs
+    base = dt.datetime(2024, 1, 7, 0, 0, 0)  # bucket-aligned epoch
+
+    def at(us):
+        return base + dt.timedelta(microseconds=us)
+
+    rows = [
+        # u1: follower exactly at +5min (inclusive, next bucket) and a
+        # same-ts event (strict >, excluded)
+        (1, at(0), 10, "lead", 0.0, None),
+        (2, at(five_min), 10, "lead", 0.0, None),
+        (3, at(0), 10, "lead", 0.0, None),
+        # u2: pair crossing a bucket edge (b ends at +5min) but within
+        # range; plus one past the range (+5min 1µs after the first)
+        (4, at(five_min - 1), 20, "edge", 0.0, None),
+        (5, at(five_min + 1), 20, "edge", 0.0, None),
+        (6, at(2 * five_min), 20, "edge", 0.0, None),
+        # u3: both inside one bucket
+        (7, at(10), 30, "same", 0.0, None),
+        (8, at(20), 30, "same", 0.0, None),
+        # u4: far apart — no pair
+        (9, at(0), 40, "far", 0.0, None),
+        (10, at(10 * five_min), 40, "far", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["lead_type"]: r["n_follow"]
+        for r in registry.QUERIES["range_join_follows"](spark, str(tmp_path)).collect()
+    }
+    # lead: (1→2) and (3→2) at exactly +5min, NOT (1↔3) same-ts
+    # edge: (4→5) within range crossing the bucket edge, (5→6) within
+    #       range, NOT (4→6) at +5min+1µs
+    # same: (7→8); far: nothing
+    assert got == {"lead": 2, "edge": 2, "same": 1}, got
+
+
 def test_pagerank_is_a_distribution(spark):
     rows = registry.QUERIES["pagerank_nation_trade"](spark, SF_DIR).collect()
     n = len(rows)
