@@ -207,8 +207,8 @@ def _make_png_encode(width: int = 32):
     roundtrip query and the codec tests; it is a real conformant
     encoder (any PNG reader opens its output), just not an optimizing
     one."""
-    if width <= 0:
-        raise ValueError("width must be a positive integer")
+    if width <= 0 or width > 0x7FFFFFFF:  # IHDR width: 31-bit per spec
+        raise ValueError("width must be a positive integer <= 2^31-1")
     import struct
     import zlib
 
@@ -440,7 +440,9 @@ def _make_gif_encode(width: int = 32):
 
     def encode_gif(data: bytes) -> bytes:
         h = max(1, -(-len(data) // width))
-        if width > 0xFFFF or h > 0xFFFF:
+        # width is factory-bounded; only the payload-derived height can
+        # overflow the u16 dimension fields at encode time
+        if h > 0xFFFF:
             raise ValueError(
                 f"payload needs {h} rows at width {width}: "
                 "GIF dimensions are 16-bit (max 65535)"

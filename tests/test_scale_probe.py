@@ -52,10 +52,11 @@ TABLES = (
 
 @pytest.mark.scale
 def test_scale_probe_ratios_within_bounds():
-    # gate on the full expected TABLE SET, not the directory: gen()
-    # creates the dir before writing, so an interrupted generation
-    # would otherwise be silently reused forever
-    if not all(
+    # gate on gen()'s completion sentinel (written after the LAST
+    # table), not the directory or even the file set: an interrupted
+    # generation can leave a torn final parquet behind an
+    # otherwise-complete-looking set
+    if not os.path.isfile(os.path.join(SF1, "_SUCCESS")) or not all(
         os.path.isfile(os.path.join(SF1, f"{t}.parquet")) for t in TABLES
     ):
         gen = subprocess.run(

@@ -116,8 +116,14 @@ def gen() -> None:
             )
         )
     pq.write_table(pa.concat_tables(parts), f"{DST}/embeddings.parquet")
+    # completion sentinel, written LAST: a generation killed mid-write
+    # leaves a torn parquet behind an otherwise-complete file set, so
+    # consumers (tests/test_scale_probe.py) gate on this, not the files
+    with open(os.path.join(DST, "_SUCCESS"), "w") as f:
+        f.write("ok\n")
     for t in sorted(os.listdir(DST)):
-        print(t, pq.read_metadata(f"{DST}/{t}").num_rows)
+        if t.endswith(".parquet"):
+            print(t, pq.read_metadata(f"{DST}/{t}").num_rows)
 
 
 def run(names: list[str]) -> None:
