@@ -41,6 +41,9 @@ BOUNDS = {
     "dedup_minhash_lsh": 7.0,
     # multi-stage curation pipeline (4.35× r7, cores idle at sf0.1)
     "pipeline_curate_corpus": 9.0,
+    # the r8 scale-killer fix: time-bucketed binning (measured 1.92×
+    # at 10×; the pre-fix residual-only join measured 13.15×)
+    "range_join_follows": 6.0,
 }
 
 
