@@ -49,6 +49,22 @@ def _round6(x):
     return round(x, 6)
 
 
+def _sum_close(got, exp):
+    """Relative comparison for order-dependent float reductions.
+
+    Spark's partial aggregation and DuckDB sum in different orders;
+    float64 reassociation only guarantees agreement to ~1 ulp per
+    addend, so a mixed-magnitude batch (e.g. a 1e-8-scale addend next
+    to a 5e8-scale one) legitimately differs in the last bits — an
+    absolute round(x, 6) on a 5e8-magnitude sum demands ~15 significant
+    digits, beyond what either engine promises."""
+    if got is None or exp is None:
+        return got is None and exp is None
+    if math.isnan(got) or math.isnan(exp):
+        return math.isnan(got) and math.isnan(exp)
+    return math.isclose(got, exp, rel_tol=1e-9, abs_tol=1e-9)
+
+
 def _key(row):
     """Total order over tuples containing None/NaN/bool/float."""
     out = []
@@ -82,9 +98,9 @@ def test_reductions_match_duckdb(spark, batch):
         "SELECT sum(v), min(v), max(v), avg(v), count(v), count(*) FROM t"
     ).fetchone()
 
-    assert _round6(got["s"]) == _round6(exp[0])
+    assert _sum_close(got["s"], exp[0])
     assert got["mn"] == exp[1] and got["mx"] == exp[2]
-    assert _round6(got["mean"]) == _round6(exp[3])
+    assert _sum_close(got["mean"], exp[3])
     assert (got["n_valid"], got["n_rows"]) == (exp[4], exp[5])
 
 
