@@ -62,22 +62,30 @@ def _ordered_names(reg) -> list[str]:
     """Registry names, least-recently-driver-verified first.
 
     The driver's per-round correctness snapshot covers a bounded prefix of
-    ``queries()`` (r2 recorded exactly the first 50 of 107).  Ordering
-    never-verified queries first — and previously-verified ones oldest
-    first — rotates the snapshot window so every query accumulates a green
-    driver row across rounds.  Pure reordering: the set of queries and
-    their oracles are unchanged.
+    ``queries()`` (r2 recorded exactly the first 50 of 107).  Three tiers:
+
+    1. never-driver-verified queries (oldest registration first);
+    2. queries whose implementation changed *after* their last green
+       stamp (``registry.CHANGED_ROUND[name] > verified[name]``) —
+       oldest stamp first — so a rewrite re-earns an official stamp in
+       the very next window instead of waiting out the full rotation;
+    3. everything else, oldest stamp first.
+
+    Pure reordering: the set of queries and their oracles are unchanged.
     """
     verified = _last_verified_round()
     introduced = getattr(reg, "INTRODUCED_ROUND", {})
+    changed = getattr(reg, "CHANGED_ROUND", {})
     names = list(reg.QUERIES)
     order = {n: i for i, n in enumerate(names)}
-    # never-verified first (oldest registration first), then verified
-    # oldest-verification first; registry order breaks ties
-    return sorted(
-        names,
-        key=lambda n: (verified.get(n, -1), introduced.get(n, 2), order[n]),
-    )
+
+    def key(n: str):
+        v = verified.get(n, -1)
+        stale = v >= 0 and changed.get(n, 0) > v
+        tier = 0 if v < 0 else (1 if stale else 2)
+        return (tier, v, introduced.get(n, 2), order[n])
+
+    return sorted(names, key=key)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -267,6 +267,34 @@ def _ewma_merge_segments(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+@query(
+    "ewma_segmented",
+    oracle=f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> {_ALPHA} * x + {1.0 - _ALPHA} * acc),
+             4) AS ewma_last
+FROM events GROUP BY user_id
+""",
+)
+def ewma_segmented_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver registration for :func:`ewma_segmented`: the hot-key-
+    parallel EWMA over the events table, checked against the same
+    DuckDB ``list_reduce`` fold that oracles ``events_ewma``.  The
+    segmented reformulation performs the identical multiply-adds
+    regrouped associatively, so it matches the sequential fold to
+    float associativity (~1e-12 relative) and ``round(x, 4)`` on both
+    sides absorbs that."""
+    e = load_tables(spark, sf_dir)["events"]
+    out = ewma_segmented(
+        e.select("user_id", "ts_us", "event_id", "value"), n_segments=8
+    )
+    return out.select(
+        "user_id", "n_events", F.round("ewma_last", 4).alias("ewma_last")
+    )
+
+
 def ewma_segmented(
     df: DataFrame, n_segments: int = 8
 ) -> DataFrame:

@@ -46,6 +46,19 @@ INTRODUCED_ROUND: dict[str, int] = {
     "dedup_first_seen_batch": 4,
     "io_shard_roundtrip": 4,
     "io_compact_roundtrip": 4,
+    "ewma_segmented": 9,
+}
+
+#: Round a query's *implementation* last materially changed after its
+#: registration (update whenever a query body or an operator on its
+#: direct path is rewritten).  __spark_entry__ orders queries whose
+#: code changed after their last driver stamp ahead of everything
+#: except never-verified ones, so a rewrite gets an official
+#: post-change stamp in the next window instead of waiting for the
+#: full rotation to come back around.
+CHANGED_ROUND: dict[str, int] = {
+    "range_join_follows": 8,  # (user_id, ts div 5min) binning rewrite
+    "dedup_levenshtein_block": 8,  # _LEV_BLOCK_CAP default 256 -> 64
 }
 
 

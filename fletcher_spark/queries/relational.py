@@ -333,7 +333,13 @@ def range_join_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
     range predicate stays as the residual, and candidates shrink to
     same-user events in ADJACENT buckets — temporal-density-
     proportional, 67× fewer here, hot-user-safe.  ``div`` is exact
-    int64 arithmetic (no double rounding at epoch-microsecond scale)."""
+    int64 arithmetic (no double rounding at epoch-microsecond scale).
+    Note ``div`` truncates toward zero rather than flooring, so a
+    pre-1970 (negative) ts_us would make bucket 0 double-width; the
+    adjacency argument still holds there — consecutive bucket
+    boundaries stay ≥ 5 min apart under truncation too, so every
+    qualifying pair (diff ≤ 5 min) still lands in {b, b+1} — and the
+    test data is all post-1970 anyway."""
     t = load_tables(spark, sf_dir)
     five_min_us = 300 * 1_000_000
     e1 = t["events"].select(

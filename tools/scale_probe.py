@@ -54,6 +54,12 @@ def gen() -> None:
     import pyarrow.parquet as pq
 
     os.makedirs(DST, exist_ok=True)
+    # drop a prior run's completion sentinel FIRST: a regeneration (e.g.
+    # after changing COPIES/OFFSET) killed mid-write must not leave the
+    # stale _SUCCESS validating a torn/mixed file set
+    sentinel = os.path.join(DST, "_SUCCESS")
+    if os.path.exists(sentinel):
+        os.remove(sentinel)
 
     for t in ("region", "nation", "part", "supplier"):
         pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"), f"{DST}/{t}.parquet")
