@@ -227,46 +227,6 @@ for _n in ("cdc_merge_upsert", "scd2_type_history", "events_ewma"):
     INTRODUCED_ROUND[_n] = 5
 
 
-def _ewma_segment_summary(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One (key, segment) -> its associative summary.
-
-    For a segment of m values, sequential EWMA from any incoming state
-    y is ``y' = decay * y + contrib`` with ``decay = (1-α)^m`` and
-    ``contrib = Σ α(1-α)^(m-i) x_i``; ``head`` is the segment's own
-    fold (first value as init), used when the segment is the key's
-    first."""
-    pdf = pdf.sort_values(["ts_us", "event_id"])
-    xs = pdf["value"].to_numpy()
-    decay, contrib = 1.0, 0.0
-    head = None
-    for x in xs:
-        decay *= 1.0 - _ALPHA
-        contrib = _ALPHA * float(x) + (1.0 - _ALPHA) * contrib
-        head = float(x) if head is None else _ALPHA * float(x) + (1.0 - _ALPHA) * head
-    return pd.DataFrame(
-        {
-            "user_id": [pdf["user_id"].iloc[0]],
-            "seg": [pdf["seg"].iloc[0]],
-            "m": [len(xs)],
-            "decay": [decay],
-            "contrib": [contrib],
-            "head": [head],
-        }
-    )
-
-
-def _ewma_merge_segments(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("seg")
-    acc = None
-    n = 0
-    for r in pdf.itertuples(index=False):
-        acc = r.head if acc is None else r.decay * acc + r.contrib
-        n += r.m
-    return pd.DataFrame(
-        {"user_id": [pdf["user_id"].iloc[0]], "n_events": [n], "ewma_last": [acc]}
-    )
-
-
 @query(
     "ewma_segmented",
     oracle=f"""
@@ -282,10 +242,9 @@ def ewma_segmented_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver registration for :func:`ewma_segmented`: the hot-key-
     parallel EWMA over the events table, checked against the same
     DuckDB ``list_reduce`` fold that oracles ``events_ewma``.  The
-    segmented reformulation performs the identical multiply-adds
-    regrouped associatively, so it matches the sequential fold to
-    float associativity (~1e-12 relative) and ``round(x, 4)`` on both
-    sides absorbs that."""
+    closed-form suffix-weight reformulation agrees with the sequential
+    fold to a few ulps per term (~1e-12 relative) and ``round(x, 4)``
+    on both sides absorbs that."""
     e = load_tables(spark, sf_dir)["events"]
     out = ewma_segmented(
         e.select("user_id", "ts_us", "event_id", "value"), n_segments=8
@@ -299,32 +258,52 @@ def ewma_segmented(
     df: DataFrame, n_segments: int = 8
 ) -> DataFrame:
     """Hot-key-parallel EWMA: the scale path :func:`events_ewma`'s
-    docstring promises.  The recursion is reformulated associatively —
-    each time-contiguous SEGMENT of a key's events folds independently
-    (in parallel) to a (decay, contrib) summary, and the per-key merge
-    folds only ``n_segments`` summaries.  A key with 10^9 events costs
-    10^9/S per task instead of one serial 10^9-row task; the merge is
-    model-sized.
+    docstring promises — entirely JVM-side.
 
-    Segment assignment is an integer TIME-RANGE bucket computed from a
-    per-key (min, max) hash aggregate joined back — deliberately NOT an
-    ntile window, which would sort the whole hot key in one task and
-    reintroduce the serial bottleneck this function removes.  Ties in
-    ts_us land in the same bucket, so (seg, ts_us, event_id) order
-    equals the global (ts_us, event_id) order.  Segments are
+    The fold ``y_t = αx_t + (1-α)y_{t-1}`` has, for its LAST value, the
+    closed form ``y_n = β^{n-1}x_1 + Σ α·β^{n-i}x_i`` with ``β = 1-α``:
+    the exponents are all ≥ 0, so unlike the running-prefix form (whose
+    ``β^{-i}`` factors overflow past ~700 rows, which is why
+    :func:`events_ewma` folds in Python) it never overflows — old terms
+    merely UNDERFLOW to 0, which is what they converge to anyway
+    (``β^k < 1e-308`` for k ≳ 2000).  That makes EWMA-last a weighted
+    suffix sum:
+
+    1. each row's weight exponent is its per-SEGMENT suffix rank
+       (``row_number`` descending over (user, seg)), so the rank sort is
+       distributed across segments instead of serializing a hot key in
+       one window partition;
+    2. per (user, seg): ``m = count`` and
+       ``contrib = Σ α·β^(w-1)·x`` — one hash aggregate;
+    3. per user: a running ``cum_m`` over segments in order re-weights
+       each segment's contrib by ``β^(M - cum_m)`` and the global first
+       value adds its init term ``β^M·x_first`` (algebra: within the
+       first segment, contrib's own ``α·β^(m-1)x_1`` share plus
+       ``β^M x_1`` sums to the closed form's ``β^(M-1)x_1``).
+
+    Segment assignment is an integer TIME-RANGE bucket from a per-key
+    (min, max) aggregate joined back (broadcast — it is one row per
+    key) — deliberately NOT an ntile window, which would sort the whole
+    hot key in one task.  A key with 10^9 events sorts 10^9/S rows per
+    task; raise ``n_segments`` for heavier keys.  Segments are
     time-balanced, not count-balanced — acceptable for the parallelism
     goal; swap in approx-quantile boundaries for heavy burst skew.
 
-    Exactness: segment folds perform the same multiply-adds in the same
-    order; only the regrouping differs, so results match the direct
-    fold to float associativity (~1e-12 relative — asserted in
-    tests/test_changedata.py).  Expects columns
+    Exactness: ``pow``-based weights vs the sequential fold's iterated
+    multiply-adds agree to a few ulps per term (~1e-12 relative —
+    asserted against the direct fold in tests/test_changedata.py).
+    Replaces a two-stage ``applyInPandas`` version whose per-group
+    pandas overhead dominated at 8-row segment granularity (8.4 s →
+    sub-second at sf0.1).  Expects columns
     (user_id, ts_us, event_id, value)."""
+    from pyspark.sql import Window
+
+    beta = 1.0 - _ALPHA
     rng = df.groupBy("user_id").agg(
         F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
     )
     seg = (
-        df.join(rng, "user_id")
+        df.join(F.broadcast(rng), "user_id")
         .select(
             "user_id",
             "ts_us",
@@ -335,12 +314,52 @@ def ewma_segmented(
             ).alias("seg"),
         )
     )
-    summaries = seg.groupBy("user_id", "seg").applyInPandas(
-        _ewma_segment_summary,
-        "user_id long, seg int, m long, decay double, contrib double, head double",
+    # suffix rank within the segment: w-1 = number of later rows there
+    w = F.row_number().over(
+        Window.partitionBy("user_id", "seg").orderBy(
+            F.desc("ts_us"), F.desc("event_id")
+        )
     )
-    return summaries.groupBy("user_id").applyInPandas(
-        _ewma_merge_segments, "user_id long, n_events long, ewma_last double"
+    per_seg = (
+        seg.withColumn("w", w)
+        .groupBy("user_id", "seg")  # reuses the window's partitioning
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(
+                F.lit(_ALPHA) * F.pow(F.lit(beta), F.col("w") - 1) * F.col("value")
+            ).alias("contrib"),
+            F.min_by("value", F.struct("ts_us", "event_id")).alias("first_val"),
+        )
+    )
+    uw_run = (
+        Window.partitionBy("user_id")
+        .orderBy("seg")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    uw_all = Window.partitionBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    terms = per_seg.select(
+        "user_id",
+        "seg",
+        "m",
+        "contrib",
+        "first_val",
+        F.sum("m").over(uw_run).alias("cum_m"),
+        F.sum("m").over(uw_all).alias("total_m"),
+    )
+    return terms.groupBy("user_id").agg(
+        F.max("total_m").alias("n_events"),
+        (
+            F.sum(
+                F.col("contrib")
+                * F.pow(F.lit(beta), F.col("total_m") - F.col("cum_m"))
+            )
+            # the earliest event is always in the key's lowest segment
+            # (its ts defines lo → bucket 0), so min_by over seg is the
+            # global first value
+            + F.pow(F.lit(beta), F.max("total_m")) * F.min_by("first_val", "seg")
+        ).alias("ewma_last"),
     )
 
 

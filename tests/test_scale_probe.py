@@ -44,6 +44,10 @@ BOUNDS = {
     # the r8 scale-killer fix: time-bucketed binning (measured 1.92×
     # at 10×; the pre-fix residual-only join measured 13.15×)
     "range_join_follows": 6.0,
+    # closed-form suffix-weight EWMA (measured 1.24× at 10×, r9; the
+    # per-segment applyInPandas version it replaced measured 3.51×
+    # with 5× the absolute wall)
+    "ewma_segmented": 5.0,
 }
 
 
