@@ -171,3 +171,63 @@ def test_temporal_join_no_nested_loop(spark):
     )
     assert "BroadcastNestedLoop" not in plan, plan[:1500]
     assert "CartesianProduct" not in plan
+
+def test_ewma_segmented_closed_form_property(spark):
+    """Property (hypothesis): the closed-form suffix-weighted sum
+    reproduces the sequential fold y_t = αx_t + (1-α)y_{t-1} for ANY
+    event multiset — duplicate timestamps (event_id tiebreak), a
+    single-event key, all events at one instant (hi == lo), hot keys
+    next to singletons, and every n_segments — including segment
+    boundaries falling between duplicate-ts runs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from fletcher_spark.queries.changedata import _ALPHA, ewma_segmented
+
+    st_events = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # user_id (collide!)
+            st.integers(min_value=0, max_value=50),  # ts bucket (ties!)
+            st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @given(events=st_events, n_segments=st.sampled_from([1, 2, 3, 8]))
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    def check(events, n_segments):
+        rows = [
+            (uid, ts * 1_000_000, eid, v)
+            for eid, (uid, ts, v) in enumerate(events)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts_us long, event_id long, value double"
+        )
+        got = {
+            r["user_id"]: (r["n_events"], r["ewma_last"])
+            for r in ewma_segmented(df, n_segments=n_segments).collect()
+        }
+        # sequential reference fold in (ts_us, event_id) order
+        by_user: dict[int, list[tuple[int, int, float]]] = {}
+        for uid, ts_us, eid, v in rows:
+            by_user.setdefault(uid, []).append((ts_us, eid, v))
+        assert set(got) == set(by_user)
+        for uid, evs in by_user.items():
+            acc = None
+            for _, _, x in sorted(evs):
+                acc = x if acc is None else _ALPHA * x + (1.0 - _ALPHA) * acc
+            n, ewma = got[uid]
+            assert n == len(evs)
+            assert ewma == pytest.approx(acc, rel=1e-9, abs=1e-9), (
+                uid, evs, n_segments,
+            )
+
+    check()
