@@ -282,10 +282,14 @@ def ewma_segmented(
        ``β^M x_1`` sums to the closed form's ``β^(M-1)x_1``).
 
     Segment assignment is an integer TIME-RANGE bucket from a per-key
-    (min, max) aggregate joined back (broadcast — it is one row per
-    key) — deliberately NOT an ntile window, which would sort the whole
-    hot key in one task.  A key with 10^9 events sorts 10^9/S rows per
-    task; raise ``n_segments`` for heavier keys.  Segments are
+    (min, max) aggregate joined back — deliberately NOT an ntile
+    window, which would sort the whole hot key in one task.  The join
+    is left unhinted on purpose: the aggregate is one row per KEY, so
+    AQE broadcasts it when the key set is small but must stay free to
+    shuffle when there are billions of keys (a forced broadcast of a
+    per-key table is itself a scale bug).  A key with 10^9 events
+    sorts 10^9/S rows per task; raise ``n_segments`` for heavier
+    keys.  Segments are
     time-balanced, not count-balanced — acceptable for the parallelism
     goal; swap in approx-quantile boundaries for heavy burst skew.
 
@@ -303,7 +307,7 @@ def ewma_segmented(
         F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
     )
     seg = (
-        df.join(F.broadcast(rng), "user_id")
+        df.join(rng, "user_id")
         .select(
             "user_id",
             "ts_us",
