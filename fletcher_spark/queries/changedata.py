@@ -244,7 +244,11 @@ def ewma_segmented_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB ``list_reduce`` fold that oracles ``events_ewma``.  The
     closed-form suffix-weight reformulation agrees with the sequential
     fold to a few ulps per term (~1e-12 relative) and ``round(x, 4)``
-    on both sides absorbs that."""
+    on both sides absorbs that.  Residual risk, shared with every
+    order-different float aggregate under the registry's round(4)
+    convention: a key whose true EWMA sits within ~1e-12 of a 0.00005
+    rounding boundary would round apart — deterministic per dataset
+    and verified green at the driver's sf0.01."""
     e = load_tables(spark, sf_dir)["events"]
     out = ewma_segmented(
         e.select("user_id", "ts_us", "event_id", "value"), n_segments=8
@@ -275,11 +279,12 @@ def ewma_segmented(
        one window partition;
     2. per (user, seg): ``m = count`` and
        ``contrib = Σ α·β^(w-1)·x`` — one hash aggregate;
-    3. per user: a running ``cum_m`` over segments in order re-weights
-       each segment's contrib by ``β^(M - cum_m)`` and the global first
-       value adds its init term ``β^M·x_first`` (algebra: within the
-       first segment, contrib's own ``α·β^(m-1)x_1`` share plus
-       ``β^M x_1`` sums to the closed form's ``β^(M-1)x_1``).
+    3. per user: a suffix sum over segments in order (``later_m`` =
+       events in LATER segments) re-weights each segment's contrib by
+       ``β^later_m`` and the global first value adds its init term
+       ``β^M·x_first`` (algebra: within the first segment, contrib's
+       own ``α·β^(m-1)x_1`` share plus ``β^M x_1`` sums to the closed
+       form's ``β^(M-1)x_1``).
 
     Segment assignment is an integer TIME-RANGE bucket from a per-key
     (min, max) aggregate joined back — deliberately NOT an ntile
@@ -300,8 +305,6 @@ def ewma_segmented(
     pandas overhead dominated at 8-row segment granularity (8.4 s →
     sub-second at sf0.1).  Expects columns
     (user_id, ts_us, event_id, value)."""
-    from pyspark.sql import Window
-
     beta = 1.0 - _ALPHA
     rng = df.groupBy("user_id").agg(
         F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
@@ -335,13 +338,15 @@ def ewma_segmented(
             F.min_by("value", F.struct("ts_us", "event_id")).alias("first_val"),
         )
     )
-    uw_run = (
+    # M - cum_m (the later-event count this segment's contrib decays
+    # through) IS the suffix sum over later segments — one ORDERED
+    # window computes it directly; a second unordered total-sum window
+    # would force a separate WindowExec pass (different orderSpec
+    # windows don't fuse), and M itself is just sum(m) in the final agg
+    uw_suffix = (
         Window.partitionBy("user_id")
         .orderBy("seg")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    uw_all = Window.partitionBy("user_id").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+        .rowsBetween(1, Window.unboundedFollowing)
     )
     terms = per_seg.select(
         "user_id",
@@ -349,20 +354,16 @@ def ewma_segmented(
         "m",
         "contrib",
         "first_val",
-        F.sum("m").over(uw_run).alias("cum_m"),
-        F.sum("m").over(uw_all).alias("total_m"),
+        F.coalesce(F.sum("m").over(uw_suffix), F.lit(0)).alias("later_m"),
     )
     return terms.groupBy("user_id").agg(
-        F.max("total_m").alias("n_events"),
+        F.sum("m").alias("n_events"),
         (
-            F.sum(
-                F.col("contrib")
-                * F.pow(F.lit(beta), F.col("total_m") - F.col("cum_m"))
-            )
+            F.sum(F.col("contrib") * F.pow(F.lit(beta), F.col("later_m")))
             # the earliest event is always in the key's lowest segment
             # (its ts defines lo → bucket 0), so min_by over seg is the
             # global first value
-            + F.pow(F.lit(beta), F.max("total_m")) * F.min_by("first_val", "seg")
+            + F.pow(F.lit(beta), F.sum("m")) * F.min_by("first_val", "seg")
         ).alias("ewma_last"),
     )
 

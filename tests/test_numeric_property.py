@@ -49,20 +49,27 @@ def _round6(x):
     return round(x, 6)
 
 
-def _sum_close(got, exp):
-    """Relative comparison for order-dependent float reductions.
+def _sum_close(got, exp, batch):
+    """Order-tolerant comparison for float reductions.
 
-    Spark's partial aggregation and DuckDB sum in different orders;
-    float64 reassociation only guarantees agreement to ~1 ulp per
-    addend, so a mixed-magnitude batch (e.g. a 1e-8-scale addend next
-    to a 5e8-scale one) legitimately differs in the last bits — an
-    absolute round(x, 6) on a 5e8-magnitude sum demands ~15 significant
-    digits, beyond what either engine promises."""
+    Spark's partial aggregation and DuckDB sum in different orders, and
+    float64 reassociation guarantees agreement only to the standard
+    error bound |err| ≤ (n-1)·eps·Σ|vᵢ| — which is ABSOLUTE in the
+    input magnitudes, not relative to the result: a cancelling batch
+    like [1e9, 1e-7, -1e9] has two valid sums (1e-7 vs ~1.19e-7) whose
+    relative difference is huge while both are within the bound.  So
+    the tolerance scales with Σ|vᵢ| (with generous headroom over the
+    worst-case constant), plus a small absolute floor; a genuine engine
+    bug (dropped/duplicated element, wrong null handling) moves the sum
+    by an element magnitude, far outside this band for the strategy's
+    value range."""
     if got is None or exp is None:
         return got is None and exp is None
     if math.isnan(got) or math.isnan(exp):
         return math.isnan(got) and math.isnan(exp)
-    return math.isclose(got, exp, rel_tol=1e-9, abs_tol=1e-9)
+    sum_abs = sum(abs(v) for v in batch if v is not None)
+    tol = 64 * len(batch) * 2.22e-16 * sum_abs + 1e-9
+    return abs(got - exp) <= tol
 
 
 def _key(row):
@@ -98,9 +105,9 @@ def test_reductions_match_duckdb(spark, batch):
         "SELECT sum(v), min(v), max(v), avg(v), count(v), count(*) FROM t"
     ).fetchone()
 
-    assert _sum_close(got["s"], exp[0])
+    assert _sum_close(got["s"], exp[0], batch)
     assert got["mn"] == exp[1] and got["mx"] == exp[2]
-    assert _sum_close(got["mean"], exp[3])
+    assert _sum_close(got["mean"], exp[3], batch)
     assert (got["n_valid"], got["n_rows"]) == (exp[4], exp[5])
 
 
