@@ -73,24 +73,39 @@ def test_scale_probe_ratios_within_bounds():
             timeout=1800,
         )
         assert gen.returncode == 0, gen.stderr[-2000:]
-    run = subprocess.run(
-        [sys.executable, PROBE, "run", ",".join(BOUNDS)],
-        capture_output=True,
-        text=True,
-        timeout=3600,
-    )
-    assert run.returncode == 0, run.stderr[-2000:]
-    # the probe prints a human table then one JSON line
-    json_line = next(
-        ln for ln in reversed(run.stdout.strip().splitlines()) if ln.startswith("{")
-    )
-    out = json.loads(json_line)
+    def probe(names):
+        run = subprocess.run(
+            [sys.executable, PROBE, "run", ",".join(names)],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        assert run.returncode == 0, run.stderr[-2000:]
+        # the probe prints a human table then one JSON line
+        json_line = next(
+            ln
+            for ln in reversed(run.stdout.strip().splitlines())
+            if ln.startswith("{")
+        )
+        return json.loads(json_line)
+
+    out = probe(BOUNDS)
     failures = {
-        name: ratio
-        for name, (_, _, ratio) in out.items()
-        if ratio > BOUNDS[name]
+        name: ratio for name, (_, _, ratio) in out.items() if ratio > BOUNDS[name]
     }
+    if failures:
+        # the probe's min-of-2 absorbs scheduler jitter but not a
+        # SUSTAINED contention burst spanning both samples (observed:
+        # a tier run that took 3x its normal wall broke a bound that
+        # passed on direct re-probe minutes later) — re-probe just the
+        # exceeders once before declaring a regression
+        out2 = probe(sorted(failures))
+        failures = {
+            name: ratio
+            for name, (_, _, ratio) in out2.items()
+            if ratio > BOUNDS[name]
+        }
     assert not failures, (
-        f"scale ratios exceeded recorded bounds (10x data): {failures}; "
-        f"full probe output: {out}"
+        f"scale ratios exceeded recorded bounds (10x data) in two "
+        f"independent probe runs: {failures}; first-run output: {out}"
     )
