@@ -233,3 +233,51 @@ def test_exact_cut_points_matches_rank_definition(spark, vals, k):
     expected = [present[math.ceil(i * n / k) - 1] for i in range(1, k)]
     assert row["n"] == n
     assert row["cuts"] == expected, (vals, k, row["cuts"], expected)
+
+
+@given(batch=st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),  # key
+        st_val,
+    ),
+    min_size=1,
+    max_size=40,
+))
+@SETTINGS
+def test_grouped_reductions_match_duckdb(spark, batch):
+    """Grouped aggregation property: hash-partial aggregation through a
+    SHUFFLE (the path the global-agg test never exercises) must agree
+    with DuckDB per group — including the NULL group, which both
+    engines treat as a real GROUP BY key (unlike joins)."""
+    tbl = pa.table(
+        {
+            "k": pa.array([p[0] for p in batch], type=pa.int32()),
+            "v": pa.array([p[1] for p in batch], type=pa.float64()),
+        }
+    )
+    sdf = spark.createDataFrame(tbl.to_pandas())
+    got = {
+        r["k"]: (r["s"], r["mn"], r["mx"], r["n"])
+        for r in sdf.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.count("v").alias("n"),
+        )
+        .collect()
+    }
+
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.sql(
+            "SELECT k, sum(v), min(v), max(v), count(v) FROM t GROUP BY k"
+        ).fetchall()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        vals = [v for kk, v in batch if kk == k and v is not None]
+        assert _sum_close(got[k][0], exp[k][0], vals), (k, got[k], exp[k])
+        assert got[k][1:] == exp[k][1:], (k, got[k], exp[k])
