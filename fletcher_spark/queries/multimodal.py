@@ -5,8 +5,10 @@ reference's list-compute surface).
 as the opaque binary payload (the container has no image/audio fixtures;
 the binary-column plumbing is what's under test).  ``mm_decode_stub``
 exercises the Arrow-batched ``mapInPandas`` decode path with the
-deterministic fake decoder (pipeline/multimodal.py) — rows-only by
-design, pinned by tests/test_multimodal.py.
+deterministic fake decoder (pipeline/multimodal.py); originally
+rows-only, it gained a full value oracle (the fake decode is
+hash-deterministic, so DuckDB replays it) and is additionally pinned
+by tests/test_multimodal.py.
 
 ``list_take_ops`` is the take-on-lists analog
 (/root/reference/fletcher/_algorithms.py:342-387 ``take_on_pyarrow_list``

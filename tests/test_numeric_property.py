@@ -49,7 +49,7 @@ def _round6(x):
     return round(x, 6)
 
 
-def _sum_close(got, exp, batch):
+def _sum_close(got, exp, batch, per_element=False):
     """Order-tolerant comparison for float reductions.
 
     Spark's partial aggregation and DuckDB sum in different orders, and
@@ -69,6 +69,11 @@ def _sum_close(got, exp, batch):
         return math.isnan(got) and math.isnan(exp)
     sum_abs = sum(abs(v) for v in batch if v is not None)
     tol = 64 * len(batch) * 2.22e-16 * sum_abs + 1e-9
+    if per_element:
+        # a mean's reassociation error is the sum's divided by the
+        # valid count — keep the bound that tight or an n-times-larger
+        # mean-only bug would slip through
+        tol = tol / max(1, sum(1 for v in batch if v is not None)) + 1e-12
     return abs(got - exp) <= tol
 
 
@@ -107,7 +112,7 @@ def test_reductions_match_duckdb(spark, batch):
 
     assert _sum_close(got["s"], exp[0], batch)
     assert got["mn"] == exp[1] and got["mx"] == exp[2]
-    assert _sum_close(got["mean"], exp[3], batch)
+    assert _sum_close(got["mean"], exp[3], batch, per_element=True)
     assert (got["n_valid"], got["n_rows"]) == (exp[4], exp[5])
 
 
