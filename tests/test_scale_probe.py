@@ -98,14 +98,28 @@ def test_scale_probe_ratios_within_bounds():
         # SUSTAINED contention burst spanning both samples (observed:
         # a tier run that took 3x its normal wall broke a bound that
         # passed on direct re-probe minutes later) — re-probe just the
-        # exceeders once before declaring a regression
+        # exceeders once before declaring a regression.  The RETRY must
+        # pass with margin (ratio <= 0.9*bound): a query whose true
+        # ratio hovers AT its bound would otherwise pass whenever either
+        # of two runs lands under it, doubling the false-negative rate
+        # exactly at the regression boundary this tier guards (ADVICE
+        # r9).  Both runs' ratios are printed so a persistent near-bound
+        # drift stays visible in CI logs even when the retry passes.
         out2 = probe(sorted(failures))
+        for name in sorted(failures):
+            print(
+                f"scale-probe retry {name}: run1 ratio {failures[name]:.2f} "
+                f"> bound {BOUNDS[name]:.1f}; run2 ratio "
+                f"{out2[name][2]:.2f} (retry margin {0.9 * BOUNDS[name]:.2f})"
+            )
         failures = {
-            name: ratio
+            name: (failures[name], ratio)
             for name, (_, _, ratio) in out2.items()
-            if ratio > BOUNDS[name]
+            if ratio > 0.9 * BOUNDS[name]
         }
     assert not failures, (
-        f"scale ratios exceeded recorded bounds (10x data) in two "
-        f"independent probe runs: {failures}; first-run output: {out}"
+        f"scale ratios exceeded recorded bounds (10x data) — first run "
+        f"over the bound, retry over 0.9x the bound "
+        f"{{name: (run1_ratio, run2_ratio)}}: {failures}; "
+        f"first-run output: {out}"
     )
