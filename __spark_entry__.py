@@ -75,7 +75,9 @@ def _ordered_names(reg) -> list[str]:
     """
     verified = _last_verified_round()
     introduced = getattr(reg, "INTRODUCED_ROUND", {})
-    changed = getattr(reg, "CHANGED_ROUND", {})
+    # merged manual + mechanical (source-hash snapshot) change-rounds
+    changed_fn = getattr(reg, "changed_rounds", None)
+    changed = changed_fn() if callable(changed_fn) else getattr(reg, "CHANGED_ROUND", {})
     names = list(reg.QUERIES)
     order = {n: i for i, n in enumerate(names)}
 

@@ -49,17 +49,48 @@ INTRODUCED_ROUND: dict[str, int] = {
     "ewma_segmented": 9,
 }
 
-#: Round a query's *implementation* last materially changed after its
-#: registration (update whenever a query body or an operator on its
-#: direct path is rewritten).  __spark_entry__ orders queries whose
-#: code changed after their last driver stamp ahead of everything
-#: except never-verified ones, so a rewrite gets an official
-#: post-change stamp in the next window instead of waiting for the
-#: full rotation to come back around.
+#: MANUAL layer of change-rounds: the round a query's implementation
+#: last materially changed through a path the source-hash guard can't
+#: see — i.e. a rewrite of an *operator module* the query calls into
+#: that touches neither the query body nor its oracle (e.g. the r8
+#: ``_LEV_BLOCK_CAP`` default change lived in dedup operator
+#: constants).  Direct body/oracle rewrites are detected MECHANICALLY:
+#: ``tests/test_stamp_guard.py`` fails any commit whose query source
+#: drifts from ``tools/query_src_hashes.json``, and
+#: ``python tools/stamp_guard.py update`` records the change-round in
+#: that snapshot.  ``changed_rounds()`` below merges both layers;
+#: __spark_entry__ orders changed-since-stamp queries ahead of
+#: everything except never-verified ones, so a rewrite gets an
+#: official post-change stamp in the next window instead of waiting
+#: for the full rotation to come back around.
 CHANGED_ROUND: dict[str, int] = {
     "range_join_follows": 8,  # (user_id, ts div 5min) binning rewrite
     "dedup_levenshtein_block": 8,  # _LEV_BLOCK_CAP default 256 -> 64
 }
+
+
+def changed_rounds() -> dict[str, int]:
+    """Merged change-rounds: hand-maintained ``CHANGED_ROUND`` plus the
+    mechanically-recorded rounds in ``tools/query_src_hashes.json``
+    (max wins when both name a query)."""
+    import json
+    import os
+
+    merged = dict(CHANGED_ROUND)
+    snap = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "tools",
+        "query_src_hashes.json",
+    )
+    try:
+        with open(snap) as f:
+            recorded = json.load(f).get("changed_rounds", {})
+    except (OSError, ValueError):
+        recorded = {}
+    for name, rnd in recorded.items():
+        if isinstance(rnd, int):
+            merged[name] = max(merged.get(name, 0), rnd)
+    return merged
 
 
 def query(name: str, oracle: str | None = None):
