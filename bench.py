@@ -85,6 +85,18 @@ def main() -> None:
     )
     warm.write.mode("overwrite").format("noop").save()
 
+    # Canonical box-speed probe (VERDICT r9 ask #2): the q1 warm-up's
+    # steady-state min-of-3, recorded as ``box_ref_sec``.  Cross-round
+    # total comparisons on this multi-tenant box have repeatedly needed
+    # manual adjudication of 1.1-1.3x phantom swings (BENCH_r05 froze a
+    # 3x phantom; r9's 134.5 s driver sweep re-timed at r7 levels solo).
+    # A recorded denominator lets tools/bench_diff.py report ratios
+    # normalized by how fast the box actually was during EACH sweep,
+    # settling "code or contention?" in one line.  q1 is the probe
+    # because it is pure JVM scan+hash-agg (no Python workers, no cache
+    # interplay) and has run first in every round since r1.
+    box_ref = min(run("q1_pricing_summary") for _ in range(3))
+
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):
         if name in getattr(registry, "BENCH_EXCLUDE", set()):
@@ -107,6 +119,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "box_ref_sec": round(box_ref, 3),
         "sf": sf,
     }
     # Full record to a file (survives any stdout truncation) ...
@@ -132,6 +145,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failed": len(failed),
         "queries_file": "BENCH.out",
+        "box_ref_sec": round(box_ref, 3),
         "sf": sf,
     }
     sys.stdout.flush()

@@ -6,6 +6,13 @@ Accepts either the driver's BENCH_r{N}.json (with a nested parsed line)
 or a raw BENCH.out line.  Prints total-overlap ratio and every query
 whose new/old ratio exceeds the threshold (default 1.5) in either
 direction — the same regression definition VERDICT reviews use.
+
+When BOTH snapshots carry ``box_ref_sec`` (bench.py's canonical q1
+steady-state min-of-3, recorded since r10), the overlap ratio is also
+printed NORMALIZED by the box-speed ratio: normalized = raw_ratio /
+(new_ref / old_ref).  A raw 1.2x that normalizes to ~1.0x is the box
+running slower during the new sweep, not a code regression — the
+adjudication that previously took a git-diff + solo re-time cycle.
 """
 
 from __future__ import annotations
@@ -14,7 +21,7 @@ import json
 import sys
 
 
-def _load(path: str) -> dict[str, float]:
+def _load(path: str) -> tuple[dict[str, float], float | None]:
     with open(path) as f:
         text = f.read().strip()
     line = text.splitlines()[-1]
@@ -23,12 +30,15 @@ def _load(path: str) -> dict[str, float]:
     if "queries" not in d and isinstance(d.get("parsed"), dict):
         d = d["parsed"]
     q = d.get("queries") or {}
+    ref = d.get("box_ref_sec")
     # summary lines carry only the slowest; prefer queries_file if noted
-    return {k: float(v) for k, v in q.items()}
+    return {k: float(v) for k, v in q.items()}, (
+        float(ref) if isinstance(ref, (int, float)) and ref > 0 else None
+    )
 
 
 def main() -> int:
-    old, new = _load(sys.argv[1]), _load(sys.argv[2])
+    (old, ref_old), (new, ref_new) = _load(sys.argv[1]), _load(sys.argv[2])
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     common = sorted(set(old) & set(new))
     if not common:
@@ -39,6 +49,15 @@ def main() -> int:
         f"overlap: {len(common)} queries; old {t_old:.1f}s -> new {t_new:.1f}s "
         f"({t_new / t_old:.2f}x)"
     )
+    if ref_old and ref_new:
+        box = ref_new / ref_old
+        print(
+            f"box_ref_sec: old {ref_old:.2f}s -> new {ref_new:.2f}s "
+            f"(box {box:.2f}x); box-normalized overlap ratio "
+            f"{t_new / t_old / box:.2f}x"
+        )
+    elif ref_old or ref_new:
+        print("box_ref_sec present in only one snapshot; raw ratios only")
     for k in common:
         if old[k] > 0.05 and new[k] == 0:
             print(f"  WARN  {k}: old {old[k]:.2f}s -> new 0.0s (missing/failed timing?)")
@@ -48,7 +67,12 @@ def main() -> int:
         if old[k] > 0.05 and new[k] > 0 and (new[k] / old[k] > thresh or old[k] / new[k] > thresh)
     ]
     for r, k, o, n in sorted(flagged, reverse=True):
-        print(f"  {r:5.2f}x  {k}: {o:.2f}s -> {n:.2f}s")
+        norm = (
+            f"  ({r / (ref_new / ref_old):.2f}x box-normalized)"
+            if ref_old and ref_new
+            else ""
+        )
+        print(f"  {r:5.2f}x  {k}: {o:.2f}s -> {n:.2f}s{norm}")
     if not flagged:
         print(f"  no per-query change beyond {thresh}x")
     return 0
