@@ -24,12 +24,18 @@ the similarity spaces while preserving within-copy structure:
   tables stay single-copy, as at real scale).
 * region/nation/part/supplier: copied verbatim (dims don't scale).
 
-Writes to ``<repo>/.tmp/sf1`` (gitignored scratch — never committed).
+Writes to ``<repo>/.tmp/sf{copies/10}`` (gitignored scratch — never
+committed): ``gen 10`` → ``.tmp/sf1`` (10×), ``gen 100`` → ``.tmp/sf10``
+(100×, VERDICT r9 ask #1 — turns the 10× linearity claims into measured
+two-point curvature).  Generation streams one copy at a time through a
+ParquetWriter so the 100× tier (60 M-row lineitem) never materializes
+in memory.
 
 Usage:
-    python tools/scale_probe.py gen                # build .tmp/sf1
-    python tools/scale_probe.py run [q1,q2,...]    # time sf0.1 vs sf1
-        (default query list: the 10 slowest in BENCH.out)
+    python tools/scale_probe.py gen [copies=10]    # build .tmp/sf{c/10}
+    python tools/scale_probe.py run [q1,q2,...] [dst=.tmp/sf1]
+        (default query list: the 10 slowest in BENCH.out; dst may be a
+        bare tier name like ``sf10``)
 """
 
 from __future__ import annotations
@@ -43,39 +49,47 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(REPO, ".tmp", "sf1")
-COPIES = 10
 OFFSET = 100_000_000
 
 
-def gen() -> None:
+def tier_dir(copies: int) -> str:
+    """10 copies → .tmp/sf1, 100 → .tmp/sf10 (sf0.1 × copies)."""
+    return os.path.join(REPO, ".tmp", f"sf{copies / 10:g}")
+
+
+DST = tier_dir(10)  # default 10× tier (the `pytest -m scale` bounds)
+
+
+def gen(copies: int = 10) -> None:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    os.makedirs(DST, exist_ok=True)
+    dst = tier_dir(copies)
+    os.makedirs(dst, exist_ok=True)
     # drop a prior run's completion sentinel FIRST: a regeneration (e.g.
-    # after changing COPIES/OFFSET) killed mid-write must not leave the
-    # stale _SUCCESS validating a torn/mixed file set
-    sentinel = os.path.join(DST, "_SUCCESS")
+    # after changing OFFSET) killed mid-write must not leave the stale
+    # _SUCCESS validating a torn/mixed file set
+    sentinel = os.path.join(dst, "_SUCCESS")
     if os.path.exists(sentinel):
         os.remove(sentinel)
 
     for t in ("region", "nation", "part", "supplier"):
-        pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"), f"{DST}/{t}.parquet")
+        pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"), f"{dst}/{t}.parquet")
 
     def shifted(table: str, key_cols: list[str]) -> None:
+        # one copy per write_table call: the 100× tier's lineitem is
+        # 60 M rows — streamed, the peak footprint stays one sf0.1 copy
         src = pq.read_table(f"{SRC}/{table}.parquet")
-        parts = []
-        for i in range(COPIES):
-            cols = {}
-            for name in src.column_names:
-                col = src.column(name)
-                if name in key_cols:
-                    col = pa.compute.add(col, i * OFFSET)
-                cols[name] = col
-            parts.append(pa.table(cols))
-        pq.write_table(pa.concat_tables(parts), f"{DST}/{table}.parquet")
+        with pq.ParquetWriter(f"{dst}/{table}.parquet", src.schema) as w:
+            for i in range(copies):
+                cols = {}
+                for name in src.column_names:
+                    col = src.column(name)
+                    if name in key_cols:
+                        col = pa.compute.add(col, i * OFFSET)
+                    cols[name] = col
+                w.write_table(pa.table(cols).cast(src.schema))
 
     shifted("customer", ["c_custkey"])
     shifted("orders", ["o_orderkey", "o_custkey"])
@@ -83,23 +97,29 @@ def gen() -> None:
     shifted("events", ["event_id", "user_id"])
 
     # documents: disjoint token vocab per copy
-    src = pq.read_table(f"{SRC}/documents.parquet").to_pylist()
-    rows = []
-    for i in range(COPIES):
-        suf = f"_{i}"
-        for r in src:
-            t = r["text"]
-            nt = None if t is None else " ".join(w + suf for w in t.split(" "))
-            rows.append(
-                {
-                    "doc_id": r["doc_id"] + i * OFFSET,
-                    "text": nt,
-                    "lang": r["lang"],
-                    "source": r["source"],
-                    "n_chars": None if nt is None else len(nt),
-                }
+    src = pq.read_table(f"{SRC}/documents.parquet")
+    texts = src.column("text").to_pylist()
+    with pq.ParquetWriter(f"{dst}/documents.parquet", src.schema) as w:
+        for i in range(copies):
+            suf = f"_{i}"
+            ntexts = [
+                None if t is None else " ".join(wd + suf for wd in t.split(" "))
+                for t in texts
+            ]
+            w.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.compute.add(src.column("doc_id"), i * OFFSET),
+                        "text": pa.array(ntexts, pa.string()),
+                        "lang": src.column("lang"),
+                        "source": src.column("source"),
+                        "n_chars": pa.array(
+                            [None if t is None else len(t) for t in ntexts],
+                            pa.int64(),
+                        ),
+                    }
+                ).cast(src.schema)
             )
-    pq.write_table(pa.Table.from_pylist(rows), f"{DST}/documents.parquet")
 
     # embeddings: per-copy ±1 diagonal mask (orthogonal, cosine-preserving
     # within a copy, decorrelating across copies)
@@ -109,44 +129,49 @@ def gen() -> None:
     lab = emb.column("label").to_numpy(zero_copy_only=False)
     dim = vecs.shape[1]
     rng = np.random.default_rng(7)
-    parts = []
-    for i in range(COPIES):
-        mask = (rng.integers(0, 2, size=dim) * 2 - 1).astype(np.float32)
-        parts.append(
-            pa.table(
-                {
-                    "vec_id": pa.array(vid + i * OFFSET),
-                    "embedding": pa.array((vecs * mask).tolist(), pa.list_(pa.float32())),
-                    "label": pa.array(lab, pa.int32()),
-                }
+    with pq.ParquetWriter(f"{dst}/embeddings.parquet", emb.schema) as w:
+        for i in range(copies):
+            mask = (rng.integers(0, 2, size=dim) * 2 - 1).astype(np.float32)
+            w.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array(vid + i * OFFSET),
+                        "embedding": pa.array(
+                            (vecs * mask).tolist(), pa.list_(pa.float32())
+                        ),
+                        "label": pa.array(lab, pa.int32()),
+                    }
+                ).cast(emb.schema)
             )
-        )
-    pq.write_table(pa.concat_tables(parts), f"{DST}/embeddings.parquet")
     # completion sentinel, written LAST: a generation killed mid-write
     # leaves a torn parquet behind an otherwise-complete file set, so
     # consumers (tests/test_scale_probe.py) gate on this, not the files
-    with open(os.path.join(DST, "_SUCCESS"), "w") as f:
+    with open(os.path.join(dst, "_SUCCESS"), "w") as f:
         f.write("ok\n")
-    for t in sorted(os.listdir(DST)):
+    for t in sorted(os.listdir(dst)):
         if t.endswith(".parquet"):
-            print(t, pq.read_metadata(f"{DST}/{t}").num_rows)
+            print(t, pq.read_metadata(f"{dst}/{t}").num_rows)
 
 
-def run(names: list[str]) -> None:
+def run(names: list[str], dst: str = DST) -> None:
     from pyspark.sql import SparkSession
 
     from fletcher_spark.queries import registry
     from fletcher_spark.session import apply_runtime_confs
 
     registry.load_all()
+    label = os.path.basename(dst.rstrip("/"))
     spark = (
         SparkSession.builder.appName("scale-probe")
         .master("local[32]")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffle.partitions", "32")
         # sf1 working sets (15M-row gram/shingle tables + persists) blow
-        # the 1g local-mode default heap; the probe box has 128 GiB
-        .config("spark.driver.memory", "48g")
+        # the 1g local-mode default heap; the probe box has 128 GiB.
+        # The sf10 tier gets more headroom via SCALE_PROBE_DRIVER_MEM.
+        .config(
+            "spark.driver.memory", os.environ.get("SCALE_PROBE_DRIVER_MEM", "48g")
+        )
         .getOrCreate()
     )
     apply_runtime_confs(spark)
@@ -160,11 +185,11 @@ def run(names: list[str]) -> None:
         return time.perf_counter() - t0
 
     one("q1_pricing_summary", SRC)  # warm-up
-    print(f"{'query':36s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s}")
+    print(f"{'query':36s} {'sf0.1':>8s} {label:>8s} {'ratio':>7s}")
     out = {}
     for n in names:
         a = min(one(n, SRC), one(n, SRC))
-        b = min(one(n, DST), one(n, DST))
+        b = min(one(n, dst), one(n, dst))
         out[n] = (round(a, 2), round(b, 2), round(b / a, 2))
         print(f"{n:36s} {a:8.2f} {b:8.2f} {b / a:7.2f}")
     print(json.dumps(out))
@@ -174,12 +199,17 @@ def run(names: list[str]) -> None:
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "run"
     if mode == "gen":
-        gen()
+        gen(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
     else:
-        if len(sys.argv) > 2:
+        if len(sys.argv) > 2 and sys.argv[2]:
             names = sys.argv[2].split(",")
         else:
             with open(os.path.join(REPO, "BENCH.out")) as f:
                 q = json.load(f)["queries"]
             names = [n for n, t in sorted(q.items(), key=lambda kv: -kv[1])[:10]]
-        run(names)
+        dst = DST
+        if len(sys.argv) > 3:
+            dst = sys.argv[3]
+            if os.sep not in dst:  # bare tier name like "sf10"
+                dst = os.path.join(REPO, ".tmp", dst)
+        run(names, dst)
