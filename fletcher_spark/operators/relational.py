@@ -81,33 +81,46 @@ def asof_join(
     group.
 
     Implementation: tag both inputs, union them, and run
-    ``last(<right value>, ignorenulls=True)`` over a window partitioned
-    by ``by`` and ordered by (ts, is_left) — right rows sort before left
-    rows at equal timestamps, so "at or before" semantics hold.  One
-    shuffle on ``by``; no range join, no cross product.  This is the
-    plan that survives 100×: cost is a sort within each key group.
+    ``last(<right ROW as one struct>, ignorenulls=True)`` over a window
+    partitioned by ``by`` and ordered by (ts, is_left) — right rows sort
+    before left rows at equal timestamps, so "at or before" semantics
+    hold.  One shuffle on ``by``; no range join, no cross product.  This
+    is the plan that survives 100×: cost is a sort within each key group.
+
+    The carried value is ONE struct of (right ts, right values), null
+    only on left-tagged rows: the struct is non-null for every right row
+    even when the right VALUE columns are null, so a matched row with a
+    NULL value yields NULL — exactly DuckDB ``ASOF LEFT JOIN`` / pandas
+    ``merge_asof``.  (Carrying each value through its own
+    ``last(ignorenulls=True)`` — the pre-r10 form — silently skipped
+    null-valued right rows, i.e. last-observation-carried-forward, a
+    different operator; pinned by tests/test_asof_property.py.)
 
     ``right_cols`` maps right column → output alias.  ``tolerance``
     (same units as ``ts``) nulls matches older than ``left.ts -
-    tolerance`` — pandas ``merge_asof(tolerance=...)`` semantics —
-    implemented by also carrying the matched right timestamp through
-    the window and masking stale matches afterward (no extra shuffle).
+    tolerance`` — pandas ``merge_asof(tolerance=...)`` semantics — a
+    post-window mask on the struct's matched timestamp (no extra
+    shuffle).  ``by`` keys are assumed non-null (entity keys): the
+    window groups NULL keys into one partition, unlike SQL ``ON`` which
+    never matches NULL.
     """
     lcols = left.columns
-    l_tag = left.withColumn("__is_left", F.lit(1))
-    for rc, alias in right_cols.items():
-        l_tag = l_tag.withColumn(f"__r_{alias}", F.lit(None).cast(right.schema[rc].dataType))
-    l_tag = l_tag.withColumn("__r_ts", F.lit(None).cast(right.schema[ts].dataType))
+    r_struct = F.struct(
+        F.col(ts).alias("__m_ts"),
+        *[F.col(rc).alias(alias) for rc, alias in right_cols.items()],
+    )
     r_tag = right.select(
         F.col(by),
         F.col(ts),
         F.lit(0).alias("__is_left"),
-        F.col(ts).alias("__r_ts"),
-        *[F.col(rc).alias(f"__r_{alias}") for rc, alias in right_cols.items()],
+        r_struct.alias("__r"),
     )
     for c in lcols:
         if c not in (by, ts):
             r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    l_tag = left.withColumn("__is_left", F.lit(1)).withColumn(
+        "__r", F.lit(None).cast(r_tag.schema["__r"].dataType)
+    )
     unioned = l_tag.unionByName(r_tag)
 
     w = (
@@ -115,16 +128,17 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = unioned
-    for rc, alias in right_cols.items():
-        out = out.withColumn(alias, F.last(f"__r_{alias}", ignorenulls=True).over(w))
-    out = out.withColumn("__m_ts", F.last("__r_ts", ignorenulls=True).over(w))
-    out = out.filter(F.col("__is_left") == 1)
+    out = unioned.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).filter(
+        F.col("__is_left") == 1
+    )
+    matched = F.col("__m")
     if tolerance is not None:
-        stale = F.col("__m_ts") < (F.col(ts) - tolerance)
-        for alias in right_cols.values():
-            out = out.withColumn(alias, F.when(~stale, F.col(alias)))
-    return out.select(*lcols, *[F.col(a) for a in right_cols.values()])
+        matched = F.when(
+            F.col("__m.__m_ts") >= (F.col(ts) - tolerance), F.col("__m")
+        )
+    return out.select(
+        *lcols, *[matched[a].alias(a) for a in right_cols.values()]
+    )
 
 
 def sessionize(

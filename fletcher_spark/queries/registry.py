@@ -66,6 +66,11 @@ INTRODUCED_ROUND: dict[str, int] = {
 CHANGED_ROUND: dict[str, int] = {
     "range_join_follows": 8,  # (user_id, ts div 5min) binning rewrite
     "dedup_levenshtein_block": 8,  # _LEV_BLOCK_CAP default 256 -> 64
+    # r10 asof_join struct-carry rewrite (operator module, invisible to
+    # the query-source hash guard): null-valued right rows now yield
+    # NULL instead of an older non-null value (test_asof_property.py)
+    "asof_join_last_click": 10,
+    "asof_join_tolerance": 10,
 }
 
 
