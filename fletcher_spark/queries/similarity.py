@@ -15,11 +15,48 @@ from fletcher_spark.pipeline import similarity as SIM
 from fletcher_spark.queries.registry import BENCH_EXCLUDE, query
 
 _DIM = 64
-#: 4 LSH tables x 4 hyperplanes (multi-table sign LSH; see
-#: pipeline/similarity.py:lsh_table_keys for the recall math)
-_N_PLANES = 16
-_PLANES_PER_TABLE = 4
-_PLANES = SIM.hyperplane_signs(_N_PLANES, _DIM)
+#: 4 LSH tables; each table carries a FULL 16-plane signature whose key
+#: is truncated at query time to a bit-width chosen from the corpus
+#: count (see _BITS_CASE below).  Plane layout keeps the r1-r9 keys
+#: stable: table t's first 4 planes are the original planes[4t..4t+3],
+#: its 12 extension planes come after index 16 — so at the minimum
+#: 4-bit width (any corpus ≤ 2048 vectors, incl. every driver scale)
+#: the bucket keys are bit-identical to the pre-r10 fixed-width scheme.
+_N_TABLES = 4
+_BASE_BITS = 4
+_MAX_BITS = 16
+_PLANES_PER_TABLE = _MAX_BITS
+_RAW_PLANES = SIM.hyperplane_signs(_N_TABLES * _MAX_BITS, _DIM)
+_PLANES = [
+    row
+    for t in range(_N_TABLES)
+    for row in (
+        _RAW_PLANES[t * _BASE_BITS : (t + 1) * _BASE_BITS]
+        + _RAW_PLANES[
+            _N_TABLES * _BASE_BITS
+            + t * (_MAX_BITS - _BASE_BITS) : _N_TABLES * _BASE_BITS
+            + (t + 1) * (_MAX_BITS - _BASE_BITS)
+        ]
+    )
+]
+
+#: Bucket-width ladder: the smallest b in [4, 16] with count ≤ 128·2^b
+#: (≈128 vectors per bucket per table).  Fixed-width keys made the
+#: candidate join quadratic in corpus size — at 100× data (200k
+#: vectors) 16 buckets/table yielded ~200M candidate pairs and >78 GB
+#: of SMJ spill (r10 scale probe); width that grows with log(N) keeps
+#: per-query candidates ≈ tables × 128 regardless of corpus size.
+#: Emitted as ONE integer-threshold CASE evaluated identically by
+#: Spark SQL and DuckDB (no float log2 edge cases).
+_BUCKET_TARGET = 128
+
+
+def _bits_case(n_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {n_expr} <= {_BUCKET_TARGET * (1 << b)} THEN {b}"
+        for b in range(_BASE_BITS, _MAX_BITS)
+    )
+    return f"(CASE {whens} ELSE {_MAX_BITS} END)"
 
 # -- DuckDB fragments ------------------------------------------------------
 
@@ -93,16 +130,17 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 BENCH_EXCLUDE.add("ann_cosine_topk")
 
 
-_N_TABLES = _N_PLANES // _PLANES_PER_TABLE
-
 _LSH_ORACLE = f"""
-WITH v AS (
+WITH bits AS (
+  SELECT {_bits_case("count(*)")} AS k FROM embeddings
+),
+v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
   FROM embeddings
 ),
 b AS (
   SELECT vec_id, ev,
-         {", ".join(f"{_duck_table_key('ev', t)} AS t{t}" for t in range(_N_TABLES))}
+         {", ".join(f"left({_duck_table_key('ev', t)}, (SELECT k FROM bits)) AS t{t}" for t in range(_N_TABLES))}
   FROM v
 ),
 bx AS (
@@ -128,35 +166,56 @@ SELECT query_id, neighbor_id, round(cos, 6) AS cos, rk FROM r WHERE rk <= 3
 
 @query("ann_lsh_bucketed", oracle=_LSH_ORACLE)
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table sign-LSH ANN: 4 tables × 4 deterministic ±1
-    hyperplanes; a vector pair is a candidate iff it shares a 4-bit key
-    in ANY table; exact cosine + top-3 on candidates only.
+    """Multi-table sign-LSH ANN: 4 tables × 16 deterministic ±1
+    hyperplanes, bucket key truncated to a corpus-size-derived width
+    (_bits_case: smallest b in [4,16] with N ≤ 128·2^b); a vector pair
+    is a candidate iff it shares a truncated key in ANY table; exact
+    cosine + top-3 on candidates only.
 
     Scale: explode is ×4 (one row per table), the candidate join is
-    keyed on (table, key) — shuffle O(4N), per-query candidate set
-    ≈ 4·N/16 worst case, never the all-pairs product.  Recall-vs-exact
-    is asserted in tests/test_pipeline.py (recall lever = more tables).
+    keyed on (table, key) — shuffle O(4N).  The key width is the part
+    that survives 100×: buckets multiply with the corpus, so per-query
+    candidates stay ≈ tables × 128 instead of tables × N/16 (the r10
+    sf10 probe measured the fixed-width form at ~200M candidate pairs /
+    >78 GB of spill on 200k vectors; adaptive width holds the same
+    sf0.01/sf0.1 keys bit-identical while capping bucket occupancy).
+    The query/vector sides carry no broadcast hints — the query set is
+    fact-proportional (vec_id % 50), so AQE's size-based choice decides,
+    exactly like the r9 ewma range-table unhinting.  Recall-vs-exact is
+    asserted in tests/test_pipeline.py (recall levers: more tables, or
+    a larger _BUCKET_TARGET).
     """
     e = spread(load_tables(spark, sf_dir)["embeddings"])
+    n = e.agg(F.count(F.lit(1)).alias("__n"))
     # persist the signature table: it feeds FOUR consumers (explode,
     # query filter, both sides of the scored join) — uncached, each one
     # re-ran the L×k plane products, and the explode's inferred
     # size(tkeys)>0 predicate pushed the whole transform into the scan
     # filter (the cache is both the recompute fix and the pushdown
     # barrier; plan audit in tests/test_plans.py)
-    b = e.select(
+    b = (
+        e.select(
+            "vec_id",
+            F.col("embedding").alias("ev"),
+            SIM.lsh_table_keys(F.col("embedding"), _PLANES, _PLANES_PER_TABLE).alias(
+                "tkeys"
+            ),
+        )
+        .crossJoin(F.broadcast(n))
+        .withColumn("__bits", F.expr(_bits_case("__n")))
+        .persist()
+    )
+    ex = b.select("vec_id", "ev", F.explode("tkeys").alias("bk"), "__bits").select(
         "vec_id",
-        F.col("embedding").alias("ev"),
-        SIM.lsh_table_keys(F.col("embedding"), _PLANES, _PLANES_PER_TABLE).alias("tkeys"),
-    ).persist()
-    ex = b.select("vec_id", "ev", F.explode("tkeys").alias("bk")).select(
-        "vec_id", "ev", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        "ev",
+        F.col("bk.band").alias("band"),
+        F.expr("substr(bk.key, 1, __bits)").alias("key"),
     )
     q = ex.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"), "band", "key"
     )
     cand = (
-        ex.join(F.broadcast(q), ["band", "key"])
+        ex.join(q, ["band", "key"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
@@ -172,7 +231,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         SIM.l2_norm(F.col("ev")).alias("nn"),
     )
     scored = (
-        cand.join(F.broadcast(vq), "query_id")
+        cand.join(vq, "query_id")
         .join(vn, "neighbor_id")
         .withColumn("cos", SIM.dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
     )
