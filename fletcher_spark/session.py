@@ -24,6 +24,17 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deliberately NOT set: adaptive.coalescePartitions.initialPartitionNum.
+    # A global wide start (512) fixed the 100×-tier reducer ceiling
+    # (dedup_prefix_filter_join 165.8 → 76.1 s, see SCALE.md r10) but an
+    # A/B at sf0.1 measured 2-4× latency regressions on shuffle-stage-
+    # heavy queries (prefix-filter 1.52 → 6.09 s, rfm_cuts 2.00 → 4.01 s):
+    # every map task writes initialPartitionNum shuffle blocks per stage,
+    # and at small data the block overhead dominates what AQE's
+    # coalescing saves.  shuffle.partitions stays the LAUNCH-size knob —
+    # sized to data/cluster at submit time (tools/scale_probe.py scales
+    # it with the tier exactly as a cluster launch would), AQE coalesces
+    # down from there.
     # The events table stores timestamp[ns]; Spark's reader rejects NANOS
     # unless they are surfaced as raw longs (converted in io.load_tables).
     "spark.sql.legacy.parquet.nanosAsLong": "true",

@@ -161,11 +161,21 @@ def run(names: list[str], dst: str = DST) -> None:
 
     registry.load_all()
     label = os.path.basename(dst.rstrip("/"))
+    # The launch-size knob scales with the tier, exactly as a cluster
+    # submit would size it (SCALE.md "session defaults"): partitions
+    # sized so shuffle blocks stay ~advisory-sized at the tier's data
+    # volume, AQE coalesces down per stage.  Fixed 32 at the 100× tier
+    # under-provisions reducers by ~10× and reads as super-linearity
+    # (dedup_prefix_filter_join measured 165.8 s at 32 fixed vs 65.5 s
+    # sized — the algorithm is linear; the launch config wasn't scaled).
+    # sf0.1→32 and sf1→32 keep the historical bound baselines comparable.
+    copies = {"sf1": 10, "sf10": 100}.get(label)
+    parts = str(max(32, (copies or 10) * 32 // 10))
     spark = (
         SparkSession.builder.appName("scale-probe")
         .master("local[32]")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", parts)
         # sf1 working sets (15M-row gram/shingle tables + persists) blow
         # the 1g local-mode default heap; the probe box has 128 GiB.
         # The sf10 tier gets more headroom via SCALE_PROBE_DRIVER_MEM.
@@ -178,6 +188,13 @@ def run(names: list[str], dst: str = DST) -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     def one(name: str, sf_dir: str) -> float:
+        # each scale runs under its OWN launch sizing (the baseline at
+        # the 100× tier's width would inflate: 320 reducers over sf0.1
+        # data pays per-block overhead with nothing to coalesce-save) —
+        # shuffle.partitions is runtime-settable, AQE re-plans per query
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", "32" if sf_dir == SRC else parts
+        )
         t0 = time.perf_counter()
         registry.QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"
