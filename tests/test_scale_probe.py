@@ -48,6 +48,14 @@ BOUNDS = {
     # per-segment applyInPandas version it replaced measured 3.51×
     # with 5× the absolute wall)
     "ewma_segmented": 5.0,
+    # hash-min connected components over banded candidates (2.05× r10,
+    # 4.74× r7 — ≤ linear in 10× edges; bound keeps r7-style headroom)
+    "dedup_cc_clusters": 12.0,
+    # corpus-size-adaptive LSH key width (r10): the sf1 tier gets 8-bit
+    # buckets vs sf0.1's 4-bit, so the measured 10× ratio is 0.80 —
+    # SUB-1; the bound guards the adaptive ladder itself (a regression
+    # to fixed-width keys measured DNF at 100× and ~2× here)
+    "ann_lsh_bucketed": 4.0,
 }
 
 
