@@ -25,7 +25,36 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "cosine", "l2_norm", "hyperplane_signs", "lsh_bucket", "brute_force_topk"]
+__all__ = [
+    "dot",
+    "cosine",
+    "l2_norm",
+    "hyperplane_signs",
+    "lsh_bucket",
+    "brute_force_topk",
+    "bits_case_sql",
+]
+
+
+def bits_case_sql(n_expr: str, target: int, min_bits: int, max_bits: int) -> str:
+    """Integer-threshold CASE choosing the smallest LSH key width ``b``
+    in [min_bits, max_bits] with ``n ≤ target·2^b`` (expected bucket
+    occupancy ≤ target).  ONE text, evaluated identically by Spark SQL
+    and DuckDB — integer comparisons only, so no float ``log2``
+    edge cases at exact powers of two.
+
+    Fixed-width keys make every bucketed candidate join quadratic in
+    corpus size (occupancy ∝ N); width that grows with log(N) holds
+    occupancy at ``target`` until ``target·2^max_bits`` rows, after
+    which max_bits (and the plane count backing it) is the knob.  The
+    r10 100× probe measured both fixed-width users failing at 200k
+    vectors (ann_lsh_bucketed DNF on >78 GB of spill,
+    dedup_embedding_cosine ~40 GB); see SCALE.md r10."""
+    whens = " ".join(
+        f"WHEN {n_expr} <= {target * (1 << b)} THEN {b}"
+        for b in range(min_bits, max_bits)
+    )
+    return f"(CASE {whens} ELSE {max_bits} END)"
 
 
 def _d(col: Column) -> Column:

@@ -396,13 +396,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: = 1-(1-0.856^8)^8 ≈ 0.93.  Candidate recall IS the documented
 #: accuracy/cost lever; the oracle replays the identical planes.
 _EMB_TABLES = 8
-_EMB_PPT = 8
+#: base key width (8 = the r4-r9 fixed width: every corpus ≤
+#: _EMB_TARGET·2^8 = 4096 vectors — all driver scales — produces
+#: bit-identical keys and results) and the ladder's max width.  The
+#: 100× probe measured the fixed 8-bit form at ~40 GB of self-join
+#: spill on 200k vectors: a SELF-join's cost is Σ|bucket|²/2, so
+#: occupancy must stay ~constant as the corpus grows — the smallest
+#: width in [8, 16] with count ≤ 16·2^bits (pipeline/similarity.py:
+#: bits_case_sql; the self-join target 16 is much tighter than the
+#: ANN query target 128 because cost is quadratic in occupancy here,
+#: linear there).  Each table's 8 extension planes are appended AFTER
+#: its original 8, so truncation at the base width reproduces the old
+#: keys exactly.
+_EMB_PPT = 16
+_EMB_BASE_BITS = 8
+_EMB_TARGET = 16
 
 
 def _emb_planes():
     from fletcher_spark.pipeline import similarity as SIM
 
-    return SIM.hyperplane_signs(_EMB_TABLES * _EMB_PPT, 64, seed="dedup")
+    raw = SIM.hyperplane_signs(_EMB_TABLES * _EMB_PPT, 64, seed="dedup")
+    base = _EMB_TABLES * _EMB_BASE_BITS
+    ext = _EMB_PPT - _EMB_BASE_BITS
+    return [
+        row
+        for t in range(_EMB_TABLES)
+        for row in (
+            raw[t * _EMB_BASE_BITS : (t + 1) * _EMB_BASE_BITS]
+            + raw[base + t * ext : base + (t + 1) * ext]
+        )
+    ]
+
+
+def _emb_bits_case(n_expr: str) -> str:
+    from fletcher_spark.pipeline import similarity as SIM
+
+    return SIM.bits_case_sql(n_expr, _EMB_TARGET, _EMB_BASE_BITS, _EMB_PPT)
 
 
 def _build_emb_cos_oracle() -> str:
@@ -414,13 +444,16 @@ def _build_emb_cos_oracle() -> str:
     planes = _emb_planes()
 
     return f"""
-WITH v AS (
+WITH bits AS (
+  SELECT {_emb_bits_case("count(*)")} AS k FROM embeddings
+),
+v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
   FROM embeddings
 ),
 b AS (
   SELECT vec_id, ev,
-         {", ".join(f"{_duck_table_key('ev', t, planes, _EMB_PPT)} AS t{t}" for t in range(_N_TABLES))}
+         {", ".join(f"left({_duck_table_key('ev', t, planes, _EMB_PPT)}, (SELECT k FROM bits)) AS t{t}" for t in range(_N_TABLES))}
   FROM v
 ),
 bx AS (
@@ -443,23 +476,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: semantic duplicate pairs (cos ≥ 0.35
     — calibrated to this near-uniform corpus; real embedding spaces use
     ~0.9) via the same multi-table sign-LSH candidate machinery as the
-    ANN queries but with dedup-tuned geometry (8×8-bit keys, see
-    ``_EMB_TABLES``) — candidates only, never all-pairs, then exact
-    cosine verification.  Completes the dedup family: exact, MinHash,
-    SimHash, n-gram Jaccard, embedding-cosine."""
+    ANN queries but with dedup-tuned geometry (8 tables, key width
+    adaptive in [8, 16] bits holding bucket occupancy ≤ 16, see
+    ``_EMB_BASE_BITS``) — candidates only, never all-pairs, then exact
+    cosine verification.  The self-join's cost is Σ|bucket|²/2, so
+    occupancy (not bucket count) is the scale invariant; fixed 8-bit
+    keys measured ~40 GB of spill at 200k vectors (SCALE.md r10).
+    Completes the dedup family: exact, MinHash, SimHash, n-gram
+    Jaccard, embedding-cosine."""
     from fletcher_spark.pipeline import similarity as SIM
 
     e = spread(load_tables(spark, sf_dir)["embeddings"])
+    n = e.agg(F.count(F.lit(1)).alias("__n"))
     # the banded table fans out to the exploded self-join (×2) and both
     # verify sides; persist it or the interpreted hyperplane projection
     # (tables × planes × dim multiplies per vector) runs four times
-    b = e.select(
+    b = (
+        e.select(
+            "vec_id",
+            F.col("embedding").alias("ev"),
+            SIM.lsh_table_keys(F.col("embedding"), _emb_planes(), _EMB_PPT).alias(
+                "tkeys"
+            ),
+        )
+        .crossJoin(F.broadcast(n))
+        .withColumn("__bits", F.expr(_emb_bits_case("__n")))
+        .persist()
+    )
+    ex = b.select("vec_id", F.explode("tkeys").alias("bk"), "__bits").select(
         "vec_id",
-        F.col("embedding").alias("ev"),
-        SIM.lsh_table_keys(F.col("embedding"), _emb_planes(), _EMB_PPT).alias("tkeys"),
-    ).persist()
-    ex = b.select("vec_id", F.explode("tkeys").alias("bk")).select(
-        "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        F.col("bk.band").alias("band"),
+        F.expr("substr(bk.key, 1, __bits)").alias("key"),
     )
     a = ex.alias("a")
     c = ex.alias("c")

@@ -46,17 +46,14 @@ _PLANES = [
 #: vectors) 16 buckets/table yielded ~200M candidate pairs and >78 GB
 #: of SMJ spill (r10 scale probe); width that grows with log(N) keeps
 #: per-query candidates ≈ tables × 128 regardless of corpus size.
-#: Emitted as ONE integer-threshold CASE evaluated identically by
-#: Spark SQL and DuckDB (no float log2 edge cases).
+#: The QUERY target (128) tolerates bigger buckets than the self-join
+#: dedup target (queries/dedup.py uses 16): probe cost is |bucket| per
+#: query row, not |bucket|² per bucket.
 _BUCKET_TARGET = 128
 
 
 def _bits_case(n_expr: str) -> str:
-    whens = " ".join(
-        f"WHEN {n_expr} <= {_BUCKET_TARGET * (1 << b)} THEN {b}"
-        for b in range(_BASE_BITS, _MAX_BITS)
-    )
-    return f"(CASE {whens} ELSE {_MAX_BITS} END)"
+    return SIM.bits_case_sql(n_expr, _BUCKET_TARGET, _BASE_BITS, _MAX_BITS)
 
 # -- DuckDB fragments ------------------------------------------------------
 
@@ -243,9 +240,35 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF list sub-sharding: labels are the lists (nlist = label
+#: cardinality, fixed at 10 in the synthetic data), so a fixed-nlist
+#: probe scans n_probe/nlist = 20 % of the corpus PER QUERY — with
+#: |Q| ∝ N that is quadratic, and the r10 100× probe measured it at
+#: 93.7 s / 108.6× (the one legitimately-super-linear survivor of the
+#: first sweep).  Production IVF scales nlist ~ √N; with labels fixed,
+#: the equivalent lever is sharding each list by a sign-LSH sub-key of
+#: adaptive width (0 bits until 2500 vectors — every driver scale,
+#: keys and results bit-identical to the unsharded form — then the
+#: smallest width in [0, 8] holding expected (label, sub) occupancy
+#: ≤ 250).  A query probes its own sub-shard of each candidate list;
+#: the production recall lever is multi-probe (flipping low-confidence
+#: signature bits), exactly as in FAISS-style IVF sharding.
+_IVF_SUB_PLANES = SIM.hyperplane_signs(8, _DIM, seed="ivf")
+_IVF_SUB_TARGET = 2500
+
+
+def _ivf_bits_case(n_expr: str) -> str:
+    return SIM.bits_case_sql(n_expr, _IVF_SUB_TARGET, 0, len(_IVF_SUB_PLANES))
+
+
 _IVF_ORACLE = f"""
-WITH v AS (
-  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS ev
+WITH bits AS (
+  SELECT {_ivf_bits_case("count(*)")} AS k FROM embeddings
+),
+v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS ev,
+         left({_duck_table_key("list_transform(embedding, x -> x::DOUBLE)", 0, _IVF_SUB_PLANES, len(_IVF_SUB_PLANES))},
+              (SELECT k FROM bits)) AS sub
   FROM embeddings
 ),
 cdim AS (
@@ -254,17 +277,18 @@ cdim AS (
   GROUP BY label, i
 ),
 cent AS (SELECT label, list(cv ORDER BY i) AS cv FROM cdim GROUP BY label),
-q AS (SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id % 50 = 0),
+q AS (SELECT vec_id AS query_id, ev AS qv, sub FROM v WHERE vec_id % 50 = 0),
 qc AS (
-  SELECT query_id, qv, label, {_duck_cos("qv", "cv")} AS ccos,
+  SELECT query_id, qv, sub, label, {_duck_cos("qv", "cv")} AS ccos,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY {_duck_cos("qv", "cv")} DESC, label) AS crk
   FROM q, cent
 ),
-probe AS (SELECT query_id, qv, label FROM qc WHERE crk <= 2),
+probe AS (SELECT query_id, qv, sub, label FROM qc WHERE crk <= 2),
 s AS (
   SELECT p.query_id, v.vec_id AS neighbor_id, {_duck_cos("p.qv", "v.ev")} AS cos
-  FROM probe p JOIN v ON v.label = p.label AND v.vec_id != p.query_id
+  FROM probe p JOIN v ON v.label = p.label AND v.sub = p.sub
+                     AND v.vec_id != p.query_id
 ),
 r AS (
   SELECT query_id, neighbor_id, cos,
@@ -279,21 +303,43 @@ SELECT query_id, neighbor_id, round(cos, 6) AS cos, rk FROM r WHERE rk <= 3
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantizer = per-``label`` centroids (the
     dataset's cluster structure stands in for k-means lists), probe the
-    2 nearest lists per query, exact cosine within probed lists only.
+    2 nearest lists per query, exact cosine within the query's
+    adaptive-width sign-LSH SUB-SHARD of each probed list only
+    (_IVF_SUB_PLANES / _ivf_bits_case: 0 bits — unsharded, results
+    bit-identical to the r4-r9 form — until 2500 vectors, then the
+    smallest width in [0, 8] holding (label, sub) occupancy ≤ 250).
 
     Scale: centroids are a tiny aggregate (lists × dim) broadcast to
-    every executor; the candidate join is keyed on list id, so each
-    query scans ≈ 2/n_lists of the corpus.  Centroid averaging uses
-    posexplode + (label, pos) grouping — a map-side-combined aggregate,
-    never a per-vector Python loop.
+    every executor; the candidate join is keyed on (list id, sub-key).
+    A fixed-nlist probe scans n_probe/nlist of the corpus per query —
+    quadratic once |Q| ∝ N (measured 108.6× at 100× data, r10 probe);
+    the sub-shard ladder is the nlist ~ √N lever expressed on fixed
+    label lists, holding per-query scanned rows ~constant.  Centroid
+    averaging uses posexplode + (label, pos) grouping — a
+    map-side-combined aggregate, never a per-vector Python loop.
     """
     e = spread(load_tables(spark, sf_dir)["embeddings"])
+    n = e.agg(F.count(F.lit(1)).alias("__n"))
     # persisted: v feeds the centroid aggregate, the query set, and the
     # scored join probe — and caching keeps the posexplode's inferred
     # size(ev)>0 filter off the scan (see ann_lsh_bucketed)
-    v = e.select(
-        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("ev")
-    ).persist()
+    ev = F.transform("embedding", lambda x: x.cast("double"))
+    v = (
+        e.select(
+            "vec_id",
+            "label",
+            ev.alias("ev"),
+            SIM.lsh_bucket(ev, _IVF_SUB_PLANES).alias("__sig"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "vec_id",
+            "label",
+            "ev",
+            F.expr(f"substr(__sig, 1, {_ivf_bits_case('__n')})").alias("sub"),
+        )
+        .persist()
+    )
 
     # centroids: explode to (label, pos, val); partial+final avg; re-pack
     cdim = (
@@ -308,20 +354,22 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     q = v.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"), "sub"
     )
     qc = q.crossJoin(F.broadcast(cent)).withColumn("ccos", SIM.cosine(F.col("qv"), F.col("cv")))
     wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("label"))
     probe = (
         qc.withColumn("crk", F.row_number().over(wq))
         .filter(F.col("crk") <= 2)
-        .select("query_id", "qv", "label")
+        .select("query_id", "qv", "sub", "label")
     )
 
     vn = v.withColumn("nn", SIM.l2_norm(F.col("ev")))
+    # no broadcast hint: the probe side is fact-proportional (|Q| ∝ N);
+    # AQE's size-based choice decides
     probe_n = probe.withColumn("qn", SIM.l2_norm(F.col("qv")))
     scored = (
-        vn.join(F.broadcast(probe_n), "label")
+        vn.join(probe_n, ["label", "sub"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("cos", SIM.dot(F.col("qv"), F.col("ev")) / (F.col("qn") * F.col("nn")))
     )
@@ -463,8 +511,13 @@ _INT8_DOT = (
 )
 
 _IVF_INT8_ORACLE = f"""
-WITH v AS (
-  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS ev
+WITH bits AS (
+  SELECT {_ivf_bits_case("count(*)")} AS k FROM embeddings
+),
+v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS ev,
+         left({_duck_table_key("list_transform(embedding, x -> x::DOUBLE)", 0, _IVF_SUB_PLANES, len(_IVF_SUB_PLANES))},
+              (SELECT k FROM bits)) AS sub
   FROM embeddings
 ),
 cdim AS (
@@ -474,36 +527,37 @@ cdim AS (
 ),
 cent AS (SELECT label, list(cv ORDER BY i) AS cv FROM cdim GROUP BY label),
 qz AS (
-  SELECT vec_id, label, ev,
+  SELECT vec_id, label, ev, sub,
          list_max(list_transform(ev, x -> abs(x))) AS maxabs
   FROM v
 ),
 q8 AS (
-  SELECT vec_id, label, ev,
+  SELECT vec_id, label, ev, sub,
          list_transform(ev, x -> CAST(round(127.0 * x / maxabs) AS INT)) AS qv8
   FROM qz
 ),
 qn AS (
-  SELECT vec_id, label, ev, qv8,
+  SELECT vec_id, label, ev, sub, qv8,
          sqrt(({_INT8_DOT.format(a="qv8", b="qv8")})::DOUBLE) AS q_norm
   FROM q8
 ),
 q AS (
-  SELECT vec_id AS query_id, ev AS qv, qv8 AS qq8, q_norm AS q_qn
+  SELECT vec_id AS query_id, ev AS qv, sub, qv8 AS qq8, q_norm AS q_qn
   FROM qn WHERE vec_id % 50 = 0
 ),
 qc AS (
-  SELECT query_id, qv, qq8, q_qn, label,
+  SELECT query_id, qv, sub, qq8, q_qn, label,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY {_duck_cos("qv", "cv")} DESC, label) AS crk
   FROM q, cent
 ),
-probe AS (SELECT query_id, qv, qq8, q_qn, label FROM qc WHERE crk <= 2),
+probe AS (SELECT query_id, qv, sub, qq8, q_qn, label FROM qc WHERE crk <= 2),
 s1 AS (
   SELECT p.query_id, n.vec_id AS neighbor_id, p.qv, n.ev,
          ({_INT8_DOT.format(a="p.qq8", b="n.qv8")})::DOUBLE
            / (p.q_qn * n.q_norm) AS acos
-  FROM probe p JOIN qn n ON n.label = p.label AND n.vec_id != p.query_id
+  FROM probe p JOIN qn n ON n.label = p.label AND n.sub = p.sub
+                        AND n.vec_id != p.query_id
 ),
 s1r AS (
   SELECT query_id, neighbor_id, qv, ev,
@@ -535,14 +589,32 @@ def ann_ivf_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stage-1 scores are exact integers divided by precomputed norms, so
     both engines rank identically (no float-summation-order hazard);
     the oracle replays quantization, probe, integer scoring, and
-    rescore bit-for-bit.  Scale: stage 1 touches ≈ 2/n_lists of the
-    corpus per query at a quarter of the bytes; stage 2 touches 10
-    rows per query.
+    rescore bit-for-bit.  Scale: stage 1 touches the query's
+    adaptive-width sign-LSH sub-shard of each probed list (same
+    _IVF_SUB_PLANES ladder as ann_ivf_probe — 0 bits / bit-identical
+    results below 2500 vectors; the fixed-list form measured ~45 GB of
+    spill at 200k vectors, r10 probe) at a quarter of the bytes;
+    stage 2 touches 10 rows per query.
     """
     e = spread(load_tables(spark, sf_dir)["embeddings"])
-    v = e.select(
-        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("ev")
-    ).persist()
+    n = e.agg(F.count(F.lit(1)).alias("__n"))
+    ev_x = F.transform("embedding", lambda x: x.cast("double"))
+    v = (
+        e.select(
+            "vec_id",
+            "label",
+            ev_x.alias("ev"),
+            SIM.lsh_bucket(ev_x, _IVF_SUB_PLANES).alias("__sig"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "vec_id",
+            "label",
+            "ev",
+            F.expr(f"substr(__sig, 1, {_ivf_bits_case('__n')})").alias("sub"),
+        )
+        .persist()
+    )
 
     cdim = (
         v.select("label", F.posexplode("ev").alias("i", "val"))
@@ -569,13 +641,14 @@ def ann_ivf_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.withColumn("maxabs", maxabs)
         .withColumn("qv8", qv8)
         .withColumn("q_norm", F.sqrt(int_dot(F.col("qv8"), F.col("qv8")).cast("double")))
-        .select("vec_id", "label", "ev", "qv8", "q_norm")
+        .select("vec_id", "label", "ev", "sub", "qv8", "q_norm")
         .persist()
     )
 
     q = qn.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("ev").alias("qv"),
+        "sub",
         F.col("qv8").alias("qq8"),
         F.col("q_norm").alias("q_qn"),
     )
@@ -586,11 +659,12 @@ def ann_ivf_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = (
         qc.withColumn("crk", F.row_number().over(wq))
         .filter(F.col("crk") <= 2)
-        .select("query_id", "qv", "qq8", "q_qn", "label")
+        .select("query_id", "qv", "sub", "qq8", "q_qn", "label")
     )
 
+    # no broadcast hint: the probe side is fact-proportional (|Q| ∝ N)
     s1 = (
-        qn.join(F.broadcast(probe), "label")
+        qn.join(probe, ["label", "sub"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "acos",
