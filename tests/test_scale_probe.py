@@ -56,6 +56,13 @@ BOUNDS = {
     # SUB-1; the bound guards the adaptive ladder itself (a regression
     # to fixed-width keys measured DNF at 100× and ~2× here)
     "ann_lsh_bucketed": 4.0,
+    # the other three width-ladder queries (r10): measured 1.02 / 1.21 /
+    # 1.35 at 10× — near-flat because the ladder widens with the corpus;
+    # their fixed-granularity forms measured 448× / 108× / 239× at 100×,
+    # so these bounds are the regression guard for the whole genus
+    "dedup_embedding_cosine": 5.0,
+    "ann_ivf_probe": 5.0,
+    "ann_ivf_int8_rescore": 5.0,
 }
 
 
