@@ -63,6 +63,9 @@ BOUNDS = {
     "dedup_embedding_cosine": 5.0,
     "ann_ivf_probe": 5.0,
     "ann_ivf_int8_rescore": 5.0,
+    # (label, sub)-blocked numpy kNN kernel (r10): 1.14 at 10×; the
+    # label-only blocking it replaced was N²·d/10 FLOPs by construction
+    "knn_graph_blocked": 5.0,
 }
 
 
