@@ -66,6 +66,14 @@ BOUNDS = {
     # (label, sub)-blocked numpy kNN kernel (r10): 1.14 at 10×; the
     # label-only blocking it replaced was N²·d/10 FLOPs by construction
     "knn_graph_blocked": 5.0,
+    # the three full-registry-sweep fixes (r10 second session) — bounds
+    # guard the fixed plan shapes, measured at 10×: in-array mode fold
+    # (1.39×; the explode-shuffle form it replaced measured 52× at
+    # 100×), pre-aggregated FK audit join (1.12×; row-level join form
+    # 54× at 100×), hashed-shingle shuffle keys (2.94×)
+    "text_repetition": 5.0,
+    "fk_orphan_audit": 5.0,
+    "text_boilerplate_ratio": 7.0,
 }
 
 
