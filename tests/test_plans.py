@@ -479,3 +479,42 @@ def test_cut_point_queries_broadcast_cuts_onto_scan(spark):
         p = plan(spark, name)
         assert "BroadcastNestedLoopJoin" in p, f"{name}:\n{p}"
         assert "CartesianProduct" not in p, name
+
+
+def test_text_repetition_is_map_only(spark):
+    """The r10 100× sweep fix: both repetition statistics are per-doc,
+    so the plan must contain NO key shuffle — no explode-driven
+    (doc, bigram) hashpartitioning Exchange, no join back.  Map-only
+    (modulo spread()'s small-file round-robin guard, identity at real
+    scale) is the property that made it 50.8 → 6.05 s at 100× data."""
+    p = plan(spark, "text_repetition")
+    assert "hashpartitioning" not in p, p
+    assert "rangepartitioning" not in p.lower(), p
+    assert "Generate explode" not in p, p
+    assert "Join" not in p, p
+
+
+def test_fk_orphan_audit_preaggregates_fact_side(spark):
+    """The audit must hash-aggregate the fact table to (fk, count)
+    BEFORE the parent join (r10: joining raw fact rows measured
+    35.8 s vs 2.49 s at 100×).  Shape: each relation shows a partial
+    aggregate on the fact scan side of the join, and the final
+    aggregate consumes the join."""
+    p = plan(spark, "fk_orphan_audit")
+    # two relations; each has: partial agg on fact, distinct on parents,
+    # join, then the 1-row final agg — so HashAggregate strictly
+    # outnumbers joins and at least one aggregate sits below each join
+    joins = p.count("SortMergeJoin") + p.count("ShuffledHashJoin") + p.count(
+        "BroadcastHashJoin"
+    )
+    assert joins >= 2, p
+    assert p.count("HashAggregate") >= 6, p  # partial+final × (pre-agg, distinct, total) × 2
+    assert "count(1)" in p or "count(" in p, p
+
+
+def test_text_boilerplate_shuffles_longs_not_strings(spark):
+    """The shingle explode must emit xxhash64 longs so both shuffles
+    carry 8-byte keys, never ~50-byte shingle strings (r10: 6× smaller
+    shuffle payload, 38.2 → 29.3 s at 100×)."""
+    p = optimized(spark, "text_boilerplate_ratio")
+    assert "xxhash64" in p, p
