@@ -319,23 +319,38 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two hash aggregates and one shingle-keyed shuffle join: explode
     shingles (map-only), distinct-doc count per shingle, left-join the
     flag back, re-aggregate per doc.  The shingle is reduced to an
-    8-byte ``xxhash64`` INSIDE the per-position transform, so the
-    explode and both shuffles carry longs, never ~50-byte strings —
-    a 6× smaller shuffle payload (interleaved min-of-3 A/B at the r10
-    100× probe: 38.2 → 29.3 s on 500 k docs; at cluster scale the
-    network win is the point).  Output is identical up to a 64-bit
-    hash collision between distinct shingles (~C(5e7,2)/2⁶⁴ ≈ 7e-5
-    expected pairs at the probe's 50 M shingles — the standard
-    content-addressed-key trade every production dedup makes).  No
-    windows, no all-pairs; the join key is content-addressed so skew
-    only appears where boilerplate actually exists — which AQE
-    splits."""
+    8-byte key BEFORE the explode, so both shuffles carry longs, never
+    ~50-byte strings (a 6× smaller shuffle payload; r10 A/B raw-string
+    → hashed keys: 38.2 → 29.3 s on 500 k docs) — and the key never
+    materializes the shingle STRING either: each token is
+    ``xxhash64``-ed once, then every position folds its 8 token hashes
+    with a rotate-xor (each position contributes at a distinct
+    rotation, so the key is order-sensitive; pure bitwise ops, safe
+    under ANSI overflow checking).  Interleaved min-of-3 A/B vs the
+    string-hash key at the 100× probe: 48.7 → 33.5 s under load —
+    token hashing is one pass over the text, the per-position work is
+    8 long ops instead of a ~50-byte concat+hash.  Output is identical
+    up to a 64-bit key collision between distinct shingles
+    (~C(5e7,2)/2⁶⁴ ≈ 7e-5 expected pairs at the probe's 50 M shingles
+    — the standard content-addressed-key trade every production dedup
+    makes).  No windows, no all-pairs; the join key is
+    content-addressed so skew only appears where boilerplate actually
+    exists — which AQE splits."""
     d = spread(load_tables(spark, sf_dir)["documents"])
     toks = _toks()
     n = F.size(toks)
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _rot7(c):
+        return F.shiftleft(c, 7).bitwiseOR(F.shiftrightunsigned(c, 57))
+
     grams = F.transform(
         F.sequence(F.lit(1), n - 7),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, 8))),
+        lambda i: F.aggregate(
+            F.slice(tok_hashes, i, 8),
+            F.lit(0).cast("long"),
+            lambda acc, x: _rot7(acc).bitwiseXOR(x),
+        ),
     )
     sh = d.filter(n >= 8).select("doc_id", F.explode(grams).alias("sh"))
     boiler = (
