@@ -967,8 +967,19 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       class are equally rare — so the DuckDB oracle's simpler global
       sort stays output-identical.
 
-    Shape: token explode → hash-agg df → distributed rarity rank →
-    prefix posexplode → bucketed pair join with positional bound →
+    The bigram identity carried through the df aggregate and the tid
+    join is an ``xxhash64`` LONG, never the ~20-byte bigram string:
+    hashing happens inside the per-doc transform (before the
+    array_distinct and the explode), so the two token-keyed shuffles
+    move 8-byte keys (r10 interleaved min-of-3 A/B at the 10× tier:
+    41.6 → 13.1 s under co-tenant load, identical pair output; the
+    same content-addressed-key trade as text_boilerplate_ratio, ~7e-5
+    expected collisions at 50 M distinct bigrams).  The within-class
+    rank orders by the hash — a consistent total order, which per the
+    paragraph above is all the prefix filter needs.
+
+    Shape: token-hash explode → hash-agg df → distributed rarity rank
+    → prefix posexplode → bucketed pair join with positional bound →
     array-intersect verify on surviving candidates only."""
     d = spread(load_tables(spark, sf_dir)["documents"])
     # split once into its own projection: inlined under the Generate the
@@ -982,7 +993,10 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     tok = w.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("token")
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
+        ).alias("token"),
     ).persist()  # used twice: document frequency AND the doc-set build
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # token -> dense int id in RARITY order (df asc, then arbitrary
