@@ -342,12 +342,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic ONLY in block size, which the key width controls (the
     first-token component alone cuts candidate pairs ~25× on this
     corpus).  LSH variants above are the unbounded-corpus path.
+
+    Each 4-gram is reduced to an ``xxhash64`` LONG inside the per-doc
+    transform, so the self-join shuffles ~8-byte-element arrays
+    instead of 4-char-string arrays and the per-pair set ops compare
+    longs (same content-addressed-key trade as the prefix-filter and
+    boilerplate queries; Jaccard is identical up to a collision inside
+    one pair's ~2 k-element union, ~2⁻⁵³ per pair).  ``|∪|`` is
+    computed arithmetically as ``s1 + s2 − |∩|`` — the union array is
+    never built.
     """
     d = spread(load_tables(spark, sf_dir)["documents"])
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.length("text") - 3),
-            lambda i: F.substring(F.col("text"), i, 4),
+            lambda i: F.xxhash64(F.substring(F.col("text"), i, 4)),
         )
     )
     # both sides of the self-join read the gram table; persist it or the
@@ -373,8 +382,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok1",
         F.col("grams").alias("g2"),
     )
-    jac = F.size(F.array_intersect("g1", "g2")) / F.size(F.array_union("g1", "g2"))
     s1, s2 = F.size("g1"), F.size("g2")
+    inter = F.size(F.array_intersect("g1", "g2"))
+    jac = inter / (s1 + s2 - inter)
     return (
         a.join(b, ["lang", "lenb", "tok1"])
         .filter(F.col("id1") < F.col("id2"))
