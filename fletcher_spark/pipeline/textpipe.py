@@ -75,6 +75,12 @@ def array_mode_count(arr: Column) -> Column:
     groupBy(row, elem) → groupBy(row) formulation shuffles one row per
     (row, element) pair — ~|rows|×|elements| rows — for a statistic that
     never leaves the row.  Returns 0 for an empty array.
+
+    Works for any element type: the accumulator's ``prev`` field is a
+    typed NULL derived from the input (``get(arr, -1)`` — out-of-range,
+    so always NULL, never an ANSI error), not a hard-coded string cast,
+    so the ``eqNullSafe`` run comparison uses the array's own element
+    type (tests/test_ngrams_property.py pins string and bigint arrays).
     """
     run_inc = lambda acc, x: (  # noqa: E731 — local fold step
         F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1))
@@ -82,7 +88,7 @@ def array_mode_count(arr: Column) -> Column:
     return F.aggregate(
         F.array_sort(arr),
         F.struct(
-            F.lit(None).cast("string").alias("prev"),
+            F.get(arr, F.lit(-1)).alias("prev"),
             F.lit(0).alias("run"),
             F.lit(0).alias("best"),
         ),

@@ -335,24 +335,36 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the standard content-addressed-key trade every production dedup
     makes).  No windows, no all-pairs; the join key is
     content-addressed so skew only appears where boilerplate actually
-    exists — which AQE splits."""
+    exists — which AQE splits.
+
+    The token-hash array is staged through its OWN projection (``th``)
+    before the per-position fold consumes it: Catalyst does not CSE
+    inside higher-order-function lambdas, so an inlined
+    ``transform(toks, xxhash64)`` subtree is re-evaluated per shingle
+    position — O(n²) token hashes, the exact pitfall the paragraph
+    above describes.  ``th`` is referenced twice downstream (``size``
+    + ``slice``), which keeps CollapseProject from re-inlining the
+    non-cheap transform (plan shape pinned in
+    tests/test_plans.py::test_boilerplate_token_hash_staged)."""
     d = spread(load_tables(spark, sf_dir)["documents"])
     toks = _toks()
     n = F.size(toks)
-    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     def _rot7(c):
         return F.shiftleft(c, 7).bitwiseOR(F.shiftrightunsigned(c, 57))
 
+    staged = d.filter(n >= 8).select(
+        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
+    )
     grams = F.transform(
-        F.sequence(F.lit(1), n - 7),
+        F.sequence(F.lit(1), F.size("th") - 7),
         lambda i: F.aggregate(
-            F.slice(tok_hashes, i, 8),
+            F.slice("th", i, 8),
             F.lit(0).cast("long"),
             lambda acc, x: _rot7(acc).bitwiseXOR(x),
         ),
     )
-    sh = d.filter(n >= 8).select("doc_id", F.explode(grams).alias("sh"))
+    sh = staged.select("doc_id", F.explode(grams).alias("sh"))
     boiler = (
         sh.groupBy("sh")
         .agg(F.countDistinct("doc_id").alias("nd"))

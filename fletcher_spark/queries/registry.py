@@ -71,6 +71,15 @@ CHANGED_ROUND: dict[str, int] = {
     # NULL instead of an older non-null value (test_asof_property.py)
     "asof_join_last_click": 10,
     "asof_join_tolerance": 10,
+    # r10 shared zip_with ngrams-builder rewrite (pipeline/textpipe.py)
+    # — consumers whose own source did not change (ADVICE r10: route
+    # every consumer of the rewritten builder through an oracle
+    # re-verification, not just the property test)
+    "text_ngrams_top": 10,
+    "contamination_ngram_overlap": 10,
+    # r11 array_mode_count typed-NULL accumulator (pipeline/textpipe.py
+    # — operator module, invisible to the query-source hash guard)
+    "text_repetition": 11,
 }
 
 

@@ -63,3 +63,21 @@ def test_array_mode_count_matches_counter(spark, batch):
     for i, toks in enumerate(batch):
         exp = max(Counter(toks).values()) if toks else 0
         assert got[i] == exp, toks
+
+
+@given(batch=st.lists(st.lists(st.integers(-3, 3), max_size=10), min_size=1, max_size=16))
+@SETTINGS
+def test_array_mode_count_generic_bigint(spark, batch):
+    """The fold is type-generic: its accumulator's ``prev`` is a typed
+    NULL from ``get(arr, -1)``, not a string cast — pin bigint arrays
+    against the same Counter reference."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "i int, xs array<bigint>"
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select("i", T.array_mode_count(F.col("xs")).alias("m")).collect()
+    }
+    for i, xs in enumerate(batch):
+        exp = max(Counter(xs).values()) if xs else 0
+        assert got[i] == exp, xs

@@ -518,3 +518,28 @@ def test_text_boilerplate_shuffles_longs_not_strings(spark):
     shuffle payload, 38.2 → 29.3 s at 100×)."""
     p = optimized(spark, "text_boilerplate_ratio")
     assert "xxhash64" in p, p
+
+
+def test_boilerplate_token_hash_staged(spark):
+    """text_boilerplate_ratio's token-hash array must be produced by its
+    own Project (one xxhash64 transform per ROW) and consumed as a bound
+    attribute by the explode's per-position fold — Catalyst does not CSE
+    inside HOF lambdas, so an inlined transform would re-hash every
+    token once per shingle position (O(n²)).  Guard: no xxhash64 call
+    textually nested inside an `aggregate(slice(...))` fold, and the
+    staged Project survives CollapseProject."""
+    import re
+
+    p = optimized(spark, "text_boilerplate_ratio")
+    assert "xxhash64" in p, p
+    for m in re.finditer(r"aggregate\(slice\((\w+#\d+)", p):
+        # the fold's source must be a bound attribute (name#id), which
+        # the regex shape already enforces; additionally the attribute
+        # must be defined in a Project containing the xxhash64 transform
+        attr = m.group(1)
+        assert re.search(rf"transform\(.*xxhash64.*AS {re.escape(attr)}", p), (
+            f"fold input {attr} not produced by a staged xxhash64 Project:\n{p}"
+        )
+    assert re.search(r"aggregate\(slice\(transform\(", p) is None, (
+        "token-hash transform inlined into the per-position fold (O(n²)):\n" + p
+    )

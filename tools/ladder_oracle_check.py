@@ -1,0 +1,101 @@
+"""One-off oracle check of the adaptive key-width ladder's WIDENED
+branches (VERDICT r10 ask #3).
+
+At every driver scale (sf0.001/0.01/0.1) ``bits_case_sql``
+(pipeline/similarity.py) resolves to the BASE key width, reproducing
+the pre-ladder keys bit-for-bit — so no driver correctness stamp has
+ever exercised a widened branch.  This script replays the driver's
+exact comparison (pandas_canon: sorted columns, type-tagged cells,
+sorted rows) for the five ladder queries at ``.tmp/sf1`` (sf0.1 × 10:
+20 000 embeddings, 50 000 documents — DuckDB-feasible), where the
+ladder picks:
+
+* ann_lsh_bucketed       : 8-bit table keys (base 4)   [n ≤ 128·2^b]
+* dedup_embedding_cosine : 11-bit table keys (base 8)  [n ≤ 16·2^b]
+* ann_ivf_probe          : 3-bit list sub-shards (base 0) [n ≤ 2500·2^b]
+* ann_ivf_int8_rescore   : 3-bit list sub-shards (base 0)
+* knn_graph_blocked      : 3-bit block sub-keys (base 0)
+
+Results are recorded in SCALE.md (r11); a hash-match here means the
+r10 quadratic-at-scale fixes carry a value-checked parity proof on the
+branch that actually runs at scale, not just a wall-time.
+
+Usage:  python tools/ladder_oracle_check.py [sf_dir=.tmp/sf1] [names...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+LADDER_QUERIES = [
+    "ann_lsh_bucketed",
+    "dedup_embedding_cosine",
+    "ann_ivf_probe",
+    "ann_ivf_int8_rescore",
+    "knn_graph_blocked",
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, ".tmp", "sf1")
+    names = sys.argv[2:] or LADDER_QUERIES
+
+    import duckdb
+
+    from fletcher_spark.queries import registry
+    from fletcher_spark.session import get_spark
+    from tests.conftest import TABLES, pandas_canon
+
+    registry.load_all()
+    spark = get_spark("ladder-oracle", master="local[32]", shuffle_partitions=32)
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_emb = duck.sql("SELECT count(*) FROM embeddings").fetchone()[0]
+    print(f"sf_dir={sf_dir} embeddings={n_emb}", flush=True)
+
+    bad = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            pdf_s = registry.QUERIES[name](spark, sf_dir).toPandas()
+            t_spark = time.time() - t0
+            t0 = time.time()
+            pdf_o = duck.sql(registry.ORACLE[name]).df()
+            t_duck = time.time() - t0
+            rows_s, cols_s = pandas_canon(pdf_s, name)
+            rows_o, cols_o = pandas_canon(pdf_o, name)
+            ok = len(rows_s) == len(rows_o) and cols_s == cols_o and rows_s == rows_o
+            status = "HASH-MATCH" if ok else "FAIL"
+            if not ok:
+                bad += 1
+                diff = [i for i, (a, b) in enumerate(zip(rows_s, rows_o)) if a != b][:2]
+                print(
+                    f"{status} {name}: rows={len(rows_s)}/{len(rows_o)} "
+                    f"cols_match={cols_s == cols_o} first_diff={diff}",
+                    flush=True,
+                )
+                for i in diff[:1]:
+                    print(f"  spark : {rows_s[i]}\n  oracle: {rows_o[i]}")
+            else:
+                print(
+                    f"{status} {name}: rows={len(rows_s)} "
+                    f"(spark {t_spark:.1f}s, duckdb {t_duck:.1f}s)",
+                    flush=True,
+                )
+        except Exception as exc:  # noqa: BLE001 — report and continue
+            bad += 1
+            print(f"ERR {name}: {type(exc).__name__}: {exc}", flush=True)
+    print(f"\n{len(names) - bad}/{len(names)} wide-branch hash-matches")
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
