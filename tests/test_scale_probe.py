@@ -149,3 +149,51 @@ def test_scale_probe_ratios_within_bounds():
         f"{{name: (run1_ratio, run2_ratio)}}: {failures}; "
         f"first-run output: {out}"
     )
+
+
+@pytest.mark.scale
+def test_minhash_candidate_volume_linear_at_10x():
+    """Noise-free companion to the wall-clock bounds (r11 adjudication):
+    dedup_minhash_lsh's LSH band keys are md5-derived, so candidate
+    counts are DETERMINISTIC per corpus — pin the exact sf0.1 and sf1
+    volumes and the ≤ linear growth the adjudication measured
+    (12 758 → 128 703 = ×10.09 for 10× docs; the +0.9% over ×10 is the
+    within-copy random-collision rate, itself linear because scale
+    copies are similarity-disjoint).  A regression re-introducing
+    occupancy growth (e.g. a fixed-granularity band key) fails here
+    deterministically instead of through a wall-clock bound."""
+    if not os.path.isfile(os.path.join(SF1, "_SUCCESS")):
+        pytest.skip("no .tmp/sf1 scratch (run the ratio test first)")
+    code = r"""
+import sys
+sys.path.insert(0, %r)
+from pyspark.sql import SparkSession, functions as F
+from fletcher_spark.io import load_tables, spread
+from fletcher_spark.pipeline import dedup as D
+from fletcher_spark.session import apply_runtime_confs
+spark = (SparkSession.builder.master("local[32]")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.driver.memory", "24g")
+         .config("spark.ui.showConsoleProgress", "false").getOrCreate())
+apply_runtime_confs(spark)
+spark.sparkContext.setLogLevel("ERROR")
+for sf in ("/root/testdata/sf0.1", %r):
+    d = spread(load_tables(spark, sf)["documents"])
+    sh = D.shingle_frame(d, "text", 3).persist()
+    sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
+    banded = sig.select("doc_id", D.lsh_band_keys(F.col("sig"), 4, 3).alias("band_keys"))
+    print("NCAND", sf, D.candidate_pairs(banded, "doc_id").count())
+    sh.unpersist()
+spark.stop()
+""" % (REPO, SF1)
+    run = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1200
+    )
+    assert run.returncode == 0, run.stderr[-2000:]
+    counts = {
+        parts[1]: int(parts[2])
+        for ln in run.stdout.splitlines()
+        if ln.startswith("NCAND") and (parts := ln.split())
+    }
+    assert counts["/root/testdata/sf0.1"] == 12758, counts
+    assert counts[SF1] == 128703, counts
