@@ -197,3 +197,34 @@ spark.stop()
     }
     assert counts["/root/testdata/sf0.1"] == 12758, counts
     assert counts[SF1] == 128703, counts
+
+
+@pytest.mark.scale
+def test_wide_branch_oracle_parity_fast_subset():
+    """Re-runnable form of the r11 wide-branch parity check: at
+    .tmp/sf1 the bits_case_sql ladder picks widened key widths (3-bit
+    IVF sub-shards, 8/11-bit table keys) and the levenshtein cascade's
+    deeper levels activate — branches NO driver scale exercises.  This
+    tier replays the driver's comparison for the DuckDB-fast subset
+    (the full five-query run incl. ann_lsh_bucketed/dedup_embedding_
+    cosine costs ~4 min of DuckDB 128-plane dot products; those two
+    stay in the recorded one-off — SCALE.md r11), so a regression in
+    ladder or cascade code fails a test instead of waiting a round."""
+    if not os.path.isfile(os.path.join(SF1, "_SUCCESS")):
+        pytest.skip("no .tmp/sf1 scratch (run the ratio test first)")
+    run = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "ladder_oracle_check.py"),
+            SF1,
+            "ann_ivf_probe",
+            "ann_ivf_int8_rescore",
+            "knn_graph_blocked",
+            "dedup_levenshtein_block",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    assert run.returncode == 0, (run.stdout[-2000:], run.stderr[-1000:])
+    assert "4/4 wide-branch hash-matches" in run.stdout, run.stdout[-2000:]
