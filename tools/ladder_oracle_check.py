@@ -46,13 +46,29 @@ def main() -> int:
     names = sys.argv[2:] or LADDER_QUERIES
 
     import duckdb
+    from pyspark.sql import SparkSession
 
     from fletcher_spark.queries import registry
-    from fletcher_spark.session import get_spark
+    from fletcher_spark.session import apply_runtime_confs
     from tests.conftest import TABLES, pandas_canon
 
     registry.load_all()
-    spark = get_spark("ladder-oracle", master="local[32]", shuffle_partitions=32)
+    # driver memory is fixed at JVM launch: the 1g local-mode default
+    # carries sf1 (20k vectors) but OOMs on the sf10 tier's persisted
+    # quantized frames — same sizing contract as tools/scale_probe.py
+    spark = (
+        SparkSession.builder.appName("ladder-oracle")
+        .master("local[32]")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("LADDER_CHECK_DRIVER_MEM", "8g"),
+        )
+        .getOrCreate()
+    )
+    apply_runtime_confs(spark)
+    spark.sparkContext.setLogLevel("ERROR")
     duck = duckdb.connect()
     for t in TABLES:
         duck.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
