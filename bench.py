@@ -95,7 +95,7 @@ def main() -> None:
     # settling "code or contention?" in one line.  q1 is the probe
     # because it is pure JVM scan+hash-agg (no Python workers, no cache
     # interplay) and has run first in every round since r1.
-    box_ref = min(run("q1_pricing_summary") for _ in range(3))
+    box_ref_pre = min(run("q1_pricing_summary") for _ in range(3))
 
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):
@@ -113,6 +113,17 @@ def main() -> None:
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
 
+    # Closing box-speed sample (VERDICT r11 ask #4): the r9-r11 bench
+    # phantom pattern is a sweep whose denominator was sampled during a
+    # contention burst that LIFTED (or landed) mid-sweep — a single
+    # opening probe can't see that.  Sampling the same q1 probe again
+    # after the sweep makes intra-sweep contention drift self-flagging:
+    # tools/bench_diff.py warns when pre/post diverge >1.5x.  box_ref_sec
+    # stays the min of both ends (the best observed box speed) so the
+    # normalized cross-round ratio keeps its established meaning.
+    box_ref_post = min(run("q1_pricing_summary") for _ in range(3))
+    box_ref = min(box_ref_pre, box_ref_post)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = {
         "metric": "headline_queries_total_wall",
@@ -120,6 +131,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "box_ref_sec": round(box_ref, 3),
+        "box_ref_pre_sec": round(box_ref_pre, 3),
+        "box_ref_post_sec": round(box_ref_post, 3),
         "sf": sf,
     }
     # Full record to a file (survives any stdout truncation) ...
@@ -146,6 +159,8 @@ def main() -> None:
         "n_failed": len(failed),
         "queries_file": "BENCH.out",
         "box_ref_sec": round(box_ref, 3),
+        "box_ref_pre_sec": round(box_ref_pre, 3),
+        "box_ref_post_sec": round(box_ref_post, 3),
         "sf": sf,
     }
     sys.stdout.flush()

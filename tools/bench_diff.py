@@ -31,6 +31,20 @@ def _load(path: str) -> tuple[dict[str, float], float | None]:
         d = d["parsed"]
     q = d.get("queries") or {}
     ref = d.get("box_ref_sec")
+    # In-band contention drift (VERDICT r11 ask #4): bench.py samples
+    # the q1 probe at BOTH ends of the sweep since r12.  Divergent ends
+    # mean the box speed CHANGED mid-sweep, so no single denominator
+    # normalizes that sweep's timings faithfully — warn here, at load,
+    # so every comparison using this snapshot carries the caveat.
+    pre, post = d.get("box_ref_pre_sec"), d.get("box_ref_post_sec")
+    if isinstance(pre, (int, float)) and isinstance(post, (int, float)) and pre > 0 and post > 0:
+        drift = max(pre, post) / min(pre, post)
+        if drift > 1.5:
+            print(
+                f"  WARN  {path}: box_ref pre {pre:.2f}s vs post {post:.2f}s "
+                f"({drift:.2f}x) — contention shifted MID-SWEEP; "
+                f"normalized ratios from this snapshot are suspect"
+            )
     # summary lines carry only the slowest; prefer queries_file if noted
     return {k: float(v) for k, v in q.items()}, (
         float(ref) if isinstance(ref, (int, float)) and ref > 0 else None
