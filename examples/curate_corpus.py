@@ -72,7 +72,12 @@ def main() -> None:
     #    drop the higher doc_id of each surviving pair
     sh = D.shingle_frame(deduped, "text", 3).persist()
     sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
-    banded = sig.select("doc_id", D.lsh_band_keys(F.col("sig"), 4, 3).alias("band_keys"))
+    # corpus-size-adaptive Broder banding (4×3 → 3×4 → 2×6 as the
+    # survivor count grows; pipeline/dedup.py:LSH_BAND_LADDER)
+    nk = deduped.agg(F.count(F.lit(1)).alias("__n"))
+    banded = sig.crossJoin(F.broadcast(nk)).select(
+        "doc_id", D.lsh_band_keys_adaptive(F.col("sig"), F.col("__n")).alias("band_keys")
+    )
     pairs = D.candidate_pairs(banded, "doc_id")
     dupes = (
         D.verify_jaccard(pairs, sh, "doc_id", "shingles", 0.5)

@@ -32,6 +32,8 @@ __all__ = [
     "shingle_frame",
     "minhash_signature",
     "lsh_band_keys",
+    "lsh_band_keys_adaptive",
+    "lsh_rpb_case_sql",
     "candidate_pairs",
     "verify_jaccard",
     "simhash64",
@@ -147,6 +149,65 @@ def lsh_band_keys(sig: Column, bands: int = 4, rows: int = 3) -> Column:
             for b in range(bands)
         ]
     )
+
+
+#: Broder (bands × rows) ladder for the 12-hash signature: rows-per-band
+#: grows ~log(N) so the BACKGROUND candidate volume stays linear in the
+#: corpus.  A random non-duplicate pair with background shingle overlap
+#: j0 becomes a candidate w.p. ≈ bands·j0^rows, so total background
+#: candidates ≈ N²/2 · bands·j0^rows — holding that ∝ N needs
+#: rows ≈ log(N)/log(1/j0), i.e. one extra row per ~1/j0× corpus growth
+#: (the standard Broder tuning; cf. the key-WIDTH ladder the sign-LSH
+#: families use, pipeline/similarity.py:bits_case_sql — same genus,
+#: granularity ∝ log N, here spent on band selectivity instead of key
+#: width).  The 12-wide signature re-bands as 4×3 → 3×4 → 2×6 without
+#: recomputing MinHashes — banding is a pure projection over ``sig``.
+#: Entries are (max_docs, bands, rows); corpora above the last entry
+#: use LSH_BAND_FLOOR (beyond that, n_hashes itself is the knob, like
+#: the plane count behind max_bits in the width ladder).
+#: Thresholds are INTEGER comparisons evaluated identically by Spark
+#: and DuckDB (lsh_rpb_case_sql) — every driver scale (≤ 5k docs)
+#: resolves to the original 4×3, so base-branch keys are bit-identical
+#: to the pre-ladder ones; .tmp/sf1 (50k docs) re-bands to 3×4.
+#: Recall at the verify threshold J=0.5 family (planted pairs are
+#: J 0.90–0.99): P[candidate | J=0.9] = 0.998 (4×3), 0.959 (3×4),
+#: 0.823 (2×6) — the documented Broder precision/recall trade.
+LSH_BAND_LADDER: tuple[tuple[int, int, int], ...] = (
+    (20_000, 4, 3),
+    (2_000_000, 3, 4),
+)
+LSH_BAND_FLOOR: tuple[int, int] = (2, 6)
+
+
+def lsh_band_keys_adaptive(sig: Column, n_docs: Column) -> Column:
+    """Corpus-size-adaptive band layout (VERDICT r11 ask #2): pick
+    (bands, rows) from ``LSH_BAND_LADDER`` by integer thresholds on
+    ``n_docs`` (a broadcast one-row count, constant across rows).  CASE
+    evaluates lazily, so each row computes only the chosen layout's
+    band md5s; all branches share the already-computed 12-wide ``sig``.
+    """
+    expr: Column | None = None
+    for max_n, bands, rows in LSH_BAND_LADDER:
+        branch = lsh_band_keys(sig, bands, rows)
+        expr = (
+            F.when(n_docs <= max_n, branch)
+            if expr is None
+            else expr.when(n_docs <= max_n, branch)
+        )
+    assert expr is not None
+    return expr.otherwise(lsh_band_keys(sig, *LSH_BAND_FLOOR))
+
+
+def lsh_rpb_case_sql(n_expr: str) -> str:
+    """Rows-per-band CASE over a corpus-count expression — ONE text
+    evaluated identically by Spark SQL and DuckDB (integer thresholds
+    only, same contract as similarity.bits_case_sql).  bands =
+    n_hashes // rows, so the oracle derives the full layout from this
+    single expression."""
+    whens = " ".join(
+        f"WHEN {n_expr} <= {max_n} THEN {rows}" for max_n, _, rows in LSH_BAND_LADDER
+    )
+    return f"(CASE {whens} ELSE {LSH_BAND_FLOOR[1]} END)"
 
 
 def _halves_cols(shingle: Column) -> tuple[Column, Column]:

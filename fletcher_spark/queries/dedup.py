@@ -67,11 +67,13 @@ sig AS (
   ] AS sg
   FROM hv
 ),
+nn AS (SELECT {rpb_case} AS rpb FROM documents),
 bands AS (
   SELECT doc_id,
          b.band AS band,
-         md5(sg[b.band*3+1]::VARCHAR || '|' || sg[b.band*3+2]::VARCHAR || '|' || sg[b.band*3+3]::VARCHAR) AS key
-  FROM sig, (SELECT unnest([0,1,2,3]) AS band) b
+         md5(array_to_string(list_transform(list_slice(sg, b.band*nn.rpb + 1, (b.band+1)*nn.rpb), x -> x::VARCHAR), '|')) AS key
+  FROM sig, nn, (SELECT unnest([0,1,2,3]) AS band) b
+  WHERE b.band < 12 // nn.rpb
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
@@ -90,7 +92,12 @@ ver AS (
         "list_min(list_transform(range(1, len(s) + 1), "
         f"i -> (v1[i] + {j} * v2[i]) % 2305843009213693951))"
         for j in range(12)
-    )
+    ),
+    # corpus-size-adaptive rows-per-band (Broder ladder): the SAME
+    # integer-threshold CASE the Spark plan evaluates, so base and
+    # re-banded branches alike are value-checked (pipeline/dedup.py:
+    # LSH_BAND_LADDER; bands = 12 // rpb)
+    rpb_case=D.lsh_rpb_case_sql("count(*)"),
 )
 
 _MINHASH_ORACLE = (
@@ -122,19 +129,35 @@ FROM reach GROUP BY a
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup detection, end to end:
 
-    word 3-shingles → 12 md5-family MinHashes → 4 bands × 3 rows →
-    bucket-join candidates → exact-Jaccard verification ≥ 0.5.
+    word 3-shingles → 12 md5-family MinHashes → corpus-size-adaptive
+    (bands × rows) banding → bucket-join candidates → exact-Jaccard
+    verification ≥ 0.5.
+
+    The band layout is the Broder ladder (pipeline/dedup.py:
+    LSH_BAND_LADDER): 4×3 up to 20k docs (every driver scale —
+    bit-identical to the fixed layout all prior stamps verified),
+    3×4 to 2M, 2×6 beyond.  rows-per-band ∝ log(N) is what keeps the
+    BACKGROUND candidate volume linear in the corpus at 100 TB —
+    band-key occupancy is content-addressed and flat, but the
+    per-random-pair collision probability bands·j0^rows must fall as
+    1/N for Σ candidates ∝ N (SCALE.md r11 adjudication, made code in
+    r12).  The 12-wide signature re-bands as a pure projection — no
+    MinHash re-scan.
 
     Scale: signatures are map-only; the only shuffles are the band
     bucket group and the candidates-only verify join — all-pairs never
-    exists (pipeline/dedup.py:candidate_pairs).
+    exists (pipeline/dedup.py:candidate_pairs).  The corpus count is a
+    broadcast one-row aggregate (no driver collect).
     """
     d = spread(load_tables(spark, sf_dir)["documents"])
+    n = d.agg(F.count(F.lit(1)).alias("__n"))
     # shingles feed both the signature and the verify join; the diamond
     # would otherwise recompute the shingling sub-DAG per consumer
     sh = D.shingle_frame(d, "text", 3).persist()
     sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
-    banded = sig.select("doc_id", D.lsh_band_keys(F.col("sig"), 4, 3).alias("band_keys"))
+    banded = sig.crossJoin(F.broadcast(n)).select(
+        "doc_id", D.lsh_band_keys_adaptive(F.col("sig"), F.col("__n")).alias("band_keys")
+    )
     pairs = D.candidate_pairs(banded, "doc_id")
     return D.verify_jaccard(pairs, sh, "doc_id", "shingles", 0.5)
 
@@ -563,9 +586,14 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived edge set.
     """
     d = spread(load_tables(spark, sf_dir)["documents"])
+    n = d.agg(F.count(F.lit(1)).alias("__n"))
     sh = D.shingle_frame(d, "text", 3).persist()
     sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
-    banded = sig.select("doc_id", D.lsh_band_keys(F.col("sig"), 4, 3).alias("band_keys"))
+    # same adaptive Broder banding as dedup_minhash_lsh (they share the
+    # oracle CTE, so the edge set stays value-checked on both branches)
+    banded = sig.crossJoin(F.broadcast(n)).select(
+        "doc_id", D.lsh_band_keys_adaptive(F.col("sig"), F.col("__n")).alias("band_keys")
+    )
     pairs = D.candidate_pairs(banded, "doc_id")
     edges = D.verify_jaccard(pairs, sh, "doc_id", "shingles", 0.5).select("id1", "id2")
     labels = G.connected_components(edges)
@@ -722,6 +750,12 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
+    # FIXED 4×3 by design: the corpus band table is a persisted,
+    # bucketed index the daily job reuses (test_bucketing.py) — its
+    # layout is frozen at index-build time, and both sides of the
+    # batch→corpus probe must band identically.  Re-banding here is an
+    # index REBUILD decision (re-project the stored 12-wide signatures
+    # under the next LSH_BAND_LADDER rung), not a per-query choice.
     banded = sig.select(
         "doc_id", F.explode(D.lsh_band_keys(F.col("sig"), 4, 3)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fletcher_spark.io import load_tables, spread
+from fletcher_spark.pipeline import dedup as _D
 from fletcher_spark.pipeline import textpipe as T
 from fletcher_spark.queries.registry import query
 
@@ -220,10 +221,12 @@ sig AS (
   ] AS sg
   FROM hv
 ),
+nn AS (SELECT {rpb_case} AS rpb FROM exact_kept),
 bands AS (
   SELECT doc_id, b.band AS band,
-         md5(sg[b.band*3+1]::VARCHAR || '|' || sg[b.band*3+2]::VARCHAR || '|' || sg[b.band*3+3]::VARCHAR) AS key
-  FROM sig, (SELECT unnest([0,1,2,3]) AS band) b
+         md5(array_to_string(list_transform(list_slice(sg, b.band*nn.rpb + 1, (b.band+1)*nn.rpb), x -> x::VARCHAR), '|')) AS key
+  FROM sig, nn, (SELECT unnest([0,1,2,3]) AS band) b
+  WHERE b.band < 12 // nn.rpb
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
@@ -247,7 +250,10 @@ WHERE nd.doc_id IS NULL
             "list_min(list_transform(range(1, len(s) + 1), "
             f"i -> (v1[i] + {j} * v2[i]) % 2305843009213693951))"
             for j in range(12)
-        )
+        ),
+        # adaptive Broder banding over the post-exact-dedup survivor
+        # count — the set actually being banded (see queries/dedup.py)
+        rpb_case=_D.lsh_rpb_case_sql("count(*)"),
     ),
 )
 def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,7 +299,12 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = D.shingle_frame(exact_kept, "text", 3).persist()
     sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
-    banded = sig.select("doc_id", D.lsh_band_keys(F.col("sig"), 4, 3).alias("band_keys"))
+    # adaptive Broder banding keyed on the SURVIVOR count (the banded
+    # set), read off the persisted exact_kept — a one-row broadcast
+    nk = exact_kept.agg(F.count(F.lit(1)).alias("__n"))
+    banded = sig.crossJoin(F.broadcast(nk)).select(
+        "doc_id", D.lsh_band_keys_adaptive(F.col("sig"), F.col("__n")).alias("band_keys")
+    )
     pairs = D.candidate_pairs(banded, "doc_id")
     near = D.verify_jaccard(pairs, sh, "doc_id", "shingles", 0.5)
     dupes = near.select(F.col("id2").alias("doc_id")).distinct()

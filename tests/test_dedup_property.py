@@ -113,6 +113,41 @@ def test_candidate_pairs_symmetric_and_deduped(spark, rng):
     assert got == [(1, 2)]
 
 
+def test_adaptive_band_rungs_match_explicit_layouts(spark, rng):
+    """Every LSH_BAND_LADDER rung — including the 3×4 middle and the
+    2×6 floor that no driver scale (nor .tmp/sf10's 500k docs, for the
+    floor) ever reaches — is wired correctly: forcing the corpus-count
+    input of ``lsh_band_keys_adaptive`` to a value in each rung's range
+    must reproduce ``lsh_band_keys(sig, bands, rows)`` exactly, and
+    ``lsh_rpb_case_sql`` must resolve to the same rows-per-band in
+    DuckDB under the same forced count.  This pins the CASE arithmetic
+    of the never-exercised branches at unit-test cost; the REAL 3×4
+    branch additionally carries full oracle parity at .tmp/sf1
+    (SCALE.md r12)."""
+    import duckdb
+
+    rows = [(i, [rng.randrange(2**55) for _ in range(12)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, sig array<long>")
+
+    rungs = list(D.LSH_BAND_LADDER) + [(10**9, *D.LSH_BAND_FLOOR)]
+    prev_max = 0
+    for max_n, bands, rpb in rungs:
+        forced_n = prev_max + 1  # smallest count selecting this rung
+        prev_max = max_n
+        got = df.select(
+            "doc_id",
+            D.lsh_band_keys_adaptive(F.col("sig"), F.lit(forced_n)).alias("bk"),
+        )
+        want = df.select(
+            "doc_id", D.lsh_band_keys(F.col("sig"), bands, rpb).alias("bk")
+        )
+        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0, (
+            f"adaptive rung n={forced_n} != explicit {bands}x{rpb}"
+        )
+        duck_rpb = duckdb.sql(f"SELECT {D.lsh_rpb_case_sql(str(forced_n))}").fetchone()[0]
+        assert duck_rpb == rpb, (forced_n, duck_rpb, rpb)
+
+
 def test_prefix_filter_prunes_and_loses_nothing(spark):
     """The prefix-filter join's two claims, checked independently of the
     oracle: (1) NO FALSE NEGATIVES — its result equals the exhaustive
