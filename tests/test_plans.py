@@ -532,7 +532,12 @@ def test_boilerplate_token_hash_staged(spark):
 
     p = optimized(spark, "text_boilerplate_ratio")
     assert "xxhash64" in p, p
-    for m in re.finditer(r"aggregate\(slice\((\w+#\d+)", p):
+    matches = list(re.finditer(r"aggregate\(slice\((\w+#\d+)", p))
+    # ADVICE r11: the positive check is vacuous if a future Spark
+    # renders folds differently and the pattern never matches — require
+    # at least one fold-over-bound-attribute site before iterating.
+    assert matches, f"no aggregate(slice(<attr> fold found in plan:\n{p}"
+    for m in matches:
         # the fold's source must be a bound attribute (name#id), which
         # the regex shape already enforces; additionally the attribute
         # must be defined in a Project containing the xxhash64 transform

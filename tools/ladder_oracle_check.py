@@ -15,6 +15,9 @@ ladder picks:
 * ann_ivf_probe          : 3-bit list sub-shards (base 0) [n ≤ 2500·2^b]
 * ann_ivf_int8_rescore   : 3-bit list sub-shards (base 0)
 * knn_graph_blocked      : 3-bit block sub-keys (base 0)
+* dedup_minhash_lsh      : 3×4 Broder re-band (base 4×3) [LSH_BAND_LADDER,
+  r12 — bands×rows ladder, the selectivity twin of the key-width genus]
+* dedup_cc_clusters / pipeline_curate_corpus: same re-banded edge set
 
 Results are recorded in SCALE.md (r11); a hash-match here means the
 r10 quadratic-at-scale fixes carry a value-checked parity proof on the
@@ -38,6 +41,7 @@ LADDER_QUERIES = [
     "ann_ivf_probe",
     "ann_ivf_int8_rescore",
     "knn_graph_blocked",
+    "dedup_minhash_lsh",
 ]
 
 
@@ -71,6 +75,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     duck = duckdb.connect()
     for t in TABLES:
+        # slice scratch dirs (e.g. .tmp/sf1_slice) carry only the
+        # tables the queries under check read — skip the rest
+        if not os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            print(f"  (no {t}.parquet in {sf_dir}; view skipped)", flush=True)
+            continue
         duck.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     n_emb = duck.sql("SELECT count(*) FROM embeddings").fetchone()[0]
@@ -99,6 +108,16 @@ def main() -> int:
                 )
                 for i in diff[:1]:
                     print(f"  spark : {rows_s[i]}\n  oracle: {rows_o[i]}")
+                if not diff and len(rows_s) != len(rows_o):
+                    # ADVICE r11: zip() truncates to the shorter side —
+                    # if the shared prefix matches, show the first
+                    # surplus row from the longer side instead of
+                    # printing nothing.
+                    i = min(len(rows_s), len(rows_o))
+                    longer, side = (
+                        (rows_s, "spark ") if len(rows_s) > len(rows_o) else (rows_o, "oracle")
+                    )
+                    print(f"  extra {side} row @{i}: {longer[i]}")
             else:
                 print(
                     f"{status} {name}: rows={len(rows_s)} "
