@@ -345,6 +345,77 @@ def test_jpeg_hand_derived_mcu_with_ac():
     assert np.array_equal(got, want)
 
 
+def test_jpeg_random_coeff_blocks_decode_to_spec_idct():
+    """Hypothesis generalization of the hand-derived MCU test (VERDICT
+    r11 ask #5): random SPARSE quantized coefficient blocks — arbitrary
+    run lengths (EOB, ZRL chains, the no-EOB k=63 path), every AC size
+    category ±, multi-block DC prediction with negative diffs — go
+    through the real Huffman encoder and the production decoder; pixels
+    must equal an INDEPENDENT four-nested-loop IDCT straight from the
+    spec formula (nothing shared with the decoder's GEMM path).
+
+    The two IDCTs sum the same 64 real terms in different orders, so a
+    pixel mathematically ON a .5 rounding boundary (e.g. a DC-only
+    block with DC·q ≡ 4 mod 8) can legitimately round apart by one ulp
+    of float64 — those measure-zero examples are assume()d away rather
+    than weakening the exactness assertion for everything else."""
+    import numpy as np
+    from hypothesis import assume, given, settings
+    from hypothesis import strategies as st
+
+    zz = MM._jpeg_zigzag()
+    enc_raw = MM._make_jpeg_encode_raw()
+    dec = MM._make_jpeg_decode()
+
+    nz = st.integers(-1023, 1023).filter(lambda v: v != 0)  # AC size ≤ 10
+    block = st.tuples(
+        st.integers(-900, 900),  # DC: successive diffs stay ≤ 1800 < 2^11
+        st.dictionaries(st.integers(1, 63), nz, max_size=12),
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        blocks=st.lists(block, min_size=1, max_size=4),
+        qtable=st.lists(st.integers(1, 4), min_size=64, max_size=64),
+    )
+    def check(blocks, qtable):
+        n = len(blocks)
+        coeffs = np.zeros((n, 64), dtype=np.int64)
+        for i, (dc, acs) in enumerate(blocks):
+            coeffs[i, 0] = dc
+            for k, v in acs.items():
+                coeffs[i, k] = v
+        payload = enc_raw(coeffs, 8, 8 * n, qtable)
+        got = dec(payload)[:, :, 0].astype(np.int64)  # (8n, 8) strip
+        assert got.shape == (8 * n, 8)
+
+        c = lambda u: (1 / np.sqrt(2)) if u == 0 else 1.0  # noqa: E731
+        for b in range(n):
+            S = np.zeros((8, 8))
+            for k in range(64):
+                S[zz[k] // 8, zz[k] % 8] = coeffs[b, k] * qtable[k]
+            want_f = np.zeros((8, 8))
+            for x in range(8):
+                for y in range(8):
+                    acc = sum(
+                        c(u) * c(v) * S[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                        for u in range(8)
+                        for v in range(8)
+                    )
+                    want_f[x, y] = acc / 4 + 128
+            frac = want_f - np.floor(want_f)
+            assume(float(np.min(np.abs(frac - 0.5))) > 1e-6)
+            want = np.clip(np.round(want_f), 0, 255).astype(np.int64)
+            assert np.array_equal(got[8 * b : 8 * (b + 1), :], want), (
+                f"block {b}: decoder disagrees with spec IDCT\n"
+                f"coeffs={coeffs[b].tolist()}\nqtable={qtable}"
+            )
+
+    check()
+
+
 def test_jpeg_roundtrip_property():
     """Random payload bytes at several widths roundtrip exactly through
     encode → decode (same property shape as the PNG version)."""
