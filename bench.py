@@ -121,6 +121,12 @@ def main() -> None:
     # tools/bench_diff.py warns when pre/post diverge >1.5x.  box_ref_sec
     # stays the min of both ends (the best observed box speed) so the
     # normalized cross-round ratio keeps its established meaning.
+    # Interpretation caveat (measured r12, twice, on a quiet box): the
+    # ends can also diverge from JVM JIT MATURATION — q1 kept speeding
+    # up deep into the sweep (pre 0.62-0.68 s -> in-loop 0.50 -> post
+    # 0.36), so post < pre does not by itself prove contention at the
+    # start.  Either way the conclusion the warn draws is valid: when
+    # the ends disagree, no single denominator normalizes the sweep.
     box_ref_post = min(run("q1_pricing_summary") for _ in range(3))
     box_ref = min(box_ref_pre, box_ref_post)
 
