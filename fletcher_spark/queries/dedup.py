@@ -755,7 +755,9 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # layout is frozen at index-build time, and both sides of the
     # batch→corpus probe must band identically.  Re-banding here is an
     # index REBUILD decision (re-project the stored 12-wide signatures
-    # under the next LSH_BAND_LADDER rung), not a per-query choice.
+    # under the next LSH_BAND_LADDER rung — proven document-scan-free
+    # in test_bucketing.py::test_band_index_rebuild_rebands_from_
+    # stored_signatures), not a per-query choice.
     banded = sig.select(
         "doc_id", F.explode(D.lsh_band_keys(F.col("sig"), 4, 3)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))

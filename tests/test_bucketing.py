@@ -140,6 +140,47 @@ def test_band_index_reuse_shuffles_only_the_batch(spark, band_index_table):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_band_index_rebuild_rebands_from_stored_signatures(spark, tmp_path):
+    """The r12 Broder-ladder claim for the PERSISTED index case, made
+    real: dedup_incremental_batch's band table stays on a fixed layout
+    because re-banding it is an index REBUILD — and that rebuild needs
+    only the stored 12-wide signatures, never the documents.  Moving
+    4×3 → 3×4 (the next LSH_BAND_LADDER rung) is a pure projection over
+    the signature parquet: the rebuild plan must scan exactly ONE
+    source (the signature table, not documents), and its band table
+    must equal a from-scratch 3×4 banding of the same corpus."""
+    from fletcher_spark.pipeline import dedup as D
+
+    d = load_tables(spark, SF_DIR)["documents"]
+    sh = D.shingle_frame(d, "text", 3)
+    sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
+    sig_path = str(tmp_path / "sig_store")
+    sig.write.mode("overwrite").parquet(sig_path)
+
+    # rebuild: stored signatures -> next rung, no document access
+    stored = spark.read.parquet(sig_path)
+    rebuilt = stored.select(
+        "doc_id", F.explode(D.lsh_band_keys(F.col("sig"), 3, 4)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    plan = rebuilt._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE scan, of the signature store (the plan renderer
+    # truncates paths, so count scans rather than substring the path);
+    # ReadSchema proves it is the (doc_id, sig) table, and no shuffle
+    # appears — the rebuild is map-only
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "documents" not in plan, f"rebuild touched the documents table:\n{plan}"
+    assert "sig:array<bigint>" in plan, plan
+    assert "Exchange" not in plan, f"re-band should be map-only:\n{plan}"
+
+    # parity: identical band table to banding built from the corpus
+    scratch = (
+        D.minhash_signature_df(D.shingle_frame(d, "text", 3), "doc_id", "shingles", 12)
+        .select("doc_id", F.explode(D.lsh_band_keys(F.col("sig"), 3, 4)).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, scratch.collect()))
+
+
 @pytest.fixture(scope="module")
 def gram_index_table(spark, tmp_path_factory):
     """substring_dedup's 100 TB claim made real: the CORPUS k-gram
