@@ -46,7 +46,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_CTES = """tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+_MINHASH_CTES_T = """tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 sh AS (
   SELECT doc_id,
     list_distinct(CASE WHEN len(toks) >= 3
@@ -67,7 +67,7 @@ sig AS (
   ] AS sg
   FROM hv
 ),
-nn AS (SELECT {rpb_case} AS rpb FROM documents),
+{nn},
 bands AS (
   SELECT doc_id,
          b.band AS band,
@@ -93,12 +93,23 @@ ver AS (
         f"i -> (v1[i] + {j} * v2[i]) % 2305843009213693951))"
         for j in range(12)
     ),
-    # corpus-size-adaptive rows-per-band (Broder ladder): the SAME
-    # integer-threshold CASE the Spark plan evaluates, so base and
-    # re-banded branches alike are value-checked (pipeline/dedup.py:
-    # LSH_BAND_LADDER; bands = 12 // rpb)
-    rpb_case=D.lsh_rpb_case_sql("count(*)"),
+    nn="{nn}",
 )
+
+#: adaptive rendering: corpus-size-adaptive rows-per-band (Broder
+#: ladder) — the SAME integer-threshold CASE the Spark plan evaluates,
+#: so base and re-banded branches alike are value-checked
+#: (pipeline/dedup.py:LSH_BAND_LADDER; bands = 12 // rpb)
+_MINHASH_CTES = _MINHASH_CTES_T.format(
+    nn="nn AS (SELECT " + D.lsh_rpb_case_sql("count(*)") + " AS rpb FROM documents)"
+)
+
+#: fixed-4×3 rendering for dedup_incremental_batch ONLY: its Spark side
+#: bands 4×3 by design (persisted index layout — see the query body),
+#: so its oracle must NOT follow the corpus-size ladder or query and
+#: oracle would diverge the moment a corpus exceeds the first rung
+#: (caught in r12 review before any driver scale could reach it)
+_MINHASH_CTES_FIXED = _MINHASH_CTES_T.format(nn="nn AS (SELECT 3 AS rpb)")
 
 _MINHASH_ORACLE = (
     "WITH "
@@ -149,8 +160,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists (pipeline/dedup.py:candidate_pairs).  The corpus count is a
     broadcast one-row aggregate (no driver collect).
     """
-    d = spread(load_tables(spark, sf_dir)["documents"])
-    n = d.agg(F.count(F.lit(1)).alias("__n"))
+    base = load_tables(spark, sf_dir)["documents"]
+    d = spread(base)
+    # ladder input: count the UNSPREAD scan — a count has no per-row
+    # compute for spread()'s round-robin shuffle to parallelize, and
+    # count-star over parquet is metadata-cheap (r12 review)
+    n = base.agg(F.count(F.lit(1)).alias("__n"))
     # shingles feed both the signature and the verify join; the diamond
     # would otherwise recompute the shingling sub-DAG per consumer
     sh = D.shingle_frame(d, "text", 3).persist()
@@ -585,8 +600,9 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure (WITH RECURSIVE) over the identical
     md5-derived edge set.
     """
-    d = spread(load_tables(spark, sf_dir)["documents"])
-    n = d.agg(F.count(F.lit(1)).alias("__n"))
+    base = load_tables(spark, sf_dir)["documents"]
+    d = spread(base)
+    n = base.agg(F.count(F.lit(1)).alias("__n"))  # unspread: see dedup_minhash_lsh
     sh = D.shingle_frame(d, "text", 3).persist()
     sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
     # same adaptive Broder banding as dedup_minhash_lsh (they share the
@@ -666,7 +682,7 @@ def dedup_passages_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INCR_ORACLE = (
     "WITH "
-    + _MINHASH_CTES
+    + _MINHASH_CTES_FIXED
     + """,
 batch AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
 corpus AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0),

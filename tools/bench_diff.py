@@ -31,19 +31,27 @@ def _load(path: str) -> tuple[dict[str, float], float | None]:
         d = d["parsed"]
     q = d.get("queries") or {}
     ref = d.get("box_ref_sec")
-    # In-band contention drift (VERDICT r11 ask #4): bench.py samples
-    # the q1 probe at BOTH ends of the sweep since r12.  Divergent ends
-    # mean the box speed CHANGED mid-sweep, so no single denominator
-    # normalizes that sweep's timings faithfully — warn here, at load,
-    # so every comparison using this snapshot carries the caveat.
+    # In-band drift check (VERDICT r11 ask #4): bench.py samples the q1
+    # probe at BOTH ends of the sweep since r12.  The two directions
+    # mean different things (measured r12, twice, on a quiet box):
+    # post FASTER than pre by ~1.7-1.9x is the normal JVM JIT
+    # maturation curve, so only divergence BEYOND that baseline
+    # suggests a start-of-sweep burst; post SLOWER than pre has no JIT
+    # explanation at all — contention arrived mid-sweep.
     pre, post = d.get("box_ref_pre_sec"), d.get("box_ref_post_sec")
     if isinstance(pre, (int, float)) and isinstance(post, (int, float)) and pre > 0 and post > 0:
-        drift = max(pre, post) / min(pre, post)
-        if drift > 1.5:
+        if post > 1.5 * pre:
+            print(
+                f"  WARN  {path}: box_ref post {post:.2f}s vs pre {pre:.2f}s "
+                f"({post / pre:.2f}x slower at end) — contention ARRIVED "
+                f"mid-sweep; normalized ratios from this snapshot are suspect"
+            )
+        elif pre > 2.5 * post:
             print(
                 f"  WARN  {path}: box_ref pre {pre:.2f}s vs post {post:.2f}s "
-                f"({drift:.2f}x) — contention shifted MID-SWEEP; "
-                f"normalized ratios from this snapshot are suspect"
+                f"({pre / post:.2f}x) — beyond the ~1.9x JIT-maturation "
+                f"baseline; the pre-sweep denominator likely caught a "
+                f"contention burst, normalized ratios are suspect"
             )
     # summary lines carry only the slowest; prefer queries_file if noted
     return {k: float(v) for k, v in q.items()}, (

@@ -82,8 +82,13 @@ def main() -> int:
             continue
         duck.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    n_emb = duck.sql("SELECT count(*) FROM embeddings").fetchone()[0]
-    print(f"sf_dir={sf_dir} embeddings={n_emb}", flush=True)
+    # informational only — and a slice dir may not carry embeddings at
+    # all (e.g. a documents-only slice for the MinHash rung)
+    if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        n_emb = duck.sql("SELECT count(*) FROM embeddings").fetchone()[0]
+        print(f"sf_dir={sf_dir} embeddings={n_emb}", flush=True)
+    else:
+        print(f"sf_dir={sf_dir} (no embeddings table)", flush=True)
 
     bad = 0
     for name in names:
