@@ -113,13 +113,18 @@ def minhash_signature(shingles: Column, n_hashes: int = 12) -> Column:
             F.conv(F.substring(F.md5(s), 15, 14), 16, 10).cast("long").alias("v2"),
         ),
     )
+
+    # close over j via a factory, NOT a default argument: a two-parameter
+    # lambda makes F.transform pass the ARRAY INDEX as the second
+    # argument (the (element, index) form), silently overriding the
+    # default — which collapsed all n_hashes family members to the same
+    # index-keyed min (caught r12 by the differential test against
+    # minhash_signature_df; no oracled query ever called this form)
+    def _member(j: int):
+        return lambda h: (h["v1"] + j * h["v2"]) % _MINHASH_P
+
     return F.array(
-        *[
-            F.array_min(
-                F.transform(halves, lambda h, j=j: (h["v1"] + j * h["v2"]) % _MINHASH_P)
-            )
-            for j in range(n_hashes)
-        ]
+        *[F.array_min(F.transform(halves, _member(j))) for j in range(n_hashes)]
     )
 
 

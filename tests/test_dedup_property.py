@@ -113,6 +113,31 @@ def test_candidate_pairs_symmetric_and_deduped(spark, rng):
     assert got == [(1, 2)]
 
 
+def test_minhash_hof_and_codegen_forms_agree(spark, rng):
+    """The two MinHash implementations — the in-array HOF form
+    (``minhash_signature``, exported API) and the explode→groupBy
+    codegen form every query uses (``minhash_signature_df``) — are the
+    same math by construction and must stay bit-identical; without a
+    differential pin, a drift in one (e.g. a base-hash or modulus edit)
+    would silently desynchronize the public API from the oracled query
+    path."""
+    rows = [
+        (i, " ".join(rng.choice("abcdefgh") + str(rng.randrange(40)) for _ in range(rng.randrange(1, 30))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = D.shingle_frame(df, "text", 3)
+    via_df = {
+        r["doc_id"]: r["sig"]
+        for r in D.minhash_signature_df(sh, "doc_id", "shingles", 12).collect()
+    }
+    via_hof = {
+        r["doc_id"]: r["sig"]
+        for r in sh.select("doc_id", D.minhash_signature(F.col("shingles"), 12).alias("sig")).collect()
+    }
+    assert via_df == via_hof
+
+
 def test_adaptive_band_rungs_match_explicit_layouts(spark, rng):
     """Every LSH_BAND_LADDER rung — including the 3×4 middle and the
     2×6 floor that no driver scale (nor .tmp/sf10's 500k docs, for the
