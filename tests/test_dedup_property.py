@@ -138,6 +138,61 @@ def test_minhash_hof_and_codegen_forms_agree(spark, rng):
     assert via_df == via_hof
 
 
+def test_word_shingles_matches_shingle_frame(spark, rng):
+    """word_shingles (exported per-column form) vs shingle_frame (the
+    staged-projection form every query uses): same output by contract
+    (shingle_frame's own docstring claims it), now pinned — including
+    short docs (< k tokens, the fallback branch) and repeated-space
+    texts where split() emits empty tokens."""
+    texts = [
+        " ".join(rng.choice("abcdef") for _ in range(rng.randrange(1, 12)))
+        for _ in range(40)
+    ] + ["a", "a b", "x  y   z", "p p p p p"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    via_col = {
+        r["doc_id"]: sorted(r["s"])
+        for r in df.select("doc_id", D.word_shingles(F.col("text"), 3).alias("s")).collect()
+    }
+    via_frame = {
+        r["doc_id"]: sorted(r["shingles"])
+        for r in D.shingle_frame(df, "text", 3).collect()
+    }
+    assert via_col == via_frame
+
+
+def test_simhash64_matches_simhash_df_bits(spark, rng):
+    """simhash64 (exported in-array HOF form) vs simhash_df (the
+    packed-lane codegen form every query uses): bit-identical 64-bit
+    signatures on random corpora — the same differential that caught
+    minhash_signature's index-shadowed closure.
+
+    Contract note the differential surfaced: inputs must be DISTINCT
+    shingle arrays (what shingle_frame emits).  On inputs with repeats
+    the forms legitimately differ — simhash64 dedupes internally
+    (array_distinct) while simhash_df weights bits by multiplicity —
+    so the generator dedupes, matching the real call contract."""
+    rows = [
+        (
+            i,
+            list(dict.fromkeys(
+                f"{rng.choice('abcdefgh')}{rng.randrange(50)}"
+                for _ in range(rng.randrange(1, 40))
+            )),
+        )
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+    via_hof = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", D.simhash64(F.col("shingles")).alias("b")).collect()
+    }
+    via_df = {
+        r["doc_id"]: r["bv"]
+        for r in D.simhash_df(df, "doc_id", "shingles").select("doc_id", "bv").collect()
+    }
+    assert via_hof == via_df
+
+
 def test_adaptive_band_rungs_match_explicit_layouts(spark, rng):
     """Every LSH_BAND_LADDER rung — including the 3×4 middle and the
     2×6 floor that no driver scale (nor .tmp/sf10's 500k docs, for the
