@@ -193,6 +193,33 @@ def test_simhash64_matches_simhash_df_bits(spark, rng):
     assert via_hof == via_df
 
 
+def test_simhash_chunk_string_and_packed_keys_are_bijective(spark, rng):
+    """simhash_chunks (exported bit-string-key form) vs
+    simhash_chunks_packed (the integer-key form the query uses): same
+    bucket partition under the documented bijection — parsing each
+    bit-string key as base-2 must yield exactly the packed integer key
+    for the same (doc, band), across random signatures including the
+    all-ones/all-zeros extremes (sign-fill edge of the arithmetic
+    shift)."""
+    sigs = [rng.randrange(-(2**63), 2**63) for _ in range(40)] + [0, -1, 2**63 - 1, -(2**63)]
+    rows = []
+    for i, s in enumerate(sigs):
+        bits = [(s >> (63 - b)) & 1 for b in range(64)]
+        rows.append((i, s, bits))
+    df = spark.createDataFrame(rows, "doc_id long, sig long, bv array<long>")
+    packed = {
+        (r["doc_id"], e["band"]): e["key"]
+        for r in df.select("doc_id", D.simhash_chunks_packed(F.col("sig"), 8).alias("c")).collect()
+        for e in r["c"]
+    }
+    strkeys = {
+        (r["doc_id"], e["band"]): int(e["key"], 2)
+        for r in df.select("doc_id", D.simhash_chunks(F.col("bv"), 8).alias("c")).collect()
+        for e in r["c"]
+    }
+    assert strkeys == packed
+
+
 def test_adaptive_band_rungs_match_explicit_layouts(spark, rng):
     """Every LSH_BAND_LADDER rung — including the 3×4 middle and the
     2×6 floor that no driver scale (nor .tmp/sf10's 500k docs, for the
