@@ -37,6 +37,25 @@ import sys
 import time
 
 
+def measure(run_fn, name: str) -> tuple[float, float | None]:
+    """Sampling policy for one query: min-of-2, adaptive third sample
+    when the two disagree by >25 % (best above the 50 ms jitter floor),
+    plus the burst-spread flag (VERDICT r12 ask #3) — ``(best,
+    spread)`` where spread is max/min across this query's own samples
+    when it exceeds 3×, else None.  Factored out of the sweep loop so
+    the policy is unit-testable without a SparkSession
+    (tests/test_bench_harness.py)."""
+    samples = [run_fn(name), run_fn(name)]
+    best = min(samples)
+    if max(samples) > 1.25 * best and best > 0.05:
+        samples.append(run_fn(name))
+        best = min(samples)
+    spread = None
+    if best > 0.05 and max(samples) > 3.0 * best:
+        spread = round(max(samples) / best, 2)
+    return best, spread
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -98,17 +117,27 @@ def main() -> None:
     box_ref_pre = min(run("q1_pricing_summary") for _ in range(3))
 
     timings: dict[str, float] = {}
+    # Per-query burst detection (VERDICT r12 ask #3): the r12 six-sweep
+    # series showed the pre/post box probes' blind spot — a contention
+    # burst localized to ONE query family mid-sweep (dedup_cc_clusters
+    # 11.7 s / graph_kcore_peel 13.1 s, ~5x their level in every other
+    # sweep, totals elsewhere normal) costs a cross-sweep adjudication
+    # because nothing in the committed snapshot labels it.  The samples
+    # already exist: when a query's own max/min spread exceeds 3x (min
+    # above the 50 ms jitter floor), record the spread under
+    # ``burst_suspect`` so bench_diff can annotate flagged movers.  The
+    # RECORDED timing is still the min — the burst flag marks "this
+    # query saw a burst during this sweep", not "this number is wrong".
+    burst_suspect: dict[str, float] = {}
     for name in sorted(registry.QUERIES):
         if name in getattr(registry, "BENCH_EXCLUDE", set()):
             continue
         try:
-            # min-of-2, adaptive third sample: see module docstring
-            # (contention hygiene)
-            t1, t2 = run(name), run(name)
-            best = min(t1, t2)
-            if max(t1, t2) > 1.25 * best and best > 0.05:
-                best = min(best, run(name))
+            # min-of-2, adaptive third sample, burst flag: see measure()
+            best, spread = measure(run, name)
             timings[name] = round(best, 3)
+            if spread is not None:
+                burst_suspect[name] = spread
         except Exception as exc:  # a failing query must not hide the rest
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
@@ -128,14 +157,19 @@ def main() -> None:
     # box-normalized regressions against every older snapshot.
     # Guarded: a post-probe failure must not discard the completed
     # sweep (the per-query loop guards each query for the same reason).
+    # On failure box_ref_post is recorded as null — NOT pre (ADVICE
+    # r12): pre == post reads as a clean zero-drift sweep in
+    # bench_diff's drift check, silently conflating "unmeasured" with
+    # "no drift".
     try:
         box_ref_post = min(run("q1_pricing_summary") for _ in range(3))
     except Exception as exc:  # noqa: BLE001
         print(f"bench: post box probe FAILED: {exc}", file=sys.stderr)
-        box_ref_post = box_ref_pre
+        box_ref_post = None
     box_ref = box_ref_pre
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    post_rounded = round(box_ref_post, 3) if box_ref_post is not None else None
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -143,7 +177,8 @@ def main() -> None:
         "queries": timings,
         "box_ref_sec": round(box_ref, 3),
         "box_ref_pre_sec": round(box_ref_pre, 3),
-        "box_ref_post_sec": round(box_ref_post, 3),
+        "box_ref_post_sec": post_rounded,
+        "burst_suspect": burst_suspect,
         "sf": sf,
     }
     # Full record to a file (survives any stdout truncation) ...
@@ -171,7 +206,8 @@ def main() -> None:
         "queries_file": "BENCH.out",
         "box_ref_sec": round(box_ref, 3),
         "box_ref_pre_sec": round(box_ref_pre, 3),
-        "box_ref_post_sec": round(box_ref_post, 3),
+        "box_ref_post_sec": post_rounded,
+        "burst_suspect": burst_suspect,
         "sf": sf,
     }
     sys.stdout.flush()

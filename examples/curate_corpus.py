@@ -73,7 +73,13 @@ def main() -> None:
     sh = D.shingle_frame(deduped, "text", 3).persist()
     sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
     # corpus-size-adaptive Broder banding (4×3 → 3×4 → 2×6 as the
-    # survivor count grows; pipeline/dedup.py:LSH_BAND_LADDER)
+    # survivor count grows; pipeline/dedup.py:LSH_BAND_LADDER), keyed
+    # on the SURVIVOR count read off the PERSISTED rebuilt corpus —
+    # the same pattern as the library's pipeline_curate_corpus
+    # (queries/textpipe.py): deduped.persist() above means the count's
+    # first execution materializes the cache and the banding job (and
+    # every later consumer) reuses it instead of re-running the
+    # exact/substring-dedup sub-DAG (ADVICE r12)
     nk = deduped.agg(F.count(F.lit(1)).alias("__n"))
     banded = sig.crossJoin(F.broadcast(nk)).select(
         "doc_id", D.lsh_band_keys_adaptive(F.col("sig"), F.col("__n")).alias("band_keys")

@@ -183,6 +183,24 @@ LSH_BAND_LADDER: tuple[tuple[int, int, int], ...] = (
 )
 LSH_BAND_FLOOR: tuple[int, int] = (2, 6)
 
+# Oracle-compat invariants (ADVICE r12): both DuckDB oracle templates
+# (queries/dedup.py:_MINHASH_CTES_T, queries/textpipe.py's curate CTE)
+# derive the layout from lsh_rpb_case_sql's rows-per-band ALONE —
+# bands = 12 // rpb — and enumerate band indexes from a hard-coded
+# ``unnest([0,1,2,3])`` (max 4 bands) filtered by ``band < 12 // rpb``.
+# A future rung violating either equation (e.g. 6×2, or a bands value
+# ≠ 12 // rows) would silently drop bands oracle-side while Spark emits
+# them — an unexplained parity failure.  Fail HERE, at import, instead.
+for _entry in LSH_BAND_LADDER + ((0, *LSH_BAND_FLOOR),):
+    _, _bands, _rows = _entry
+    assert 12 % _rows == 0 and _bands == 12 // _rows, (
+        f"LSH band rung {_bands}x{_rows}: oracle derives bands as 12 // rpb"
+    )
+    assert _bands <= 4, (
+        f"LSH band rung {_bands}x{_rows}: oracle unnest([0,1,2,3]) caps bands at 4"
+    )
+del _entry, _bands, _rows
+
 
 def lsh_band_keys_adaptive(sig: Column, n_docs: Column) -> Column:
     """Corpus-size-adaptive band layout (VERDICT r11 ask #2): pick
@@ -483,6 +501,14 @@ def simhash64(tokens: Column) -> Column:
     """64-bit SimHash over a token array as an array<long> of 64 bits
     (MSB-first, 1 where the summed ±1 contributions are positive).
 
+    Repeated tokens weight their bits by multiplicity — the standard
+    Charikar semantics and bit-identical to :func:`simhash_df` on ALL
+    inputs (unified r13; until then this form ``array_distinct``-ed its
+    input, so the two "equivalent" APIs silently diverged on raw
+    non-distinct token arrays — tests/test_dedup_property.py pins the
+    twins unconditionally now).  Callers wanting set semantics pass
+    ``F.array_distinct(tokens)`` explicitly, as ``shingle_frame`` does.
+
     The md5 of each token is materialized ONCE into a (v1, v2)
     halves-struct array before bit expansion — Catalyst does not CSE
     inside higher-order-function lambdas, so inlining the md5 into the
@@ -492,7 +518,7 @@ def simhash64(tokens: Column) -> Column:
     shuffle, no Python.
     """
     halves = F.transform(
-        F.array_distinct(tokens),
+        tokens,
         lambda t: F.struct(
             F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("v1"),
             F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("v2"),

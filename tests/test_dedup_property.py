@@ -163,23 +163,34 @@ def test_word_shingles_matches_shingle_frame(spark, rng):
 def test_simhash64_matches_simhash_df_bits(spark, rng):
     """simhash64 (exported in-array HOF form) vs simhash_df (the
     packed-lane codegen form every query uses): bit-identical 64-bit
-    signatures on random corpora — the same differential that caught
+    signatures on ALL inputs — the same differential that caught
     minhash_signature's index-shadowed closure.
 
-    Contract note the differential surfaced: inputs must be DISTINCT
-    shingle arrays (what shingle_frame emits).  On inputs with repeats
-    the forms legitimately differ — simhash64 dedupes internally
-    (array_distinct) while simhash_df weights bits by multiplicity —
-    so the generator dedupes, matching the real call contract."""
+    UNCONDITIONAL since r13 (VERDICT r12 ask #4): both forms now weight
+    bits by token multiplicity, so the generator deliberately includes
+    repeated tokens (small alphabet, skewed repeats) plus the old
+    distinct-only shape.  Until r13 simhash64 array_distinct-ed its
+    input and the twins agreed only on the distinct arrays
+    shingle_frame emits — a silent divergence for any external caller
+    feeding raw token arrays."""
     rows = [
         (
             i,
+            [
+                f"{rng.choice('ab')}{rng.randrange(6)}"  # heavy repeats
+                for _ in range(rng.randrange(1, 40))
+            ],
+        )
+        for i in range(25)
+    ] + [
+        (
+            25 + i,
             list(dict.fromkeys(
                 f"{rng.choice('abcdefgh')}{rng.randrange(50)}"
                 for _ in range(rng.randrange(1, 40))
             )),
         )
-        for i in range(50)
+        for i in range(25)
     ]
     df = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
     via_hof = {
@@ -253,6 +264,55 @@ def test_adaptive_band_rungs_match_explicit_layouts(spark, rng):
         )
         duck_rpb = duckdb.sql(f"SELECT {D.lsh_rpb_case_sql(str(forced_n))}").fetchone()[0]
         assert duck_rpb == rpb, (forced_n, duck_rpb, rpb)
+
+
+def test_lsh_floor_rung_2x6_full_engine_parity(spark, duck, monkeypatch):
+    """The LSH_BAND_LADDER 2×6 floor rung, END-TO-END in both engines
+    (VERDICT r12 ask #2): the rung activates above 2M docs — no
+    generated corpus reaches it, so until r13 it carried only the
+    unit-level CASE-arithmetic pin above.  Both renderers derive the
+    layout from the same module constants, so shrinking the ladder's
+    thresholds (test ladder tripping the floor at >200 docs) exercises
+    the REAL 2×6 branch of the REAL registered query
+    (``dedup_minhash_lsh`` — shingle → 12-hash signature → adaptive
+    banding → bucket-join candidates → Jaccard ≥ 0.5) against the SAME
+    ``lsh_rpb_case_sql``-rendered DuckDB oracle on the 500-doc sf0.001
+    corpus, through the driver's canonicalization — the standard the
+    3×4 rung met at .tmp/sf1 and .tmp/sf10 in r12."""
+    from tests.conftest import SF_DIR, pandas_canon
+    from fletcher_spark.queries import dedup as QD
+
+    monkeypatch.setattr(D, "LSH_BAND_LADDER", ((100, 4, 3), (200, 3, 4)))
+
+    # non-vacuous: the corpus must actually trip the floor rung in the
+    # oracle's own CASE, and both branch selectors must agree
+    n_docs = duck.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert n_docs > 200, f"corpus too small to trip the test floor: {n_docs}"
+    assert duck.sql(f"SELECT {D.lsh_rpb_case_sql(str(n_docs))}").fetchone()[0] == 6
+
+    spdf = QD.dedup_minhash_lsh(spark, SF_DIR).toPandas()
+    oracle = (
+        "WITH "
+        + QD._MINHASH_CTES_T.format(
+            nn="nn AS (SELECT "
+            + D.lsh_rpb_case_sql("count(*)")
+            + " AS rpb FROM documents)"
+        )
+        + "\nSELECT id1, id2, round(j, 4) AS jaccard FROM ver WHERE j >= 0.5\n"
+    )
+    dpdf = duck.sql(oracle).df()
+
+    # 2×6 must not degenerate to an empty comparison: the sf0.001 corpus
+    # plants J 0.90-0.99 pairs and P[candidate | J=0.9] = 0.823 per band
+    # layout, so SOME survivors are overwhelmingly likely — an empty
+    # Spark frame would make the parity assert vacuous
+    assert len(spdf) > 0, "floor-rung run found no pairs; parity would be vacuous"
+
+    s_rows, s_cols = pandas_canon(spdf, "lsh_floor_2x6[spark]")
+    d_rows, d_cols = pandas_canon(dpdf, "lsh_floor_2x6[duckdb]")
+    assert s_cols == d_cols, f"column mismatch: {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (len(s_rows), len(d_rows))
+    assert s_rows == d_rows
 
 
 def test_prefix_filter_prunes_and_loses_nothing(spark):

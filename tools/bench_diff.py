@@ -21,7 +21,7 @@ import json
 import sys
 
 
-def _load(path: str) -> tuple[dict[str, float], float | None]:
+def _load(path: str) -> tuple[dict[str, float], float | None, dict[str, float]]:
     with open(path) as f:
         text = f.read().strip()
     line = text.splitlines()[-1]
@@ -39,6 +39,13 @@ def _load(path: str) -> tuple[dict[str, float], float | None]:
     # suggests a start-of-sweep burst; post SLOWER than pre has no JIT
     # explanation at all — contention arrived mid-sweep.
     pre, post = d.get("box_ref_pre_sec"), d.get("box_ref_post_sec")
+    if "box_ref_post_sec" in d and post is None:
+        # bench.py records null when the post probe FAILED (ADVICE r12)
+        # — distinct from zero drift, which would read pre == post.
+        print(
+            f"  WARN  {path}: post box probe failed — intra-sweep drift "
+            f"is UNMEASURED for this snapshot (not zero)"
+        )
     if isinstance(pre, (int, float)) and isinstance(post, (int, float)) and pre > 0 and post > 0:
         if post > 1.5 * pre:
             print(
@@ -53,14 +60,27 @@ def _load(path: str) -> tuple[dict[str, float], float | None]:
                 f"baseline; the pre-sweep denominator likely caught a "
                 f"contention burst, normalized ratios are suspect"
             )
+    # per-query burst flags (bench.py since r13): max/min sample spread
+    # > 3x for that query during this sweep — the committed label for
+    # the single-family contention bursts r12 adjudicated by hand
+    burst = {
+        k: float(v)
+        for k, v in (d.get("burst_suspect") or {}).items()
+        if isinstance(v, (int, float))
+    }
+    if burst:
+        worst = ", ".join(f"{k} {v:.1f}x" for k, v in sorted(burst.items(), key=lambda kv: -kv[1])[:5])
+        print(f"  NOTE  {path}: {len(burst)} burst-suspect quer{'y' if len(burst)==1 else 'ies'} (sample spread >3x): {worst}")
     # summary lines carry only the slowest; prefer queries_file if noted
-    return {k: float(v) for k, v in q.items()}, (
-        float(ref) if isinstance(ref, (int, float)) and ref > 0 else None
+    return (
+        {k: float(v) for k, v in q.items()},
+        float(ref) if isinstance(ref, (int, float)) and ref > 0 else None,
+        burst,
     )
 
 
 def main() -> int:
-    (old, ref_old), (new, ref_new) = _load(sys.argv[1]), _load(sys.argv[2])
+    (old, ref_old, burst_old), (new, ref_new, burst_new) = _load(sys.argv[1]), _load(sys.argv[2])
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     common = sorted(set(old) & set(new))
     if not common:
@@ -94,7 +114,15 @@ def main() -> int:
             if ref_old and ref_new
             else ""
         )
-        print(f"  {r:5.2f}x  {k}: {o:.2f}s -> {n:.2f}s{norm}")
+        # a mover whose sweep flagged it burst-suspect is labeled so a
+        # localized contention burst doesn't read as a code regression
+        tags = []
+        if k in burst_old:
+            tags.append(f"burst-suspect in OLD sweep ({burst_old[k]:.1f}x spread)")
+        if k in burst_new:
+            tags.append(f"burst-suspect in NEW sweep ({burst_new[k]:.1f}x spread)")
+        tag = ("  [" + "; ".join(tags) + "]") if tags else ""
+        print(f"  {r:5.2f}x  {k}: {o:.2f}s -> {n:.2f}s{norm}{tag}")
     if not flagged:
         print(f"  no per-query change beyond {thresh}x")
     return 0

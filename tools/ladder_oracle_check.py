@@ -24,6 +24,11 @@ r10 quadratic-at-scale fixes carry a value-checked parity proof on the
 branch that actually runs at scale, not just a wall-time.
 
 Usage:  python tools/ladder_oracle_check.py [sf_dir=.tmp/sf1] [names...]
+
+Set ``LSH_TEST_LADDER="1000:4:3,10000:3:4"`` to shrink the Broder band
+ladder in BOTH engines before the oracles render — the r13 path for
+value-checking the 2×6 floor rung (real threshold 2M docs) on the
+50k-doc .tmp/sf1 corpus.
 """
 
 from __future__ import annotations
@@ -51,6 +56,23 @@ def main() -> int:
 
     import duckdb
     from pyspark.sql import SparkSession
+
+    # LSH_TEST_LADDER="1000:4:3,10000:3:4" shrinks the Broder band
+    # ladder BEFORE the query modules render their oracle CTEs, so a
+    # corpus that never reaches the real 2M-doc floor threshold trips
+    # the 2×6 floor rung in BOTH engines (r13: the floor's two-scale
+    # parity runs; the import-time rung assertions in pipeline/dedup.py
+    # still validate the test ladder).  Patch must precede
+    # registry.load_all(): queries/dedup.py and queries/textpipe.py
+    # render lsh_rpb_case_sql into their oracle strings at import.
+    test_ladder = os.environ.get("LSH_TEST_LADDER")
+    if test_ladder:
+        import fletcher_spark.pipeline.dedup as P
+
+        P.LSH_BAND_LADDER = tuple(
+            tuple(int(x) for x in entry.split(":")) for entry in test_ladder.split(",")
+        )
+        print(f"LSH_TEST_LADDER active: {P.LSH_BAND_LADDER} (floor {P.LSH_BAND_FLOOR})")
 
     from fletcher_spark.queries import registry
     from fletcher_spark.session import apply_runtime_confs
