@@ -105,7 +105,7 @@ def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pagerank_oracle() -> str:
     edges = """
-e AS (
+e AS MATERIALIZED (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
          count(*)::DOUBLE AS w
   FROM lineitem l
@@ -115,7 +115,7 @@ e AS (
   GROUP BY src, dst
 ),
 outw AS (SELECT src, sum(w) AS tot FROM e GROUP BY src),
-norm AS (
+norm AS MATERIALIZED (
   SELECT e.src, e.dst, e.w / outw.tot AS p
   FROM e JOIN outw ON e.src = outw.src
 ),
@@ -207,15 +207,25 @@ def _labelprop_oracle(iters: int = 2) -> str:
     (weight desc, label asc) tiebreak, isolated nodes keep their
     label."""
     parts = [
-        """e AS (
+        # same-nation filter AFTER the group-by (src <> dst over the
+        # grouped keys ⟺ the original per-row predicate) — an in-join
+        # cross-table inequality invites DuckDB's optimizer to reorder
+        # it into a customer×supplier near-cross-product at 10×+ scales
+        # (caught r13 on _TRI_ORACLE; see sketches._TRADE_SQL)
+        # MATERIALIZED: DuckDB inlines unmaterialized CTEs per
+        # reference, and ``und`` (via ``e``/``sym``) is re-read by
+        # every unrolled iteration — unhinted, each reference re-runs
+        # the 6M-row fact join at 10× scale (same lesson as
+        # sketches._TRI_ORACLE, r13)
+        """e0 AS MATERIALIZED (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*)::BIGINT AS w
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
-  WHERE c.c_nationkey <> s.s_nationkey
   GROUP BY src, dst
 )""",
+        "e AS MATERIALIZED (SELECT src, dst, w FROM e0 WHERE src <> dst)",
         "sym AS (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e)",
         "und AS (SELECT src, dst, sum(w) AS w FROM sym GROUP BY src, dst)",
         "nodes AS (SELECT n_nationkey AS node FROM nation)",

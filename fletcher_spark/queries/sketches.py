@@ -238,7 +238,16 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Shared CTE prefix: the above-average-weight undirected nation trade
 #: graph (also the PageRank edge family, queries/profiling.py).
-_TRADE_SQL = """trade AS (
+#: The same-nation filter runs AFTER the group-by (u != v ⟺ the
+#: original c_nationkey != s_nationkey, since least != greatest):
+#: placed in the join's WHERE, DuckDB's optimizer may reorder the
+#: cross-table inequality into a customer×supplier near-cross-product
+#: (~144M rows at 10×, 78 GB of spill before dying — caught r13 when
+#: _TRI_ORACLE, the only unmaterialized consumer, hit it at .tmp/sf1;
+#: the kcore consumer's MATERIALIZED hints had masked it).  Grouping
+#: first adds only the ≤|nations| diagonal groups, dropped before the
+#: avg(w) cut, so the result set is bit-identical.
+_TRADE_SQL = """pairs AS (
   SELECT least(c.c_nationkey, s.s_nationkey) AS u,
          greatest(c.c_nationkey, s.s_nationkey) AS v,
          count(*) AS w
@@ -246,9 +255,9 @@ _TRADE_SQL = """trade AS (
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
-  WHERE c.c_nationkey != s.s_nationkey
   GROUP BY u, v
 ),
+trade AS (SELECT u, v, w FROM pairs WHERE u != v),
 cut AS (SELECT avg(w) AS thr FROM trade),
 e AS (SELECT u, v FROM trade, cut WHERE w > thr)"""
 
@@ -283,8 +292,16 @@ def _trade_edges(t) -> DataFrame:
     )
 
 
+#: same post-group same-nation filter as _TRADE_SQL (see the note
+#: there): this oracle is the one that DIED at .tmp/sf1 when DuckDB
+#: reordered the in-join inequality into a customer×supplier
+#: near-cross-product.  The fact-join CTEs are MATERIALIZED (the same
+#: hint _KCORE_ORACLE has always used): DuckDB inlines unmaterialized
+#: CTEs per REFERENCE, and ``e`` is referenced five times downstream —
+#: each re-running the 6M-row 4-way join (measured 294 s vs ~1 s at
+#: .tmp/sf1).  Hints only; result set unchanged.
 _TRI_ORACLE = """
-WITH trade AS (
+WITH pairs AS MATERIALIZED (
   SELECT least(c.c_nationkey, s.s_nationkey) AS u,
          greatest(c.c_nationkey, s.s_nationkey) AS v,
          count(*) AS w
@@ -292,17 +309,17 @@ WITH trade AS (
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
-  WHERE c.c_nationkey != s.s_nationkey
   GROUP BY u, v
 ),
+trade AS MATERIALIZED (SELECT u, v, w FROM pairs WHERE u != v),
 cut AS (SELECT avg(w) AS thr FROM trade),
-e AS (SELECT u, v FROM trade, cut WHERE w > thr),
-deg AS (
+e AS MATERIALIZED (SELECT u, v FROM trade, cut WHERE w > thr),
+deg AS MATERIALIZED (
   SELECT node, count(*) AS d FROM (
     SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
   ) GROUP BY node
 ),
-o AS (
+o AS MATERIALIZED (
   SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a,
          CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS b
   FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
