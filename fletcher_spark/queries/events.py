@@ -27,7 +27,7 @@ SELECT
   epoch(time_bucket(INTERVAL '10 minutes', ts))::BIGINT AS w_start_s,
   event_type,
   count(*) AS n,
-  round(avg(value), 4) AS avg_value
+  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -35,9 +35,15 @@ GROUP BY 1, 2
 def events_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 10-minute event-time windows, count + mean per
     (window, event_type) — streaming/windows.py:tumbling_agg run in
-    batch mode.  One shuffle on (window, key), map-side combined."""
+    batch mode.  One shuffle on (window, key), map-side combined.
+
+    The mean rides the exact-decimal path (events.value is 2-decimal
+    fixed-point): double avg is accumulation-order-dependent, and at
+    .tmp/sf1 a window's exact mean landed ON a round-half tie
+    (12.94875), splitting the engines at the 4th decimal — see
+    tumbling_agg's value_decimal_scale note (r13)."""
     ev = load_tables(spark, sf_dir)["events"]
-    out = W.tumbling_agg(ev, "ts", "10 minutes", "event_type")
+    out = W.tumbling_agg(ev, "ts", "10 minutes", "event_type", value_decimal_scale=2)
     return out.select(
         epoch_seconds("w_start").alias("w_start_s"), "event_type", "n", "avg_value"
     )

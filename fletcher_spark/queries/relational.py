@@ -177,7 +177,7 @@ def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   o_orderstatus,
   o_orderpriority,
-  round(sum(o_totalprice), 4) AS sum_price,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
   count(*) AS n
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -185,13 +185,22 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """,
 )
 def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets."""
+    """CUBE grouping sets.
+
+    The money sum accumulates in exact DECIMAL(18,2) and casts to
+    double at the end (the decimal_exact_money pattern): a double sum
+    is accumulation-order-dependent, and at .tmp/sf1 the two engines'
+    ~2e-4 errors on a 2.5e10 sum straddled the old round(…,4) boundary
+    (…417.5999 vs …417.6, exact value …417.60 — caught r13).  The
+    exact sum is bit-reproducible at ANY scale and partitioning."""
     t = load_tables(spark, sf_dir)
     return (
         t["orders"]
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
-            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy(
@@ -526,7 +535,7 @@ SELECT
   count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS medium,
   count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS unspecified,
   count(*) FILTER (o_orderpriority = '5-LOW')           AS low,
-  round(sum(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 4) AS urgent_total
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total
 FROM orders
 GROUP BY o_orderstatus
 """,
@@ -546,7 +555,11 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderpriority", pri)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            # exact-decimal money sum (see cube_status_priority): a
+            # double sum straddled the old round(…,4) at .tmp/sf1 (r13)
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
         )
     )
     return wide.select(

@@ -24,23 +24,44 @@ def tumbling_agg(
     ts_col: str = "ts",
     duration: str = "10 minutes",
     key: str | None = "event_type",
+    value_decimal_scale: int | None = None,
 ) -> DataFrame:
     """Tumbling event-time window: count + mean per (window, key).
 
     Batch and streaming take the same plan shape (partial aggregate →
     shuffle on window+key → final); in streaming the shuffle feeds the
     state store instead.
+
+    ``value_decimal_scale``: when the value column carries fixed-point
+    data (e.g. 2-decimal money/measurements), pass its scale and the
+    mean is computed as an EXACT decimal sum cast to double, divided by
+    the count — order-independent and bit-reproducible across partition
+    layouts, engines, and reruns.  The default double ``avg`` is
+    order-DEPENDENT: at 10× scale its accumulated error straddled a
+    round-half tie (a window whose exact mean was 12.94875) and two
+    engines legitimately disagreed at the 4th decimal (caught r13 at
+    .tmp/sf1).  No rounding is applied in the exact mode: the two
+    division operands are bit-identical everywhere, so the quotient is
+    too, while rounding a double re-introduces representation ties.
     """
     keys = [F.window(ts_col, duration).alias("w")] + ([F.col(key)] if key else [])
-    return (
-        df.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
-        .select(
-            F.col("w.start").alias("w_start"),
-            *([key] if key else []),
-            "n",
-            "avg_value",
+    if value_decimal_scale is None:
+        aggs = [F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value")]
+        post = ["n", "avg_value"]
+        out = df.groupBy(*keys).agg(*aggs)
+        return out.select(
+            F.col("w.start").alias("w_start"), *([key] if key else []), *post
         )
+    dt = f"decimal(28,{value_decimal_scale})"
+    out = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(dt)).alias("_sv"),
+    )
+    return out.select(
+        F.col("w.start").alias("w_start"),
+        *([key] if key else []),
+        "n",
+        (F.col("_sv").cast("double") / F.col("n")).alias("avg_value"),
     )
 
 
