@@ -56,6 +56,40 @@ def measure(run_fn, name: str) -> tuple[float, float | None]:
     return best, spread
 
 
+def _box_probe_df(spark, sf_dir):
+    """The box-speed probe's workload, FROZEN at the r1–r12 registered
+    q1 shape (double sums, round(…, 4)).  The registered
+    q1_pricing_summary moved to exact-decimal accumulation in r13; had
+    the probe followed it, every cross-round box-normalized comparison
+    would silently mix denominators measured on different work — the
+    same redefinition trap as the reverted min(pre, post) form (r12).
+    box_ref_sec therefore means the SAME computation in every snapshot
+    since r10, regardless of how the registered query evolves.
+    """
+    from pyspark.sql import functions as F
+
+    from fletcher_spark.io import load_tables
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -92,8 +126,15 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
-    # Warm-up: JVM JIT + codegen + parquet footer caching.
-    run("q1_pricing_summary")
+    def probe() -> float:
+        # frozen workload — see _box_probe_df
+        t0 = time.perf_counter()
+        _box_probe_df(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    # Warm-up: JVM JIT + codegen + parquet footer caching (the frozen
+    # probe shape, byte-identical to the r1-r12 warm-up).
+    probe()
     # ... and the Python/Arrow worker pool (daemon + per-core workers):
     # otherwise the alphabetically-first pandas-UDF query absorbs the
     # whole pool spawn (~1.5-2 s) into its measurement.  A trivial
@@ -114,7 +155,7 @@ def main() -> None:
     # settling "code or contention?" in one line.  q1 is the probe
     # because it is pure JVM scan+hash-agg (no Python workers, no cache
     # interplay) and has run first in every round since r1.
-    box_ref_pre = min(run("q1_pricing_summary") for _ in range(3))
+    box_ref_pre = min(probe() for _ in range(3))
 
     timings: dict[str, float] = {}
     # Per-query burst detection (VERDICT r12 ask #3): the r12 six-sweep
@@ -162,7 +203,7 @@ def main() -> None:
     # bench_diff's drift check, silently conflating "unmeasured" with
     # "no drift".
     try:
-        box_ref_post = min(run("q1_pricing_summary") for _ in range(3))
+        box_ref_post = min(probe() for _ in range(3))
     except Exception as exc:  # noqa: BLE001
         print(f"bench: post box probe FAILED: {exc}", file=sys.stderr)
         box_ref_post = None

@@ -27,7 +27,7 @@ SELECT
   epoch(time_bucket(INTERVAL '10 minutes', ts))::BIGINT AS w_start_s,
   event_type,
   count(*) AS n,
-  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_value
+  CAST(sum(floor(value * 100 + 0.5)::BIGINT) AS DOUBLE) / 100.0 / count(*) AS avg_value
 FROM events
 GROUP BY 1, 2
 """,

@@ -177,7 +177,7 @@ def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   o_orderstatus,
   o_orderpriority,
-  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+  CAST(sum(floor(o_totalprice * 100 + 0.5)::BIGINT) AS DOUBLE) / 100.0 AS sum_price,
   count(*) AS n
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -187,20 +187,23 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets.
 
-    The money sum accumulates in exact DECIMAL(18,2) and casts to
-    double at the end (the decimal_exact_money pattern): a double sum
-    is accumulation-order-dependent, and at .tmp/sf1 the two engines'
+    The money sum accumulates as exact integer cents (associative
+    BIGINT — order-independent, so bit-reproducible at ANY scale and
+    partitioning) and converts to double at the end: a double sum is
+    accumulation-order-dependent, and at .tmp/sf1 the two engines'
     ~2e-4 errors on a 2.5e10 sum straddled the old round(…,4) boundary
-    (…417.5999 vs …417.6, exact value …417.60 — caught r13).  The
-    exact sum is bit-reproducible at ANY scale and partitioning."""
+    (…417.5999 vs …417.6, exact value …417.60 — caught r13).  Integer
+    (not DECIMAL) accumulation keeps the aggregate on the long-typed
+    codegen fast path — see q1_pricing_summary's note for the full
+    mechanism (per-row floor(x·100 + 0.5) is unambiguous because the
+    doubles are within ~1e-9 of the exact 2-decimal values)."""
     t = load_tables(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return (
         t["orders"]
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_price"),
+            (F.sum(cents).cast("double") / 100.0).alias("sum_price"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy(
@@ -535,7 +538,7 @@ SELECT
   count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS medium,
   count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS unspecified,
   count(*) FILTER (o_orderpriority = '5-LOW')           AS low,
-  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total
+  CAST(sum(floor(o_totalprice * 100 + 0.5)::BIGINT) FILTER (o_orderpriority = '1-URGENT') AS DOUBLE) / 100.0 AS urgent_total
 FROM orders
 GROUP BY o_orderstatus
 """,
@@ -555,11 +558,11 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderpriority", pri)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            # exact-decimal money sum (see cube_status_priority): a
-            # double sum straddled the old round(…,4) at .tmp/sf1 (r13)
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total"),
+            # exact integer-cents money sum (see cube_status_priority):
+            # a double sum straddled the old round(…,4) at .tmp/sf1 (r13)
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("total_c"),
         )
     )
     return wide.select(
@@ -569,7 +572,7 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`3-MEDIUM_n`").alias("medium"),
         F.col("`4-NOT SPECIFIED_n`").alias("unspecified"),
         F.col("`5-LOW_n`").alias("low"),
-        F.col("`1-URGENT_total`").alias("urgent_total"),
+        (F.col("`1-URGENT_total_c`").cast("double") / 100.0).alias("urgent_total"),
     )
 
 

@@ -13,25 +13,46 @@ broadcast (`F.broadcast`) so the fact table never shuffles for them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fletcher_spark.functions.timeutil import epoch_seconds
 from fletcher_spark.io import load_tables
 from fletcher_spark.queries.registry import query
 
+#: Exact fixed-point accumulation (r13): TPC-H defines these columns
+#: as DECIMAL, and at .tmp/sf10 (100×) the engines' double-sum
+#: accumulation orders diverge in the 4th decimal at 1e11 magnitudes —
+#: no double formulation can pass the driver's 4-decimal float canon
+#: there.  Mechanism: each row's money value is converted to its EXACT
+#: scaled integer (quantity/price/discount are 2-decimal; price×(1−d)
+#: is exactly 4-decimal; ×(1+tax) exactly 6-decimal) via
+#: floor(x·10^s + 0.5) — the per-row double products are bit-identical
+#: across engines (same IEEE ops) and land within ~5e-5 of the integer
+#: target, so the floor is unambiguous; BIGINT sums are then
+#: associative (order-independent — bit-reproducible under any
+#: partitioning/AQE layout); and the final BIGINT→double conversion
+#: plus the division by the scale are the same two correctly-rounded
+#: IEEE ops in both engines, even beyond 2^53.  Averages divide the
+#: sum-double by the count — deterministic — with no re-rounding
+#: (rounding a double re-introduces representation ties).  Integer
+#: (not DECIMAL) accumulation keeps the aggregate long-typed inside
+#: whole-stage codegen: the decimal form measured 3.5× slower at
+#: sf0.1 (0.99 s vs 0.28 s min-of-3), and >18-digit Spark decimals
+#: fall off the long-backed fast path entirely.  Overflow window:
+#: charge micro-units sum ≈ 2.8e17 at sf10, bound 9.2e18 (~sf300).
 _Q1_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  round(sum(l_quantity), 4)                                      AS sum_qty,
-  round(sum(l_extendedprice), 4)                                 AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 4)              AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-  round(avg(l_quantity), 4)                                      AS avg_qty,
-  round(avg(l_extendedprice), 4)                                 AS avg_price,
-  round(avg(l_discount), 4)                                      AS avg_disc,
-  count(*)                                                       AS count_order
+  CAST(sum(floor(l_quantity * 100 + 0.5)::BIGINT) AS DOUBLE) / 100.0      AS sum_qty,
+  CAST(sum(floor(l_extendedprice * 100 + 0.5)::BIGINT) AS DOUBLE) / 100.0 AS sum_base_price,
+  CAST(sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)::BIGINT) AS DOUBLE) / 10000.0 AS sum_disc_price,
+  CAST(sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5)::BIGINT) AS DOUBLE) / 1000000.0 AS sum_charge,
+  CAST(sum(floor(l_quantity * 100 + 0.5)::BIGINT) AS DOUBLE) / 100.0 / count(*)      AS avg_qty,
+  CAST(sum(floor(l_extendedprice * 100 + 0.5)::BIGINT) AS DOUBLE) / 100.0 / count(*) AS avg_price,
+  CAST(sum(floor(l_discount * 100 + 0.5)::BIGINT) AS DOUBLE) / 100.0 / count(*)      AS avg_disc,
+  count(*)                                                                AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -48,20 +69,36 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     HashAggregate before the exchange, final after.
     """
     li = load_tables(spark, sf_dir)["lineitem"]
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+
+    # exact fixed-point accumulation — see the _Q1_ORACLE note (r13):
+    # per-row scaled-integer conversion, associative BIGINT sums
+    # (order-independent = bit-reproducible at any scale/partitioning),
+    # deterministic integer→double at the end; stays long-typed inside
+    # whole-stage codegen (the decimal form measured 3.5× slower)
+    def fx(col: Column, scale: int) -> Column:
+        return F.floor(col * scale + F.lit(0.5)).cast("long")
+
+    qty_c = fx(F.col("l_quantity"), 100)
+    price_c = fx(F.col("l_extendedprice"), 100)
+    disc_c = fx(F.col("l_discount"), 100)
+    dp_u4 = fx(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    ch_u6 = fx(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+        1000000,
+    )
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(charge), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            (F.sum(qty_c).cast("double") / 100.0).alias("sum_qty"),
+            (F.sum(price_c).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(dp_u4).cast("double") / 10000.0).alias("sum_disc_price"),
+            (F.sum(ch_u6).cast("double") / 1000000.0).alias("sum_charge"),
+            (F.sum(qty_c).cast("double") / 100.0 / n).alias("avg_qty"),
+            (F.sum(price_c).cast("double") / 100.0 / n).alias("avg_price"),
+            (F.sum(disc_c).cast("double") / 100.0 / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

@@ -34,15 +34,21 @@ def tumbling_agg(
 
     ``value_decimal_scale``: when the value column carries fixed-point
     data (e.g. 2-decimal money/measurements), pass its scale and the
-    mean is computed as an EXACT decimal sum cast to double, divided by
-    the count — order-independent and bit-reproducible across partition
-    layouts, engines, and reruns.  The default double ``avg`` is
-    order-DEPENDENT: at 10× scale its accumulated error straddled a
-    round-half tie (a window whose exact mean was 12.94875) and two
-    engines legitimately disagreed at the 4th decimal (caught r13 at
-    .tmp/sf1).  No rounding is applied in the exact mode: the two
-    division operands are bit-identical everywhere, so the quotient is
-    too, while rounding a double re-introduces representation ties.
+    mean is computed from an EXACT scaled-integer sum — per row
+    ``floor(value·10^s + 0.5)`` (unambiguous: the doubles sit within
+    ~1e-9 of the exact fixed-point values), associative BIGINT
+    accumulation, then the same correctly-rounded int→double + two IEEE
+    divisions in any engine — order-independent and bit-reproducible
+    across partition layouts, engines, and reruns, and long-typed all
+    the way through whole-stage codegen (a DECIMAL(28,s) sum falls off
+    the long-backed fast path — measured 3.5× on the q1 shape).  The
+    default double ``avg`` is order-DEPENDENT: at 10× scale its
+    accumulated error straddled a round-half tie (a window whose exact
+    mean was 12.94875) and two engines legitimately disagreed at the
+    4th decimal (caught r13 at .tmp/sf1).  No rounding is applied in
+    the exact mode: the division operands are bit-identical everywhere,
+    so the quotient is too, while rounding a double re-introduces
+    representation ties.
     """
     keys = [F.window(ts_col, duration).alias("w")] + ([F.col(key)] if key else [])
     if value_decimal_scale is None:
@@ -52,16 +58,17 @@ def tumbling_agg(
         return out.select(
             F.col("w.start").alias("w_start"), *([key] if key else []), *post
         )
-    dt = f"decimal(28,{value_decimal_scale})"
+    mult = 10 ** value_decimal_scale
+    scaled = F.floor(F.col("value") * mult + F.lit(0.5)).cast("long")
     out = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast(dt)).alias("_sv"),
+        F.sum(scaled).alias("_sv"),
     )
     return out.select(
         F.col("w.start").alias("w_start"),
         *([key] if key else []),
         "n",
-        (F.col("_sv").cast("double") / F.col("n")).alias("avg_value"),
+        (F.col("_sv").cast("double") / float(mult) / F.col("n")).alias("avg_value"),
     )
 
 
