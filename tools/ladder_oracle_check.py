@@ -96,6 +96,18 @@ def main() -> int:
     apply_runtime_confs(spark)
     spark.sparkContext.setLogLevel("ERROR")
     duck = duckdb.connect()
+    # Optional resource caps for big-corpus sweeps: the r13 graph-
+    # oracle incident showed a mis-planned DuckDB join can spill 78 GB
+    # before failing.  DUCKDB_TEMP_CAP bounds total spill (DuckDB
+    # aborts the query instead of filling the disk); DUCKDB_MEM bounds
+    # the in-memory working set.
+    if os.environ.get("DUCKDB_MEM"):
+        duck.sql(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
+    if os.environ.get("DUCKDB_TEMP_CAP"):
+        duck.sql("SET temp_directory='.tmp'")
+        duck.sql(
+            f"SET max_temp_directory_size='{os.environ['DUCKDB_TEMP_CAP']}'"
+        )
     for t in TABLES:
         # slice scratch dirs (e.g. .tmp/sf1_slice) carry only the
         # tables the queries under check read — skip the rest
