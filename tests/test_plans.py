@@ -37,6 +37,31 @@ def test_tpch_q1_pushes_shipdate_filter(spark):
     assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1][:200], p
 
 
+def test_tpch_q1_fixedpoint_stays_long_typed_in_codegen(spark):
+    """The r13 exact fixed-point rewrite must keep the aggregate on
+    the long-backed codegen fast path: the measured reason integer
+    (not DECIMAL) accumulation was chosen (the decimal form was 3.5x
+    slower at sf0.1).  Pin it structurally: partial/final hash
+    aggregates run over bigint sums inside WholeStageCodegen, with no
+    decimal type anywhere in the physical plan."""
+    df = registry.QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    df.collect()  # finalize AQE so codegen stage markers materialize
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "decimal" not in p.lower(), p
+    # the sums aggregate FLOOR(...) directly — F.floor returns BIGINT,
+    # so Catalyst elides the cast and the aggregation buffer is long
+    assert "sum(FLOOR(" in p, p
+    # partial + final hash aggregates, both inside codegen stages —
+    # the '*(n)' prefix marks WholeStageCodegen; the plan string holds
+    # Final Plan + Initial Plan sections, only the final one is real
+    final = p.split("== Initial Plan ==")[0]
+    aggs = [ln for ln in final.splitlines() if "HashAggregate" in ln]
+    assert len(aggs) == 2 and all("*(" in ln for ln in aggs), final
+    # the partial aggregate's buffer columns are bigint (sum#NNL)
+    partial = aggs[-1]
+    assert "sum#" in partial and "L]" in partial, partial
+
+
 def test_q3_broadcasts_customer_dim(spark):
     """q3 filters customer to one segment — must broadcast it, never
     shuffle lineitem on the dim key."""
