@@ -259,13 +259,14 @@ def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mix_temperature_sampling",
     oracle="""
 WITH c AS (
-  SELECT source, count(*) AS n_docs, pow(count(*), 0.5) AS w_raw
+  SELECT source, count(*) AS n_docs,
+         CAST(floor(sqrt(count(*) * 1000000.0)) AS BIGINT) AS w_msqrt
   FROM documents GROUP BY source
 ),
-tot AS (SELECT sum(w_raw) AS z FROM c)
+tot AS (SELECT CAST(sum(w_msqrt) AS BIGINT) AS z FROM c)
 SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs,
-       round(c.w_raw / tot.z, 6) AS weight,
-       CAST(floor(1000 * c.w_raw / tot.z) AS BIGINT) AS alloc
+       round(CAST(c.w_msqrt AS DOUBLE) / CAST(tot.z AS DOUBLE), 6) AS weight,
+       CAST((1000 * c.w_msqrt) // tot.z AS BIGINT) AS alloc
 FROM c, tot
 """,
 )
@@ -278,16 +279,31 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     One hash aggregate to per-source counts (source-count rows — tiny),
     then a 1-row total broadcast-crossed back.  The corpus is read
     once; everything after the first agg is driver-scale metadata, so
-    the 100 TB cost is exactly one map-side-combined count."""
+    the 100 TB cost is exactly one map-side-combined count.
+
+    Weights are integer milli-sqrts (r13): ``floor(sqrt(n·10^6))`` —
+    IEEE requires sqrt be correctly rounded, so the integer is
+    bit-identical in any engine — summed as associative BIGINT, with
+    the allocation an EXACT integer floor-division.  The original
+    ``floor(1000·pow(n,0.5)/sum(...))`` double form was caught at the
+    100× ledger sweep landing exactly ON the floor boundary (equal
+    per-source counts ⇒ ratio exactly 1/k): the double total's last
+    ulp depends on how the partial aggregates grouped the addends, so
+    alloc flipped 49/50 with partition layout — the same
+    order-dependence class as the money sums, closed the same way."""
     d = load_tables(spark, sf_dir)["documents"]
     c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    c = c.withColumn("w_raw", F.pow("n_docs", F.lit(0.5)))
-    tot = c.agg(F.sum("w_raw").alias("z"))
+    c = c.withColumn(
+        "w_msqrt", F.floor(F.sqrt(F.col("n_docs") * F.lit(1000000.0)))
+    )
+    tot = c.agg(F.sum("w_msqrt").alias("z"))
     return c.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
-        F.round(F.col("w_raw") / F.col("z"), 6).alias("weight"),
-        F.floor(1000 * F.col("w_raw") / F.col("z")).cast("long").alias("alloc"),
+        F.round(F.col("w_msqrt").cast("double") / F.col("z").cast("double"), 6).alias(
+            "weight"
+        ),
+        F.expr("(1000 * w_msqrt) div z").alias("alloc"),
     )
 
 

@@ -80,6 +80,11 @@ CHANGED_ROUND: dict[str, int] = {
     # r11 array_mode_count typed-NULL accumulator (pipeline/textpipe.py
     # — operator module, invisible to the query-source hash guard)
     "text_repetition": 11,
+    # r13 session_agg start-as-min(ts) pushdown barrier
+    # (streaming/windows.py — operator module, invisible to the
+    # query-source hash guard): output values identical, but the plan
+    # shape changed and downstream start-predicates are now sound
+    "events_session_window": 13,
 }
 
 

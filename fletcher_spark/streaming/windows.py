@@ -96,12 +96,27 @@ def session_agg(
     """Native session windows (gap-merged): per-key sessions close after
     ``gap`` of silence.  The batch analog of the sessionize operator
     (fletcher_spark/operators/relational.py:sessionize) — in streaming,
-    ``session_window`` + watermark maintains open sessions as state."""
+    ``session_window`` + watermark maintains open sessions as state.
+
+    The session start is emitted as ``min(ts)`` — the same value as
+    ``w.start`` (a session starts at its first event) — NOT the window
+    struct field, to keep downstream predicates sound (r13): Catalyst
+    pushes filters on grouping expressions below the aggregate, and the
+    pre-merge logical definition of ``session_window.start`` is the
+    per-ROW ``ts`` (merge happens later, in the exec), so a pushed
+    predicate silently filters EVENTS instead of sessions — caught at
+    the 100× ledger sweep as phantom split sessions under a
+    start-keyed slice (a tumbling ``window().start`` pushdown is sound,
+    which is presumably why the rule fires here too).  An aggregate
+    output is a pushdown barrier, closing the hole for every consumer."""
     return (
         df.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key))
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("s_start"),
+        )
         .select(
-            F.col("w.start").alias("s_start"),
+            "s_start",
             key,
             "n_events",
         )

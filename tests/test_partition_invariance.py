@@ -43,6 +43,10 @@ NAMES = [
     "docid_gap_ranges_bucketed",
     "events_ttl_first_seen",
     "sketch_quantile_bound",
+    # r13: the old double-sum alloc flipped floor(…)=49/50 with the
+    # partial-aggregate grouping at the 100× ledger sweep; the integer
+    # milli-sqrt rewrite must be width-independent by construction
+    "mix_temperature_sampling",
 ]
 
 

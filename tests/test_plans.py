@@ -202,6 +202,27 @@ def test_events_windows_aggregate_before_shuffle(spark):
     assert p.count("HashAggregate") >= 2, p
 
 
+def test_session_start_filter_not_pushed_through_aggregate(spark):
+    """A predicate on session_agg's start column must stay ABOVE the
+    session aggregate (r13): Catalyst pushes grouping-expression
+    filters below an Aggregate, and ``session_window.start``'s
+    pre-merge logical definition is the per-row ``ts`` — pushing a
+    start predicate silently filters EVENTS, yielding phantom split
+    sessions (caught at the 100× ledger sweep).  session_agg defends
+    by emitting start as min(ts), an aggregate output no predicate
+    can cross.  Pin both the plan and the behavior."""
+    df = registry.QUERIES["events_session_window"](spark, SF_DIR)
+    sliced = df.filter("s_start_s % 7 = 0")
+    opt = sliced._jdf.queryExecution().optimizedPlan().toString()
+    below_agg = opt.split("Aggregate", 1)[1]
+    assert "% 7" not in below_agg, opt
+    # behavior: sliced plan == slice of the full result
+    full = {(r.s_start_s, r.user_id, r.n_events) for r in df.collect()}
+    expect = {t for t in full if t[0] % 7 == 0}
+    got = {(r.s_start_s, r.user_id, r.n_events) for r in sliced.collect()}
+    assert got == expect
+
+
 def test_partitioned_write_prunes_reads(spark, tmp_path):
     """Hive-partitioned sinks (io.write_parquet partition_by) must yield
     PartitionFilters at read time — at 100 TB the difference between
