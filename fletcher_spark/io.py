@@ -328,11 +328,33 @@ class Tables:
         return TPCH_TABLES
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
+#: Session-scoped memo of Tables instances, keyed on (applicationId,
+#: realpath(sf_dir)).  Each ``spark.read.parquet`` call costs a footer
+#: read + InMemoryFileIndex build + a dozen py4j roundtrips (~30-150 ms
+#: measured at sf0.1) and every query invocation used to pay it fresh
+#: for every table it touches — pure driver-side METADATA work repeated
+#: hundreds of times per bench/driver sweep.  Reusing the lazy
+#: DataFrame HANDLE caches only schema + file listing (what Spark's own
+#: catalog does for a registered table): no data, no results — every
+#: action on the handle still computes from the parquet input.
+#: ``fresh=True`` bypasses and replaces the entry (for callers that
+#: rewrite files under the same path mid-session).
+_TABLES_MEMO: dict[tuple[str, str], Tables] = {}
+
+
+def load_tables(spark: SparkSession, sf_dir: str, fresh: bool = False) -> Tables:
     """Lazy table map for ``sf_dir``; also applies runtime confs (UTC
     timezone, nanos-as-long) so results are deterministic regardless of
-    who constructed the session."""
+    who constructed the session.  Memoized per (session, dir) — see
+    ``_TABLES_MEMO``."""
+    import os
+
     from fletcher_spark.session import apply_runtime_confs
 
     apply_runtime_confs(spark)
-    return Tables(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    t = None if fresh else _TABLES_MEMO.get(key)
+    if t is None or t._spark is not spark:
+        t = Tables(spark, sf_dir)
+        _TABLES_MEMO[key] = t
+    return t

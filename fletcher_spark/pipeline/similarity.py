@@ -94,14 +94,30 @@ def hyperplane_signs(n_planes: int, dim: int, seed: str = "ann") -> list[list[in
 
 def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     """Sign-LSH bucket id: one char per hyperplane ('1' if dot ≥ 0),
-    concatenated to an n_planes-bit string key."""
-    bits = [
-        F.when(dot(vec, F.array(*[F.lit(float(w)) for w in row])) >= 0, F.lit("1")).otherwise(
-            F.lit("0")
+    concatenated to an n_planes-bit string key.
+
+    The plane matrix enters the plan as ONE parsed 2-level literal
+    walked by a ``transform`` — the same two plan-cost rules
+    :func:`lsh_table_keys` documents: per-element ``F.lit`` py4j
+    round-trips cost ~0.5 ms each (8×64 planes ≈ 0.3 s of driver time
+    per query construction, measured r13), and expanding each plane
+    into its own aggregate sub-tree makes Catalyst analysis
+    super-linear in plane count.  Emitted bits, and therefore keys,
+    are byte-identical to the unrolled form."""
+    planes_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(w)!r}D" for w in row) + ")" for row in planes
         )
-        for row in planes
-    ]
-    return F.concat(*bits)
+        + ")"
+    )
+    return F.array_join(
+        F.transform(
+            planes_lit,
+            lambda row: F.when(dot(vec, row) >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+        "",
+    )
 
 
 def lsh_table_keys(vec: Column, planes: list[list[int]], planes_per_table: int = 4) -> Column:

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fletcher_spark.io import load_tables
+from fletcher_spark.io import load_tables, spread
 from fletcher_spark.pipeline import multimodal as MM
 from fletcher_spark.queries.registry import query
 
@@ -102,7 +102,10 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII text, so no PNG arm is needed.  The real-codec tiers get
     their own value checks (mm_decode_png_roundtrip,
     mm_audio_features_roundtrip)."""
-    d = load_tables(spark, sf_dir)["documents"]
+    # spread: the decode is a CPU-bound Python stage and a single-split
+    # scan otherwise serializes it on one core (same rationale as the
+    # jpeg roundtrip's repartition; identity on multi-split tables)
+    d = spread(load_tables(spark, sf_dir)["documents"])
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     out = MM.decode_images(payloads, "doc_id", "payload")
     return out.select(
@@ -141,7 +144,7 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     row; see mm_decode_stub).  (No 6-decimal rounding ties exist: 64/w
     with w<512 can't terminate in an exact half at the 7th digit, so
     Python round == SQL round here.)"""
-    d = load_tables(spark, sf_dir)["documents"]
+    d = spread(load_tables(spark, sf_dir)["documents"])  # CPU-bound Python stage
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     out = MM.resize_images(payloads, 64, 64, "doc_id", "payload")
     return out.select("doc_id", "width", "height", "scale")
@@ -221,7 +224,10 @@ def mm_decode_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload bytes never leave the executor."""
     import pandas as pd
 
-    d = load_tables(spark, sf_dir)["documents"]
+    # spread: zlib inflate/unfilter is per-row Python work; a single-
+    # split scan serializes both chained map passes on one core (r13
+    # measured the whole roundtrip as ONE task; identity at scale)
+    d = spread(load_tables(spark, sf_dir)["documents"])
     enc = MM._make_png_encode(_PNG_W)
 
     def encode_batches(it):
@@ -329,7 +335,7 @@ def mm_audio_features_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; audio bytes never leave the executor."""
     import pandas as pd
 
-    d = load_tables(spark, sf_dir)["documents"]
+    d = spread(load_tables(spark, sf_dir)["documents"])  # CPU-bound Python stage
     enc = MM._make_wav_encode(8000)
 
     def encode_batches(it):
@@ -582,7 +588,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-slice framing is exactly SQL ``substr`` and the oracle
     value-checks every frame digest cross-engine — the stub is fake,
     the plumbing and the check are not."""
-    d = load_tables(spark, sf_dir)["documents"]
+    d = spread(load_tables(spark, sf_dir)["documents"])  # CPU-bound Python stage
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return MM.sample_frames(payloads, "doc_id", "payload", 256, 3)
 

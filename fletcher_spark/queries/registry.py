@@ -85,6 +85,19 @@ CHANGED_ROUND: dict[str, int] = {
     # query-source hash guard): output values identical, but the plan
     # shape changed and downstream start-predicates are now sound
     "events_session_window": 13,
+    # r13 optimization round, operator-module rewrites invisible to the
+    # source-hash guard — output values identical in every case, plan/
+    # construction shape changed: kmeans.centroid_literal and
+    # similarity.lsh_bucket now build their literals as ONE parsed SQL
+    # expression (was a py4j call per element); graph.kcore_peel no
+    # longer checkpoints `survivors` (derived from n0 minus the peeled
+    # sets instead)
+    "ann_kmeans_train": 13,
+    "ann_pq_adc": 13,
+    "ann_ivf_probe": 13,
+    "ann_ivf_int8_rescore": 13,
+    "knn_graph_blocked": 13,
+    "graph_kcore_peel": 13,
 }
 
 

@@ -41,13 +41,25 @@ RUNTIME_CONFS = {
 }
 
 
+#: applicationIds already conf'd — each conf.set is a py4j roundtrip
+#: (~5 ms for the block), and load_tables calls this on EVERY query
+#: invocation; once per session is enough (nothing in this library
+#: unsets them).
+_CONFS_APPLIED: set[str] = set()
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply deterministic/performance confs that are legal at runtime."""
+    """Apply deterministic/performance confs that are legal at runtime.
+    Idempotent and memoized per application — see ``_CONFS_APPLIED``."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _CONFS_APPLIED:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # immutable in this deployment; keep going
+    _CONFS_APPLIED.add(app_id)
     return spark
 
 
