@@ -101,6 +101,65 @@ def array_mode_count(arr: Column) -> Column:
     )
 
 
+def explode_histogram(df, arr: Column, keys: list[str], item: str = "item", cnt: str = "cnt"):
+    """Per-row element histogram, exploded to one ``(keys..., item,
+    cnt bigint)`` row per DISTINCT element — the generalization of
+    :func:`array_mode_count` (same scale rationale: a per-row
+    frequency never needs to leave the row, so explode →
+    groupBy(row, elem) shuffles |rows|×|elements| rows for nothing).
+    Sort, mark run STARTS (positions whose element differs null-safely
+    from their predecessor), then each run's count is the gap to the
+    next start.
+
+    DataFrame-level ON PURPOSE: every intermediate (sorted array,
+    start positions) is staged as its own projection attribute,
+    referenced more than once downstream so CollapseProject keeps it
+    staged.  A pure-Column formulation re-evaluates the un-staged
+    ``array_sort`` INSIDE each lambda invocation (Catalyst does not
+    CSE inside higher-order-function lambdas — the
+    text_boilerplate_ratio staging note), turning the histogram
+    O(n²·log n) per row: measured 45 s vs 0.3 s over sf0.1's 5k docs
+    before this staging (r13).
+
+    Null array → no rows (matching explode-of-null); empty array → no
+    rows.  Counts are exact longs; items keep the element type."""
+    staged = df.select(*keys, F.array_sort(arr).alias("__s"))
+    n = F.col("__n")
+    s = F.col("__s")
+    staged = staged.withColumn("__n", F.size("__s"))
+    # greatest(n, 1): sequence(1, 0) would COUNT DOWN ([1, 0]); the
+    # n<=0/null cases yield a single bogus start that the final
+    # empty-guard filters away.  F.get is 0-based and yields NULL out
+    # of range (never an ANSI error); the run check is null-safe so
+    # runs of NULL elements also split correctly.
+    staged = staged.withColumn(
+        "__starts",
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: (i == 1) | ~F.get(s, i - 1).eqNullSafe(F.get(s, i - 2)),
+        ),
+    )
+    st = F.col("__starts")
+    staged = staged.withColumn(
+        "__hist",
+        F.transform(
+            F.sequence(F.lit(1), F.size("__starts")),
+            lambda j: F.struct(
+                F.get(s, F.get(st, j - 1) - 1).alias(item),
+                (F.coalesce(F.get(st, j), n + 1) - F.get(st, j - 1))
+                .cast("long")
+                .alias(cnt),
+            ),
+        ),
+    )
+    guarded = F.when(n >= 1, F.col("__hist")).otherwise(
+        F.filter(F.col("__hist"), lambda _: F.lit(False))
+    )
+    return staged.select(*keys, F.explode(guarded).alias("__h")).select(
+        *keys, F.col(f"__h.{item}").alias(item), F.col(f"__h.{cnt}").alias(cnt)
+    )
+
+
 def type_token_ratio(toks: Column) -> Column:
     """Distinct/total token ratio — the classic lexical-diversity signal."""
     return F.size(F.array_distinct(toks)) / F.size(toks)

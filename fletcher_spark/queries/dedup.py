@@ -169,6 +169,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles feed both the signature and the verify join; the diamond
     # would otherwise recompute the shingling sub-DAG per consumer
     sh = D.shingle_frame(d, "text", 3).persist()
+    # materialize: the verify join's shingle-side map stages are
+    # independent of the signature chain and race the cache (r13)
+    sh.count()
     sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
     banded = sig.crossJoin(F.broadcast(n)).select(
         "doc_id", D.lsh_band_keys_adaptive(F.col("sig"), F.col("__n")).alias("band_keys")
@@ -239,6 +242,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the signature table fans out to banding and BOTH sides of the
     # pair join — persist it or the explode+sum sub-DAG runs three times
     bits = D.simhash_df(sh, "doc_id", "shingles").select("doc_id", "sig").persist()
+    bits.count()  # materialize: 3 consumers race the cache otherwise (r13)
     banded = bits.select("doc_id", D.simhash_chunks_packed(F.col("sig"), 8).alias("band_keys"))
     # distinct AFTER the Hamming filter: verification is two integer ops,
     # so letting multi-chunk collisions through is cheaper than shuffling
@@ -319,6 +323,7 @@ def dedup_simhash128_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "sig1", "sig2")
         .persist()
     )
+    bits.count()  # materialize: 3 consumers race the cache otherwise (r13)
     banded = bits.select(
         "doc_id",
         D.simhash_chunks_packed_128(F.col("sig1"), F.col("sig2"), 8).alias("band_keys"),
@@ -406,6 +411,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("tok1"),
         grams.alias("grams"),
     ).persist()
+    g.count()  # materialize: both self-join sides race the cache (r13)
     a = g.select(
         F.col("doc_id").alias("id1"),
         "lang",
@@ -551,6 +557,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__bits", F.expr(_emb_bits_case("__n")))
         .persist()
     )
+    # materialize the cache BEFORE the main action: AQE launches the
+    # four consumer stages' independent sub-stages concurrently, and
+    # branches racing an in-flight cache each recompute the tables ×
+    # planes × dim hyperplane projection (r13 measured four ~equal
+    # full-cost jobs; same fix as dedup_substring_exact's docs.count())
+    b.count()
     ex = b.select("vec_id", F.explode("tkeys").alias("bk"), "__bits").select(
         "vec_id",
         F.col("bk.band").alias("band"),
@@ -604,6 +616,7 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(base)
     n = base.agg(F.count(F.lit(1)).alias("__n"))  # unspread: see dedup_minhash_lsh
     sh = D.shingle_frame(d, "text", 3).persist()
+    sh.count()  # materialize: 3 consumers race the cache otherwise (r13)
     sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
     # same adaptive Broder banding as dedup_minhash_lsh (they share the
     # oracle CTE, so the edge set stays value-checked on both branches)
@@ -748,6 +761,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = spread(load_tables(spark, sf_dir)["documents"])
     sh = D.shingle_frame(d, "text", 3).persist()
+    sh.count()  # materialize: multiple consumers race the cache (r13)
     is_batch = F.col("doc_id") % 10 == 0
 
     # canonical-form fingerprint (same md5-of-sorted-shingles the
@@ -1060,6 +1074,9 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
         ).alias("token"),
     ).persist()  # used twice: document frequency AND the doc-set build
+    # materialize: the doc-set join's tok-side map stage is independent
+    # of the freq->ids chain inside the same job and races the cache (r13)
+    tok.count()
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # token -> dense int id in RARITY order (df asc, then arbitrary
     # within a df class — equal-df tokens are equally rare, so any

@@ -24,7 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fletcher_spark.io import compact_parquet, load_tables, write_training_shards
+from fletcher_spark.io import compact_parquet, load_tables, spread, write_training_shards
 from fletcher_spark.queries.registry import BENCH_EXCLUDE, query
 
 #: One audit contract shared by both round-trips (and by the oracle).
@@ -171,7 +171,10 @@ def dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalization sticks to integer/string/date columns — float
     formatting differs across engines and belongs in a decimal cast if
     it must be covered."""
-    li = load_tables(spark, sf_dir)["lineitem"]
+    # spread: per-row md5 over every column is the heavy part and a
+    # single-split scan serializes it on one core (identity at scale);
+    # xor/mod-sum/count are exactly order-invariant (r13)
+    li = spread(load_tables(spark, sf_dir)["lineitem"])
     repr_ = F.concat_ws(
         "|",
         F.col("l_orderkey").cast("string"),

@@ -767,11 +767,18 @@ def tfidf_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_tables(spark, sf_dir)["documents"])
     from fletcher_spark.pipeline import textpipe as T
 
-    tf = (
-        d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    # tf computed IN-ROW (r13, guide §2.3 "aggregate before you
+    # shuffle"): per-doc term frequency never needs to leave the row,
+    # so the histogram is a staged sort + run-length array pipeline
+    # (T.explode_histogram) and the old (doc, tok)-keyed corpus-wide
+    # hash-agg Exchange disappears — the only remaining corpus shuffle
+    # is the |vocab|-bounded df aggregate.  Persisted: df and the score
+    # join both consume it, and the df stage (a dependency of the join)
+    # materializes the cache before the probe side reads it.  Exact
+    # integer counts, identical to the groupBy form.
+    tf = T.explode_histogram(
+        d.select("doc_id", "text"), T.tokens("text"), ["doc_id"], "tok", "tf"
+    ).persist()
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     nd = d.agg(F.count(F.lit(1)).alias("nd"))
     s = (

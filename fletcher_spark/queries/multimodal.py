@@ -102,10 +102,7 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII text, so no PNG arm is needed.  The real-codec tiers get
     their own value checks (mm_decode_png_roundtrip,
     mm_audio_features_roundtrip)."""
-    # spread: the decode is a CPU-bound Python stage and a single-split
-    # scan otherwise serializes it on one core (same rationale as the
-    # jpeg roundtrip's repartition; identity on multi-split tables)
-    d = spread(load_tables(spark, sf_dir)["documents"])
+    d = load_tables(spark, sf_dir)["documents"]
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     out = MM.decode_images(payloads, "doc_id", "payload")
     return out.select(
@@ -144,7 +141,7 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     row; see mm_decode_stub).  (No 6-decimal rounding ties exist: 64/w
     with w<512 can't terminate in an exact half at the 7th digit, so
     Python round == SQL round here.)"""
-    d = spread(load_tables(spark, sf_dir)["documents"])  # CPU-bound Python stage
+    d = load_tables(spark, sf_dir)["documents"]
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     out = MM.resize_images(payloads, 64, 64, "doc_id", "payload")
     return out.select("doc_id", "width", "height", "scale")
@@ -335,7 +332,7 @@ def mm_audio_features_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; audio bytes never leave the executor."""
     import pandas as pd
 
-    d = spread(load_tables(spark, sf_dir)["documents"])  # CPU-bound Python stage
+    d = load_tables(spark, sf_dir)["documents"]
     enc = MM._make_wav_encode(8000)
 
     def encode_batches(it):
@@ -588,7 +585,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-slice framing is exactly SQL ``substr`` and the oracle
     value-checks every frame digest cross-engine — the stub is fake,
     the plumbing and the check are not."""
-    d = spread(load_tables(spark, sf_dir)["documents"])  # CPU-bound Python stage
+    d = load_tables(spark, sf_dir)["documents"]
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return MM.sample_frames(payloads, "doc_id", "payload", 256, 3)
 

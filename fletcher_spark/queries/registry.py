@@ -98,6 +98,11 @@ CHANGED_ROUND: dict[str, int] = {
     "ann_ivf_int8_rescore": 13,
     "knn_graph_blocked": 13,
     "graph_kcore_peel": 13,
+    # r13: _bm25_scores (shared helper, invisible to the hash guard)
+    # rewritten single-scan — tf per term as in-row array ops, df/n/
+    # avgdl one broadcast 1-row aggregate; same integers, same scores
+    "search_bm25_topk": 13,
+    "search_hybrid_rrf": 13,
 }
 
 

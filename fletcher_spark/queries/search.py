@@ -119,35 +119,76 @@ FROM sc ORDER BY score DESC, doc_id LIMIT 10
 
 def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, score) BM25 table for _QUERY_TERMS — shared by the
-    top-k query and the hybrid RRF fusion."""
+    top-k query and the hybrid RRF fusion.
+
+    Single-scan form (r13, guide §2.3-2.4 "aggregate before you
+    shuffle / remove shuffles outright"): for a FIXED small query-term
+    set, per-doc term frequencies are in-row array ops
+    (``size(filter(ws, = term))`` per term), so the whole lexical
+    pipeline is ONE scan → one 1-row stats aggregate (n, avgdl, and
+    each term's document frequency as a conditional count) broadcast
+    back → one map-side score projection.  The previous form exploded
+    the corpus to postings and paid two hash-agg shuffles plus two
+    joins for the same integers (r13 measured the tf/df/dl chain as
+    the query's two dominant jobs).  All inputs (tf, df, dl, n) are
+    exactly the same integers, so the score doubles agree with the
+    postings form within summation order — absorbed by the round(4)
+    output contract exactly as the cross-engine oracle comparison
+    already relies on.  Docs containing none of the terms produce no
+    row (the ``any tf > 0`` filter), matching the postings semantics.
+    At 100 TB: no corpus-sized shuffle at all; the one aggregate is
+    map-side-combined into a single row."""
     d = spread(load_tables(spark, sf_dir)["documents"])
-    ws = F.filter(F.split("text", " "), lambda x: x != "")
-    w = d.select("doc_id", ws.alias("ws"))
-    # dl is a cheap projection used twice; persisting it would leak a
-    # cached frame per invocation in a long-lived driver session
-    dl = w.select("doc_id", F.size("ws").cast("long").alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
-    tf = (
-        w.select("doc_id", F.explode("ws").alias("term"))
-        .filter(F.col("term").isin(*_QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    # stage the tokenization through its own projection: ws is consumed
+    # four times below (dl + one tf per term) and CollapseProject keeps
+    # a non-cheap expression staged when it is referenced more than
+    # once, so split+filter runs once per row (same discipline as
+    # text_boilerplate_ratio's token-hash staging)
+    w = d.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("ws")
     )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    contrib = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            (
-                F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-                * (F.col("tf") * (_K1 + 1))
-                / (F.col("tf") + _K1 * ((1 - _B) + _B * F.col("dl") / F.col("avgdl")))
-            ).alias("c"),
+    def _eq(t: str):
+        # factory closure, NOT a default-arg lambda: a 2-parameter
+        # lambda flips F.filter into its (element, index) calling
+        # convention (the exact trap r12's minhash_signature fix pinned)
+        return lambda x: x == t
+
+    tfs = [
+        F.size(F.filter("ws", _eq(t))).cast("long").alias(f"tf{i}")
+        for i, t in enumerate(_QUERY_TERMS)
+    ]
+    per = w.select("doc_id", F.size("ws").cast("long").alias("dl"), *tfs)
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_QUERY_TERMS))
+        ],
+    )
+    def _contrib(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        c = (
+            F.log(1 + (F.col("n") - df + 0.5) / (df + 0.5))
+            * (tf * (_K1 + 1))
+            / (tf + _K1 * ((1 - _B) + _B * F.col("dl") / F.col("avgdl")))
         )
+        return F.when(tf > 0, c).otherwise(F.lit(0.0))
+
+    from functools import reduce
+
+    hit = reduce(
+        lambda a, b: a | b,
+        [F.col(f"tf{i}") > 0 for i in range(len(_QUERY_TERMS))],
     )
-    return contrib.groupBy("doc_id").agg(F.sum("c").alias("score"))
+    score = reduce(
+        lambda a, b: a + b, [_contrib(i) for i in range(len(_QUERY_TERMS))]
+    )
+    return (
+        per.crossJoin(F.broadcast(stats))
+        .filter(hit)
+        .select("doc_id", score.alias("score"))
+    )
 
 
 @query("search_bm25_topk", oracle=_bm25_oracle())

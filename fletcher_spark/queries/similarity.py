@@ -202,6 +202,11 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__bits", F.expr(_bits_case("__n")))
         .persist()
     )
+    # materialize before the main action: AQE launches the four
+    # consumers' independent sub-stages concurrently, and branches
+    # racing an in-flight cache each recompute the L x k plane products
+    # (r13; same fix as dedup_substring_exact's docs.count())
+    b.count()
     ex = b.select("vec_id", "ev", F.explode("tkeys").alias("bk"), "__bits").select(
         "vec_id",
         "ev",
@@ -340,6 +345,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    v.count()  # materialize: 3 consumers race the cache otherwise (r13)
 
     # centroids: explode to (label, pos, val); partial+final avg; re-pack
     cdim = (
@@ -644,6 +650,10 @@ def ann_ivf_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "ev", "sub", "qv8", "q_norm")
         .persist()
     )
+    # materialize qn (and v's cache in passing — qn scans it) before
+    # the main action: the probe build and s1's qn-side map stage are
+    # independent AQE stages and race the cache otherwise (r13)
+    qn.count()
 
     q = qn.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),

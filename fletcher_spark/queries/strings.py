@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fletcher_spark.io import load_tables
+from fletcher_spark.io import load_tables, spread
 from fletcher_spark.operators import strings as S
 from fletcher_spark.operators import udf as U
 from fletcher_spark.queries.registry import query
@@ -457,7 +457,9 @@ def udf_wrap_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     for NFC, and ``lower`` for casefold on the ASCII ``source`` column
     (casefold == lower on ASCII).  Full non-ASCII/hyphenation
     semantics stay pinned Python-vs-Python in tests/test_udf.py."""
-    d = load_tables(spark, sf_dir)["documents"]
+    # spread: the Python-UDF stage ran as ONE task on the single-split
+    # scan (r13; identity at scale) — map-only output, order-free
+    d = spread(load_tables(spark, sf_dir)["documents"])
     return d.select(
         "doc_id",
         F.size(U.wrap(F.col("text"), 40)).alias("n_lines"),
