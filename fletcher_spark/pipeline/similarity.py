@@ -21,6 +21,7 @@ only to its bucket (≈ N/256 per probe).
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -104,19 +105,53 @@ def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     into its own aggregate sub-tree makes Catalyst analysis
     super-linear in plane count.  Emitted bits, and therefore keys,
     are byte-identical to the unrolled form."""
-    planes_lit = F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{float(w)!r}D" for w in row) + ")" for row in planes
-        )
-        + ")"
-    )
+    planes_lit = _planes_2d_lit(tuple(tuple(row) for row in planes))
     return F.array_join(
         F.transform(
             planes_lit,
             lambda row: F.when(dot(vec, row) >= 0, F.lit("1")).otherwise(F.lit("0")),
         ),
         "",
+    )
+
+
+@lru_cache(maxsize=32)
+def _planes_2d_lit(planes: tuple[tuple[int, ...], ...]) -> Column:
+    """Parsed 2-level plane-matrix literal, memoized per process: the
+    plane matrices are module constants, parsing+building the literal
+    Column costs real driver time per query construction, and an
+    unresolved Column is immutable and session-independent — pure plan
+    metadata reuse (r13)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(w)!r}D" for w in row) + ")" for row in planes
+        )
+        + ")"
+    )
+
+
+@lru_cache(maxsize=32)
+def _planes_3d_lit(
+    planes: tuple[tuple[int, ...], ...], planes_per_table: int
+) -> Column:
+    """Parsed 3-level (table-grouped) plane literal, memoized per
+    process — see :func:`_planes_2d_lit`."""
+    n_tables = len(planes) // planes_per_table
+    return F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array("
+                + ",".join(f"{float(w)!r}D" for w in planes[t * planes_per_table + p])
+                + ")"
+                for p in range(planes_per_table)
+            )
+            + ")"
+            for t in range(n_tables)
+        )
+        + ")"
     )
 
 
@@ -140,21 +175,8 @@ def lsh_table_keys(vec: Column, planes: list[list[int]], planes_per_table: int =
     round-trip per element costs ~2.4 s of driver time before the
     query even exists (measured; the parse path is ~0.1 s).
     """
-    n_tables = len(planes) // planes_per_table
-    tables_lit = F.expr(
-        "array("
-        + ",".join(
-            "array("
-            + ",".join(
-                "array("
-                + ",".join(f"{float(w)!r}D" for w in planes[t * planes_per_table + p])
-                + ")"
-                for p in range(planes_per_table)
-            )
-            + ")"
-            for t in range(n_tables)
-        )
-        + ")"
+    tables_lit = _planes_3d_lit(
+        tuple(tuple(row) for row in planes), planes_per_table
     )
     return F.transform(
         tables_lit,
