@@ -145,7 +145,49 @@ REDUCTIONS = {
 }
 
 
-def _cuts_by_key(hist, key_cols: tuple, k: int, n_coarse: int, hint_broadcast: bool = True):
+def _sql_double(x) -> str:
+    """A Python float as an EXACT Spark SQL double literal —
+    ``float.__repr__`` round-trips doubles bit-exactly (the
+    operators/kmeans.py:centroid_literal discipline); non-finite and
+    NULL spelled via CAST."""
+    import math
+
+    if x is None:
+        return "CAST(NULL AS DOUBLE)"
+    x = float(x)
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return f"CAST('{'Infinity' if x > 0 else '-Infinity'}' AS DOUBLE)"
+    return f"{x!r}D"
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _driver_stage_ok(keys: list, stats_rows) -> bool:
+    """Driver staging supports the unkeyed case and a single STRING
+    key with no NULL values (map literals cannot hold NULL keys, and a
+    non-string key would need type-faithful SQL rendering) — exactly
+    the shapes the materialize=True consumers use.  Anything else
+    falls back to the lazy join-back plan (then collected, unchanged
+    semantics)."""
+    if not keys:
+        return True
+    if len(keys) != 1:
+        return False
+    return all(isinstance(r[0], str) for r in stats_rows)
+
+
+def _cuts_by_key(
+    hist,
+    key_cols: tuple,
+    k: int,
+    n_coarse: int,
+    hint_broadcast: bool = True,
+    driver_stage: bool = False,
+):
     """Shared two-level prefix-sum core: a persisted ``(key..., v, c)``
     value histogram → ``(key..., cuts array<double>, n long)``.  The
     ONLY place the rank arithmetic (coarse clamp, keyed cumulative
@@ -160,7 +202,24 @@ def _cuts_by_key(hist, key_cols: tuple, k: int, n_coarse: int, hint_broadcast: b
     the hint would force an unbounded broadcast at scale; unhinted,
     Catalyst broadcasts them at toy scale and shuffle-joins at real
     scale — both on the same key the histogram is already partitioned
-    by."""
+    by.
+
+    ``driver_stage`` (r13, guide §1.2/§7.3): for the MATERIALIZED
+    paths — which end in a driver ``collect()`` of the cuts row(s)
+    anyway — the stats (|keys| rows) and coarse-bucket offsets
+    (|keys|×n_coarse rows) are themselves bounded model state, so they
+    are collected to the driver and re-attached as parsed literal
+    columns instead of join-backs.  Every downstream EXPRESSION
+    (coarse clamp, in-bucket window, ``off + cum_in``, the
+    ``ceil(i·n/k)`` thresholds) is the SAME Column code on both paths,
+    only the source of ``vmin``/``vmax``/``n``/``off`` differs —
+    counts are exact longs and the doubles round-trip via
+    ``float.__repr__``, so the two modes are value-identical (pinned
+    by tests/test_operators.py's driver-stage differential).  This
+    replaces two broadcast-build jobs plus their AQE join stages
+    (~15-19 stage-jobs measured at sf0.1) with three sequential jobs
+    over the persisted histogram.  Lazy callers (materialize=False)
+    never stage: their contract is a plan, not jobs."""
     from pyspark.sql import Window
 
     keys = list(key_cols)
@@ -168,7 +227,46 @@ def _cuts_by_key(hist, key_cols: tuple, k: int, n_coarse: int, hint_broadcast: b
     stats = hist.groupBy(*keys).agg(
         F.min("v").alias("vmin"), F.max("v").alias("vmax"), F.sum("c").alias("n")
     )
-    h = hist.join(bc(stats), keys) if keys else hist.crossJoin(F.broadcast(stats))
+    staged_rows = None
+    if driver_stage:
+        rows = stats.collect()  # job 1: |keys| rows (bounded model state)
+        # empty keyed stats (zero-row histogram) falls back: a typed
+        # empty-map literal is not worth the edge case — the lazy plan
+        # produces the same zero rows with the right schema
+        if rows and _driver_stage_ok(keys, rows):
+            staged_rows = rows
+    if staged_rows is not None:
+        if keys:
+            key = F.col(keys[0])
+            vmin_m = "map(" + ",".join(
+                f"{_sql_str(r[0])},{_sql_double(r['vmin'])}" for r in staged_rows
+            ) + ")"
+            vmax_m = "map(" + ",".join(
+                f"{_sql_str(r[0])},{_sql_double(r['vmax'])}" for r in staged_rows
+            ) + ")"
+            n_m = "map(" + ",".join(
+                f"{_sql_str(r[0])},{int(r['n'])}L" for r in staged_rows
+            ) + ")"
+            h = hist.withColumns(
+                {
+                    "vmin": F.element_at(F.expr(vmin_m), key),
+                    "vmax": F.element_at(F.expr(vmax_m), key),
+                    "n": F.element_at(F.expr(n_m), key),
+                }
+            )
+        else:
+            r = staged_rows[0]
+            h = hist.withColumns(
+                {
+                    "vmin": F.expr(_sql_double(r["vmin"])),
+                    "vmax": F.expr(_sql_double(r["vmax"])),
+                    "n": (
+                        F.lit(None) if r["n"] is None else F.lit(int(r["n"]))
+                    ).cast("long"),
+                }
+            )
+    else:
+        h = hist.join(bc(stats), keys) if keys else hist.crossJoin(F.broadcast(stats))
     span = F.col("vmax") - F.col("vmin")
     coarse = (
         F.when(span <= 0, F.lit(0))
@@ -185,20 +283,54 @@ def _cuts_by_key(hist, key_cols: tuple, k: int, n_coarse: int, hint_broadcast: b
         Window.unboundedPreceding, 0
     )
     h2 = h.withColumn("cum_in", F.sum("c").over(w_in))
-    # offsets window input: |keys| x n_coarse rows — constant-sized
-    w_off = Window.partitionBy(*keys).orderBy("cb").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offs = (
-        h2.groupBy(*keys, "cb")
-        .agg(F.sum("c").alias("bt"))
-        .select(
-            *keys, "cb", F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias("off")
+    if staged_rows is not None:
+        # job 2: per-(key, cb) bucket totals — |keys|×n_coarse rows —
+        # exclusive running offsets computed in exact long arithmetic
+        # on the driver (identical to the w_off window: distinct cb
+        # per key, ordered, preceding-only sum)
+        bt_rows = h.groupBy(*keys, "cb").agg(F.sum("c").alias("bt")).collect()
+        per_key: dict = {}
+        for r in bt_rows:
+            per_key.setdefault(r[0] if keys else None, {})[r["cb"]] = int(r["bt"])
+        def _dense_offsets(bts: dict) -> list:
+            run, out = 0, []
+            for cb in range(n_coarse):
+                out.append(run)
+                run += bts.get(cb, 0)
+            return out
+        if keys:
+            off_sql = "map(" + ",".join(
+                _sql_str(kv)
+                + ",array("
+                + ",".join(f"{o}L" for o in _dense_offsets(bts))
+                + ")"
+                for kv, bts in sorted(per_key.items())
+            ) + ")"
+            off_col = F.element_at(
+                F.element_at(F.expr(off_sql), F.col(keys[0])), F.col("cb") + 1
+            )
+        else:
+            offs_list = _dense_offsets(per_key.get(None, {}))
+            off_sql = "array(" + ",".join(f"{o}L" for o in offs_list) + ")"
+            off_col = F.element_at(F.expr(off_sql), F.col("cb") + 1)
+        g = h2.withColumn("off", off_col).withColumn(
+            "cum", F.col("off") + F.col("cum_in")
         )
-    )
-    g = h2.join(bc(offs), keys + ["cb"]).withColumn(
-        "cum", F.col("off") + F.col("cum_in")
-    )
+    else:
+        # offsets window input: |keys| x n_coarse rows — constant-sized
+        w_off = Window.partitionBy(*keys).orderBy("cb").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offs = (
+            h2.groupBy(*keys, "cb")
+            .agg(F.sum("c").alias("bt"))
+            .select(
+                *keys, "cb", F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias("off")
+            )
+        )
+        g = h2.join(bc(offs), keys + ["cb"]).withColumn(
+            "cum", F.col("off") + F.col("cum_in")
+        )
     aggs = [
         F.min(
             F.when(
@@ -290,7 +422,7 @@ def exact_cut_points(
             hist = hist.persist()
     else:
         hist = prehist
-    out = _cuts_by_key(hist, (), k, n_coarse)
+    out = _cuts_by_key(hist, (), k, n_coarse, driver_stage=materialize)
     if not materialize:
         return out
     rows = out.collect()  # one row: k-row model state, driver-pinned
@@ -347,7 +479,10 @@ def exact_cut_points_by_key(
     # stats/offsets join-backs must not carry forced broadcast hints
     # (key-domain-sized); materialize=True asserts a dimension-sized
     # domain where the hint is right
-    out = _cuts_by_key(hist, tuple(keys), k, n_coarse, hint_broadcast=materialize)
+    out = _cuts_by_key(
+        hist, tuple(keys), k, n_coarse,
+        hint_broadcast=materialize, driver_stage=materialize,
+    )
     if not materialize:
         return out
     rows = out.collect()
@@ -393,7 +528,7 @@ def exact_cut_points_multi(
     hist = melted.groupBy("m", "v").agg(F.count(F.lit(1)).alias("c"))
     if materialize:
         hist = hist.persist()
-    per_m = _cuts_by_key(hist, ("m",), k, n_coarse)
+    per_m = _cuts_by_key(hist, ("m",), k, n_coarse, driver_stage=materialize)
     # coalesce to an empty array for an all-NULL metric: it has no
     # histogram row, and NULL cuts would push assign_cut_buckets
     # outside its 1..k contract — with empty cuts every row (all NULL
