@@ -166,6 +166,97 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
+#: Histogram-row count below which the MATERIALIZED cut-point paths
+#: solve locally on the driver instead of running the staged
+#: three-job sequence (stats collect → bucket-total collect → cut
+#: aggregate).  Same gating principle as
+#: operators/graph.py:LOCAL_EDGE_LIMIT: 4M (v double, c long) rows is
+#: ~64 MB through Arrow — trivial for the driver — while every extra
+#: eager job costs a full scheduling round trip.  The probe is ONE
+#: ``limit(L+1).toArrow()`` job (CollectLimitExec.doExecute: per-
+#: partition local limit, one pass — it also materializes the
+#: histogram cache for the >L fall-through and for prehist callers'
+#: other branches).  The distributed staged path stays the >L
+#: fallback, so scale behavior is unchanged.
+LOCAL_HIST_LIMIT = 4_000_000
+
+
+def _cuts_local(hist, keys: list, k: int):
+    """Driver-local cut computation over a bounded histogram — the
+    r13 single-job fast path for ``driver_stage=True``.  Returns a
+    LocalRelation-backed DataFrame ``(keys..., cuts, n)`` or ``None``
+    to fall through to the distributed staged path (histogram over
+    ``LOCAL_HIST_LIMIT``, empty, or containing NULL/NaN values — the
+    coarse-bucket machinery gives those a bucket-dependent global
+    position this replica does not reproduce).
+
+    Arithmetic is the EXACT rank definition the distributed path
+    computes: rows sorted by value ascending, cumulative exact-long
+    counts, ``cut_i`` = first value whose cumulative count ≥
+    ``ceil(double(i) · n / k)`` — the threshold is evaluated in the
+    same IEEE double operation order as the Column form
+    (``lit(float(i)) * n / k``), so the two paths are bit-identical
+    (pinned by tests/test_cuts_driver_stage.py's differentials).
+
+    Vectorized on numpy arrays end-to-end (the
+    operators/graph.py:_local_union_find discipline): a near-continuous
+    double column yields a histogram nearly as long as the table
+    (l_extendedprice at sf0.1 is ~450k distinct values), and a
+    per-row Python loop over that costs more driver time than the jobs
+    it saves — lexsort + segmented cumsum + searchsorted is ~ms."""
+    import math
+
+    import numpy as np
+
+    tbl = hist.limit(LOCAL_HIST_LIMIT + 1).toArrow()
+    nrows = tbl.num_rows
+    if nrows > LOCAL_HIST_LIMIT or nrows == 0:
+        return None
+    vcol = tbl.column("v")
+    if vcol.null_count:
+        return None
+    v = vcol.to_numpy(zero_copy_only=False)
+    if np.isnan(v).any():
+        return None
+    c = tbl.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+    kraw = []
+    gid = np.zeros(nrows, dtype=np.int64)
+    for kc in keys:
+        col = tbl.column(kc)
+        if col.null_count:  # the staged/lazy tiers own NULL keys
+            return None
+        kv = col.to_numpy(zero_copy_only=False)
+        kraw.append(kv)
+        _, inv = np.unique(kv, return_inverse=True)
+        gid = gid * (int(inv.max()) + 1) + inv
+    order = np.lexsort((v, gid))
+    v, c, gid = v[order], c[order], gid[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(gid)) + 1, [nrows]))
+    from pyspark.sql import types as T
+
+    def _py(x):
+        return x.item() if hasattr(x, "item") else x
+
+    out_rows = []
+    for s, e in zip(starts[:-1], starts[1:]):
+        cum = np.cumsum(c[s:e])
+        n = int(cum[-1])
+        cuts = []
+        for i in range(1, k):
+            thr = math.ceil(float(i) * n / k)  # same double op order as Column form
+            cuts.append(float(v[s + int(np.searchsorted(cum, thr, side="left"))]))
+        src = int(order[s])  # original row index: key values for this group
+        out_rows.append(tuple(_py(kv[src]) for kv in kraw) + (cuts, n))
+    schema = T.StructType(
+        [hist.schema[kc] for kc in keys]
+        + [
+            T.StructField("cuts", T.ArrayType(T.DoubleType()), True),
+            T.StructField("n", T.LongType(), True),
+        ]
+    )
+    return hist.sparkSession.createDataFrame(out_rows, schema)
+
+
 def _driver_stage_ok(keys: list, stats_rows) -> bool:
     """Driver staging supports the unkeyed case and a single STRING
     key with no NULL values (map literals cannot hold NULL keys, and a
@@ -224,6 +315,15 @@ def _cuts_by_key(
 
     keys = list(key_cols)
     bc = F.broadcast if hint_broadcast else (lambda d: d)
+    if driver_stage:
+        # r13 single-job fast path: below LOCAL_HIST_LIMIT the whole
+        # histogram is bounded driver state — one limit-probe job
+        # replaces the staged three-job sequence; >L (or NULL/NaN
+        # values) falls through to the staged path below, with the
+        # probe having already materialized the histogram cache
+        local = _cuts_local(hist, keys, k)
+        if local is not None:
+            return local
     stats = hist.groupBy(*keys).agg(
         F.min("v").alias("vmin"), F.max("v").alias("vmax"), F.sum("c").alias("n")
     )

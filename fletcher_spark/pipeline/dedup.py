@@ -410,7 +410,10 @@ def simhash_chunks_packed_128(
 
 
 def candidate_pairs(
-    banded: DataFrame, id_col: str = "doc_id", distinct: bool = True
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    distinct: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Bucket-join candidate generation: explode band keys, self-join on
     (band, key), keep ordered (distinct) pairs.
@@ -426,10 +429,35 @@ def candidate_pairs(
     when verification is a few integer ops — SimHash Hamming — because
     the filter kills ~all pairs first and the distinct then shuffles
     dozens of rows instead of every candidate).
+
+    ``materialize`` (r13, guide §2.4 "remove shuffles outright" /
+    §5 caching): the self-join references the exploded key frame TWICE,
+    and although the static planner dedupes the two identical shuffle
+    subtrees with ``ReusedExchange``, AQE does NOT — with
+    ``spark.sql.adaptive.enabled`` the two exchanges fail to
+    canonicalize equal once the subtree hangs off a cached relation
+    (measured on dedup_minhash_lsh: static plan 6 Exchanges + reuse,
+    AQE plan 12 Exchanges, runtime stage metrics showing the ~8 s-CPU
+    signature chain executed twice with byte-identical shuffle writes).
+    Callers whose ``banded`` is an EXPENSIVE chain (MinHash explode →
+    hash family → grouped min → band md5s) pass True: the exploded
+    frame — |docs|×bands small (id, band, key) rows, the exact payload
+    the bucket shuffle carries anyway — is persisted and materialized
+    once, so both join sides read the cache instead of re-running the
+    chain.  At 100 TB the trade holds a fortiori: caching the
+    key-projection (spills to disk under pressure) always beats a
+    second full corpus scan + signature recompute.  Callers whose
+    banding is a cheap projection over an already-persisted signature
+    (SimHash integer slicing) keep the default False — for them the
+    duplicated work is a cache scan, cheaper than an extra cache
+    write + count job.
     """
     ex = banded.select(id_col, F.explode("band_keys").alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    if materialize:
+        ex = ex.persist()
+        ex.count()
     a = ex.alias("a")
     b = ex.alias("b")
     out = (

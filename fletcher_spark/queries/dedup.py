@@ -176,7 +176,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sig.crossJoin(F.broadcast(n)).select(
         "doc_id", D.lsh_band_keys_adaptive(F.col("sig"), F.col("__n")).alias("band_keys")
     )
-    pairs = D.candidate_pairs(banded, "doc_id")
+    # materialize=True: AQE fails to reuse the self-join's twin
+    # exchanges here (cached-child canonicalization — see
+    # candidate_pairs), so without it the whole signature+banding chain
+    # executes twice per run
+    pairs = D.candidate_pairs(banded, "doc_id", materialize=True)
     return D.verify_jaccard(pairs, sh, "doc_id", "shingles", 0.5)
 
 
@@ -623,7 +627,8 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sig.crossJoin(F.broadcast(n)).select(
         "doc_id", D.lsh_band_keys_adaptive(F.col("sig"), F.col("__n")).alias("band_keys")
     )
-    pairs = D.candidate_pairs(banded, "doc_id")
+    # materialize=True: same AQE twin-exchange miss as dedup_minhash_lsh
+    pairs = D.candidate_pairs(banded, "doc_id", materialize=True)
     edges = D.verify_jaccard(pairs, sh, "doc_id", "shingles", 0.5).select("id1", "id2")
     labels = G.connected_components(edges)
     sh.unpersist()
@@ -791,6 +796,12 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sig.select(
         "doc_id", F.explode(D.lsh_band_keys(F.col("sig"), 4, 3)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # persist+materialize: the batch→corpus probe filters this frame on
+    # OPPOSING predicates, so no exchange reuse is even possible — both
+    # sides would re-run the signature chain (the same duplication
+    # candidate_pairs(materialize=True) fixes for the self-join callers)
+    banded = banded.persist()
+    banded.count()
     cand = (
         banded.filter(is_batch)
         .alias("b")

@@ -299,6 +299,10 @@ def labelprop_nation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w").alias("w"))
         .persist()
     )
+    # materialize: both rounds' vote joins (and their broadcast-build
+    # jobs) otherwise race the in-flight cache and each re-run the
+    # fact-join edge aggregate (r13; same fix as candidate_pairs)
+    und.count()
     nodes = t["nation"].select(F.col("n_nationkey").alias("node"))
     lbl = nodes.select("node", F.col("node").alias("lbl"))
     wn = Window.partitionBy("node").orderBy(F.col("wt").desc(), F.col("lbl").asc())

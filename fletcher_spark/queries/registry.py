@@ -103,6 +103,16 @@ CHANGED_ROUND: dict[str, int] = {
     # avgdl one broadcast 1-row aggregate; same integers, same scores
     "search_bm25_topk": 13,
     "search_hybrid_rrf": 13,
+    # r13: the materialize=True cut-point paths (operators/agg.py
+    # _cuts_by_key — operator module, invisible to the hash guard)
+    # twice rewritten this round: first driver-staged stats/offsets
+    # literals, then the gated single-job LOCAL histogram path
+    # (numpy-vectorized, LOCAL_HIST_LIMIT-gated, exact same rank
+    # arithmetic — differential-pinned in tests/test_cuts_driver_stage)
+    "histogram_equidepth_cuts": 13,
+    "events_rfm_segments_cuts": 13,
+    "winsorize_by_source_cuts": 13,
+    "sketch_quantile_bound": 13,
 }
 
 

@@ -308,7 +308,8 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sig.crossJoin(F.broadcast(nk)).select(
         "doc_id", D.lsh_band_keys_adaptive(F.col("sig"), F.col("__n")).alias("band_keys")
     )
-    pairs = D.candidate_pairs(banded, "doc_id")
+    # materialize=True: same AQE twin-exchange miss as dedup_minhash_lsh
+    pairs = D.candidate_pairs(banded, "doc_id", materialize=True)
     near = D.verify_jaccard(pairs, sh, "doc_id", "shingles", 0.5)
     dupes = near.select(F.col("id2").alias("doc_id")).distinct()
 

@@ -98,6 +98,54 @@ def test_multi_staged_equals_lazy_with_all_null_metric(spark):
     assert staged == lazy
 
 
+@pytest.mark.parametrize("name,vals", VALS, ids=[n for n, _ in VALS])
+def test_local_fast_path_equals_forced_staged(spark, name, vals, monkeypatch):
+    """r13 three-way pin: the single-job LOCAL path (default below
+    LOCAL_HIST_LIMIT) must equal the distributed staged path it
+    replaced.  Forcing the limit to 0 makes driver_stage take the
+    staged (map-literal) tier, so both tiers stay covered after the
+    local path became the default at test scale."""
+    from fletcher_spark.operators import agg as A
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    local = _canon(exact_cut_points(df, "x", 4, n_coarse=8).collect())
+    monkeypatch.setattr(A, "LOCAL_HIST_LIMIT", 0)
+    staged = _canon(exact_cut_points(df, "x", 4, n_coarse=8).collect())
+    assert local == staged
+
+
+def test_local_fast_path_keyed_equals_forced_staged(spark, monkeypatch):
+    from fletcher_spark.operators import agg as A
+
+    rows = [(f"s{i % 3}", float(i) * 1.25 - 7) for i in range(91)]
+    df = spark.createDataFrame(rows, "source string, x double")
+    local = _canon(
+        exact_cut_points_by_key(
+            df, ["source"], "x", 4, n_coarse=8, materialize=True
+        ).collect()
+    )
+    monkeypatch.setattr(A, "LOCAL_HIST_LIMIT", 0)
+    staged = _canon(
+        exact_cut_points_by_key(
+            df, ["source"], "x", 4, n_coarse=8, materialize=True
+        ).collect()
+    )
+    assert local == staged
+
+
+def test_nan_values_fall_through_local_path(spark):
+    """NaN histogram values must bypass the local path (their global
+    rank position is coarse-bucket-dependent); the staged/lazy result
+    is the contract either way."""
+    vals = [1.0, 2.0, float("nan"), 3.0] * 5
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    lazy = _canon(
+        exact_cut_points(df, "x", 4, n_coarse=8, materialize=False).collect()
+    )
+    staged = _canon(exact_cut_points(df, "x", 4, n_coarse=8).collect())
+    assert staged == lazy
+
+
 def test_non_string_key_falls_back_to_lazy_plan(spark):
     """A non-string key cannot ride the map-literal staging; the core
     must silently fall back to the join-back plan and still match."""
