@@ -1174,6 +1174,108 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload
     return df.mapInPandas(batches, DECODE_SCHEMA)
 
 
+def roundtrip_images(
+    df: DataFrame, encoder, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Encode each row's text through ``encoder`` (bytes → image bytes)
+    and decode the result in the SAME Arrow batch — the fused form of
+    ``encode-mapInPandas → decode_images`` (r13, guide §4).
+
+    Chained as two map stages, the intermediate payload binaries cross
+    Python→JVM→Python once per batch purely to be handed to the next
+    Python worker (two worker chains, double Arrow serialization of
+    the heaviest column).  Fused, the payload bytes never exist
+    outside one worker: the JVM sees only the (id, text) input and the
+    fixed-width stats output.  Row-for-row identical to the chained
+    form — same decode dispatch closure, same null/corrupt contract
+    (encode of NULL text → all-NULL stats row, exactly as
+    ``decode_images`` maps a NULL payload)."""
+    fake_decode = _make_fake_decode()
+    real_decode = _make_real_image_decode()
+    intensity_hist = _make_intensity_hist()
+    fake = _FAKE_TIER
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    rows.append((doc_id, None, None, None, None))
+                    continue
+                payload = encoder(t.encode("utf-8"))
+                img = real_decode(payload)
+                if isinstance(img, str) and img == fake:
+                    w, h, feat = fake_decode(payload)
+                    rows.append((doc_id, w, h, len(payload), feat))
+                elif img is None:  # corrupt/unsupported real-codec payload
+                    rows.append((doc_id, None, None, len(payload), None))
+                else:
+                    h, w = img.shape[0], img.shape[1]
+                    rows.append((doc_id, w, h, len(payload), intensity_hist(img)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_bytes", "feat"]
+            )
+
+    return df.mapInPandas(batches, DECODE_SCHEMA)
+
+
+def roundtrip_audio(
+    df: DataFrame, encoder, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Encode each row's text through ``encoder`` (bytes → WAV bytes)
+    and feature-extract in the SAME Arrow batch — the fused form of
+    ``encode-mapInPandas → audio_features`` (r13, guide §4; see
+    :func:`roundtrip_images` for why the fusion pays)."""
+    wav_decode = _make_wav_decode()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    rows.append((doc_id, None, None, None, None, None, None, None))
+                    continue
+                payload = encoder(t.encode("utf-8"))
+                try:
+                    rate, x = wav_decode(bytes(payload))
+                except ValueError:
+                    rows.append((doc_id, None, None, None, None, None, None, None))
+                    continue
+                frames, n_ch = x.shape
+                if frames == 0:
+                    rows.append((doc_id, rate, 0, n_ch, None, None, None, None))
+                    continue
+                mono = x.mean(axis=1)
+                sign = mono >= 0
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        frames,
+                        n_ch,
+                        float(np.sqrt(np.mean(mono * mono))),
+                        float(np.abs(mono).max()),
+                        float(mono.mean()),
+                        int(np.count_nonzero(sign[1:] != sign[:-1])),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_frames",
+                    "n_channels",
+                    "rms",
+                    "peak",
+                    "mean_amp",
+                    "zero_cross",
+                ],
+            )
+
+    return df.mapInPandas(batches, AUDIO_SCHEMA)
+
+
 #: schema of the sampled-frame output (one row per kept frame)
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes long, frame_digest string"
 

@@ -680,6 +680,10 @@ def dedup_passages_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = d.select("doc_id", F.explode(seg).alias("s")).select(
         "doc_id", F.col("s.chunk_idx").alias("chunk_idx"), F.col("s.chunk").alias("chunk")
     )
+    # NOT persisted (r13 wave 8 A/B): caching the segmented frame for
+    # the keep/probe consumers measured 1.04 → 1.31 s warm / 1.98 →
+    # 2.86 cold — the passage strings make the cache write dearer than
+    # re-running the map-only segmentation explode
     keep = chunks.groupBy("chunk").agg(F.min("doc_id").alias("keeper"))
     kept = (
         chunks.join(keep, "chunk")
@@ -960,7 +964,15 @@ def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pair inside such a block is a genuine distance-0 output
         .otherwise(F.concat(F.lit("4\x1f"), F.col("pfx")))
         .alias("blk"),
-    )
+    ).persist()
+    # materialize: the pair self-join references the keyed frame twice
+    # (probe + broadcast build), and the scan → hash(blk8) exchange →
+    # three-sort window cascade is NOT deduplicated between the twin
+    # subtrees (the broadcast side wraps it in a BroadcastExchange, so
+    # even the static planner can't reuse it) — uncached, the cascade
+    # ran twice per run (r13 wave 8; same pattern as candidate_pairs
+    # materialize=True)
+    b.count()
     a, c = b.alias("a"), b.alias("c")
     return (
         a.join(c, (F.col("a.blk") == F.col("c.blk")) & (F.col("a.doc_id") < F.col("c.doc_id")))

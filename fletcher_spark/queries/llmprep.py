@@ -381,6 +381,10 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     sh = staged.select("doc_id", F.explode(grams).alias("sh"))
+    # NOT persisted (r13 wave 8 A/B): caching the exploded frame for
+    # the two consumers measured 1.71 → 2.17 s warm / 2.84 → 3.65 cold
+    # — writing n_positions rows to the cache costs more than folding
+    # the shingle keys twice (8 long ops per position)
     boiler = (
         sh.groupBy("sh")
         .agg(F.countDistinct("doc_id").alias("nd"))

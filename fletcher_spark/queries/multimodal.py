@@ -217,35 +217,19 @@ def mm_decode_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the filter chain turns the row red — a cross-engine check of the
     codec itself, not just the plumbing.
 
-    Scale: two chained Arrow map passes (encode, decode), no shuffle;
-    payload bytes never leave the executor."""
-    import pandas as pd
-
+    Scale: ONE fused Arrow map pass (encode+decode in the same batch —
+    pipeline/multimodal.py:roundtrip_images, r13 wave 8), no shuffle;
+    payload bytes never leave the Python worker."""
     # spread: zlib inflate/unfilter is per-row Python work; a single-
-    # split scan serializes both chained map passes on one core (r13
-    # measured the whole roundtrip as ONE task; identity at scale)
+    # split scan serializes the map pass on one core (r13 measured the
+    # whole roundtrip as ONE task; identity at scale)
     d = spread(load_tables(spark, sf_dir)["documents"])
     enc = MM._make_png_encode(_PNG_W)
-
-    def encode_batches(it):
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        None if t is None else enc(t.encode("utf-8"))
-                        for t in pdf["text"]
-                    ],
-                }
-            )
 
     # sanitize to ASCII so bytes == characters and the character-wise
     # DuckDB oracle is exact for any corpus (no-op on the test SFs)
     t8 = F.regexp_replace(F.col("text"), "[^\\x00-\\x7F]", "?")
-    payloads = d.select("doc_id", t8.alias("text")).mapInPandas(
-        encode_batches, "doc_id long, payload binary"
-    )
-    out = MM.decode_images(payloads, "doc_id", "payload")
+    out = MM.roundtrip_images(d.select("doc_id", t8.alias("text")), enc)
     npx = (F.col("width") * F.col("height")).cast("double")
     return out.select(
         "doc_id",
@@ -328,32 +312,16 @@ def mm_audio_features_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     float tolerance at all (a 1-ulp summation-order tie at a rounding
     boundary burned the rounded-decimal variant).
 
-    Scale: two chained Arrow map passes (encode, feature-extract), no
-    shuffle; audio bytes never leave the executor."""
-    import pandas as pd
-
+    Scale: ONE fused Arrow map pass (encode+feature-extract in the same
+    batch — pipeline/multimodal.py:roundtrip_audio, r13 wave 8), no
+    shuffle; audio bytes never leave the Python worker."""
     d = load_tables(spark, sf_dir)["documents"]
     enc = MM._make_wav_encode(8000)
-
-    def encode_batches(it):
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        None if t is None else enc(t.encode("utf-8"))
-                        for t in pdf["text"]
-                    ],
-                }
-            )
 
     # sanitize to ASCII so bytes == characters and the character-wise
     # DuckDB oracle is exact for any corpus (no-op on the test SFs)
     t8 = F.regexp_replace(F.col("text"), "[^\\x00-\\x7F]", "?")
-    payloads = d.select("doc_id", t8.alias("text")).mapInPandas(
-        encode_batches, "doc_id long, payload binary"
-    )
-    out = MM.audio_features(payloads, "doc_id", "payload")
+    out = MM.roundtrip_audio(d.select("doc_id", t8.alias("text")), enc)
     n = F.col("n_frames")
     return out.select(
         "doc_id",
@@ -441,29 +409,16 @@ def mm_decode_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the row red.  The general AC/ZRL/no-EOB paths are pinned by the
     hand-derived MCU test (tests/test_multimodal.py).
 
-    Scale: two chained Arrow map passes (encode, decode).  Entropy
+    Scale: ONE fused Arrow map pass (encode+decode in the same batch —
+    pipeline/multimodal.py:roundtrip_images, r13 wave 8).  Entropy
     coding is CPU-bound Python (unlike PNG's C-speed zlib), so a
     round-robin ``repartition`` of the narrow (id, text) projection
     decouples map parallelism from parquet scan splits — the standard
     move for a compute-heavy UDF stage whose input is a few dense
-    splits; the heavy payload bytes themselves are created after the
-    exchange and never shuffle."""
-    import pandas as pd
-
+    splits; the heavy payload bytes are created inside the Python
+    worker and never shuffle or cross back to the JVM."""
     d = load_tables(spark, sf_dir)["documents"]
     enc = MM._make_jpeg_encode(_PNG_W)
-
-    def encode_batches(it):
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        None if t is None else enc(t.encode("utf-8"))
-                        for t in pdf["text"]
-                    ],
-                }
-            )
 
     # sanitize to ASCII and cap at 8000 chars BEFORE encoding: (a) bytes
     # == characters afterwards, so the character-wise DuckDB oracle is
@@ -474,12 +429,12 @@ def mm_decode_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t8 = F.substring(
         F.regexp_replace(F.col("text"), "[^\\x00-\\x7F]", "?"), 1, 8000
     )
-    payloads = (
-        d.select("doc_id", t8.alias("text"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(encode_batches, "doc_id long, payload binary")
+    out = MM.roundtrip_images(
+        d.select("doc_id", t8.alias("text")).repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        enc,
     )
-    out = MM.decode_images(payloads, "doc_id", "payload")
     npx = (F.col("width") * F.col("height")).cast("double")
     return out.select(
         "doc_id",

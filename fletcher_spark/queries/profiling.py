@@ -888,6 +888,11 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    # NOT materialized (r13 wave 8 A/B): an explicit v.count() before
+    # the fanout measured 1.26 → 1.88 s warm / flat cold — the cache
+    # write+count job costs more than the racing consumers' recompute
+    # of the explode+distinct (each re-read is itself cache-backed
+    # after the first materializes it)
     sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a, b = v.alias("a"), v.alias("b")
     inter = (

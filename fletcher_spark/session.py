@@ -38,6 +38,12 @@ RUNTIME_CONFS = {
     # The events table stores timestamp[ns]; Spark's reader rejects NANOS
     # unless they are surfaced as raw longs (converted in io.load_tables).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # A/B'd and NOT kept (r13 wave 8, both flat within noise at sf0.1,
+    # identical job/stage counts — neither fired on these plans):
+    # spark.sql.parquet.aggregatePushdown=true (the n-count subtrees sit
+    # under projections, not bare scans) and
+    # spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=64m (no
+    # SMJ->SHJ conversion materialized on the measured joins).
 }
 
 
