@@ -49,6 +49,43 @@ def l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def l2sq_sql(a_sql: str, b_sql: str) -> str:
+    """:func:`l2sq` as SQL text — the same expression tree via ONE
+    parser call instead of the py4j round-trip cascade each HOF lambda
+    costs (~0.1 s per :func:`l2sq` measured r13; ``0.0D`` is the same
+    double-typed zero as ``F.lit(0.0)``)."""
+    return (
+        "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, z) -> acc + z)"
+    ).format(a=a_sql, b=b_sql)
+
+
+def centroid_literal_sql(cent: Centroids) -> str:
+    """The centroid model as SQL literal text (see
+    :func:`centroid_literal` for why parsed text beats per-element
+    ``F.lit``; ``float.__repr__`` round-trips doubles exactly and the
+    ``D`` suffix keeps every literal double-typed, never decimal)."""
+    return "array({})".format(
+        ",".join(
+            "named_struct('cid', {}L, 'cv', array({}))".format(
+                int(cid), ",".join(f"{float(x)!r}D" for x in cv)
+            )
+            for cid, cv in sorted(cent)
+        )
+    )
+
+
+def nearest_struct_sql(vec_sql: str, cent: Centroids) -> str:
+    """``array_min`` over (d2, cid) structs as SQL text — the
+    :func:`assign_nearest` fold with the whole per-centroid transform
+    parsed in ONE call.  Struct comparison orders by d2 then cid, so
+    ties still break on the lowest cid."""
+    return (
+        "array_min(transform({lit}, cc -> named_struct("
+        "'d2', {d2}, 'cid', cc.cid)))"
+    ).format(lit=centroid_literal_sql(cent), d2=l2sq_sql(vec_sql, "cc.cv"))
+
+
 def centroid_literal(cent: Centroids) -> Column:
     """Centroids as one array<struct<cid,cv>> literal — the same
     plan-cost-aware trick as the LSH plane matrix
@@ -61,13 +98,7 @@ def centroid_literal(cent: Centroids) -> Column:
     construction cost multiplied by iters (measured r13; the parsed
     literal is value-identical, ``float.__repr__`` round-trips doubles
     exactly)."""
-    body = ",".join(
-        "named_struct('cid', {}L, 'cv', array({}))".format(
-            int(cid), ",".join(f"{float(x)!r}D" for x in cv)
-        )
-        for cid, cv in sorted(cent)
-    )
-    return F.expr(f"array({body})")
+    return F.expr(centroid_literal_sql(cent))
 
 
 def assign_nearest(
@@ -76,20 +107,27 @@ def assign_nearest(
     """Assign every vector to its nearest centroid (ties → lowest cid).
 
     Map-only: one projection, no Exchange (asserted in
-    tests/test_plans.py).  Returns (id_col, vec_col, cid, d2)."""
-    dists = F.transform(
-        centroid_literal(cent),
-        lambda c: F.struct(
-            l2sq(F.col(vec_col), c["cv"]).alias("d2"), c["cid"].alias("cid")
-        ),
-    )
-    best = F.array_min(dists)
+    tests/test_plans.py).  Returns (id_col, vec_col, cid, d2).
+
+    The fold is built as ONE parsed SQL expression
+    (:func:`nearest_struct_sql`): the HOF-lambda form cost a py4j
+    round-trip cascade per centroid per round (~0.4 s of driver time
+    per Lloyd round at k=4, measured r13), and the parsed tree is the
+    same expression node for node."""
+    best = F.expr(nearest_struct_sql(f"`{vec_col}`", cent))
     return v.select(
         id_col,
         vec_col,
         best["cid"].alias("cid"),
         best["d2"].alias("d2"),
     )
+
+
+def _repack_expr() -> Column:
+    """The in-group centroid repack (position-sorted cv array) as one
+    parsed expression — ``struct(i, cv)`` names its fields from the
+    attributes, exactly as ``F.struct("i", "cv")`` did."""
+    return F.expr("transform(array_sort(collect_list(struct(i, cv))), st -> st.cv)")
 
 
 def lloyd_centroids(
@@ -125,13 +163,7 @@ def lloyd_centroids(
             .groupBy("cid", "i")
             .agg(F.avg("val").alias("cv"))
         )
-        cent = _pin(
-            cdim.groupBy("cid").agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "cv"))), lambda s: s["cv"]
-                ).alias("cv")
-            )
-        )
+        cent = _pin(cdim.groupBy("cid").agg(_repack_expr().alias("cv")))
     return cent
 
 
@@ -172,42 +204,28 @@ def lloyd_centroids_multi(
         c: [(int(r["cid"]), [float(x) for x in r[c]]) for r in init_rows]
         for c in vec_cols
     }
-    def _dist_fn(col_name: str):
-        # factory closure: a lambda with a default arg would look
-        # 2-ary to transform() and receive the array index instead
-        return lambda cc: F.struct(
-            l2sq(F.col(col_name), cc["cv"]).alias("d2"),
-            cc["cid"].alias("cid"),
-        )
-
     for _ in range(iters):
-        melted = v.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(si).cast("int").alias("s"),
-                            F.array_min(
-                                F.transform(centroid_literal(cents[c]), _dist_fn(c))
-                            )["cid"].alias("cid"),
-                            F.col(c).alias("vec"),
-                        )
-                        for si, c in enumerate(vec_cols)
-                    ]
+        # the whole m-subspace melt as ONE parsed expression (the HOF-
+        # lambda form cost a py4j cascade per subspace per round —
+        # ~0.7 s of driver time at m=4, measured r13); `{si}` is a bare
+        # int literal, the same int32 as F.lit(si).cast("int")
+        melt_sql = "explode(array({}))".format(
+            ",".join(
+                "named_struct('s', {si}, 'cid', {best}.cid, 'vec', `{c}`)".format(
+                    si=int(si),
+                    best=nearest_struct_sql(f"`{c}`", cents[c]),
+                    c=c,
                 )
-            ).alias("m")
-        ).select("m.s", "m.cid", "m.vec")
+                for si, c in enumerate(vec_cols)
+            )
+        )
+        melted = v.select(F.expr(melt_sql).alias("m")).select("m.s", "m.cid", "m.vec")
         packed = (
             melted.select("s", "cid", F.posexplode("vec").alias("i", "val"))
             .groupBy("s", "cid", "i")
             .agg(F.avg("val").alias("cv"))
             .groupBy("s", "cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "cv"))),
-                    lambda st: st["cv"],
-                ).alias("cv")
-            )
+            .agg(_repack_expr().alias("cv"))
             .collect()
         )
         cents = {c: [] for c in vec_cols}

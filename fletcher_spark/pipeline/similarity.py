@@ -79,6 +79,43 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+# --- SQL-text twins of the vector folds (r13, guide §7.3) ------------
+#
+# Every HOF lambda built through the Column API costs a py4j round-trip
+# cascade (~25-70 ms each, measured r13), and the embedding queries
+# build a handful per construction.  These twins render the SAME
+# expression tree as SQL text parsed in ONE call; ``0.0D`` is the same
+# double-typed zero as ``F.lit(0.0)``, and the CASE form is what
+# ``F.when(..).otherwise(..)`` compiles to.  Results are node-for-node
+# identical to the Column forms (differential pins in
+# tests/test_vector_sql_twins.py).
+
+
+def d_sql(a_sql: str) -> str:
+    """:func:`_d` as SQL text."""
+    return f"transform({a_sql}, x -> CAST(x AS DOUBLE))"
+
+
+def dot_sql(a_sql: str, b_sql: str) -> str:
+    """:func:`dot` as SQL text (the ``_d`` double-cast included)."""
+    return (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "0.0D, (acc, v) -> acc + v)"
+    ).format(a=d_sql(a_sql), b=d_sql(b_sql))
+
+
+def l2_norm_sql(a_sql: str) -> str:
+    """:func:`l2_norm` as SQL text."""
+    return f"sqrt({dot_sql(a_sql, a_sql)})"
+
+
+def cosine_sql(a_sql: str, b_sql: str) -> str:
+    """:func:`cosine` as SQL text."""
+    return "({d}) / (({na}) * ({nb}))".format(
+        d=dot_sql(a_sql, b_sql), na=l2_norm_sql(a_sql), nb=l2_norm_sql(b_sql)
+    )
+
+
 def hyperplane_signs(n_planes: int, dim: int, seed: str = "ann") -> list[list[int]]:
     """Deterministic ±1 hyperplane matrix from md5 — reproducible in any
     engine/language, no RNG state.  Element (p, j) is +1 iff the first
@@ -116,13 +153,10 @@ def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
 
 
 @lru_cache(maxsize=32)
-def _planes_2d_lit(planes: tuple[tuple[int, ...], ...]) -> Column:
-    """Parsed 2-level plane-matrix literal, memoized per process: the
-    plane matrices are module constants, parsing+building the literal
-    Column costs real driver time per query construction, and an
-    unresolved Column is immutable and session-independent — pure plan
-    metadata reuse (r13)."""
-    return F.expr(
+def _planes_2d_sql(planes: tuple[tuple[int, ...], ...]) -> str:
+    """SQL text of the 2-level plane-matrix literal, memoized per
+    process (the plane matrices are module constants)."""
+    return (
         "array("
         + ",".join(
             "array(" + ",".join(f"{float(w)!r}D" for w in row) + ")" for row in planes
@@ -132,13 +166,34 @@ def _planes_2d_lit(planes: tuple[tuple[int, ...], ...]) -> Column:
 
 
 @lru_cache(maxsize=32)
-def _planes_3d_lit(
+def _planes_2d_lit(planes: tuple[tuple[int, ...], ...]) -> Column:
+    """Parsed 2-level plane-matrix literal, memoized per process: the
+    plane matrices are module constants, parsing+building the literal
+    Column costs real driver time per query construction, and an
+    unresolved Column is immutable and session-independent — pure plan
+    metadata reuse (r13)."""
+    return F.expr(_planes_2d_sql(planes))
+
+
+def lsh_bucket_sql(vec_sql: str, planes: list[list[int]]) -> str:
+    """:func:`lsh_bucket` as SQL text — same emitted bits and keys,
+    with the whole per-plane fold going through the parser in ONE call
+    instead of a py4j lambda cascade (r13, guide §7.3)."""
+    planes_sql = _planes_2d_sql(tuple(tuple(row) for row in planes))
+    return (
+        "array_join(transform({lit}, row -> "
+        "CASE WHEN ({d}) >= 0 THEN '1' ELSE '0' END), '')"
+    ).format(lit=planes_sql, d=dot_sql(vec_sql, "row"))
+
+
+@lru_cache(maxsize=32)
+def _planes_3d_sql(
     planes: tuple[tuple[int, ...], ...], planes_per_table: int
-) -> Column:
-    """Parsed 3-level (table-grouped) plane literal, memoized per
-    process — see :func:`_planes_2d_lit`."""
+) -> str:
+    """SQL text of the 3-level (table-grouped) plane literal, memoized
+    per process — see :func:`_planes_2d_sql`."""
     n_tables = len(planes) // planes_per_table
-    return F.expr(
+    return (
         "array("
         + ",".join(
             "array("
@@ -153,6 +208,32 @@ def _planes_3d_lit(
         )
         + ")"
     )
+
+
+@lru_cache(maxsize=32)
+def _planes_3d_lit(
+    planes: tuple[tuple[int, ...], ...], planes_per_table: int
+) -> Column:
+    """Parsed 3-level (table-grouped) plane literal, memoized per
+    process — see :func:`_planes_2d_lit`."""
+    return F.expr(_planes_3d_sql(planes, planes_per_table))
+
+
+def lsh_table_keys_sql(
+    vec_sql: str, planes: list[list[int]], planes_per_table: int = 4
+) -> str:
+    """:func:`lsh_table_keys` as SQL text — the nested per-table /
+    per-plane fold parsed in ONE call; same (band, key) structs
+    (r13, guide §7.3)."""
+    tables_sql = _planes_3d_sql(
+        tuple(tuple(row) for row in planes), planes_per_table
+    )
+    return (
+        "transform({lit}, (tbl, t) -> named_struct("
+        "'band', CAST(t AS INT), "
+        "'key', array_join(transform(tbl, row -> "
+        "CASE WHEN ({d}) >= 0 THEN '1' ELSE '0' END), '')))"
+    ).format(lit=tables_sql, d=dot_sql(vec_sql, "row"))
 
 
 def lsh_table_keys(vec: Column, planes: list[list[int]], planes_per_table: int = 4) -> Column:

@@ -553,9 +553,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             "vec_id",
             F.col("embedding").alias("ev"),
-            SIM.lsh_table_keys(F.col("embedding"), _emb_planes(), _EMB_PPT).alias(
-                "tkeys"
-            ),
+            F.expr(
+                SIM.lsh_table_keys_sql("`embedding`", _emb_planes(), _EMB_PPT)
+            ).alias("tkeys"),
         )
         .crossJoin(F.broadcast(n))
         .withColumn("__bits", F.expr(_emb_bits_case("__n")))
@@ -585,15 +585,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     v1 = b.select(
-        F.col("vec_id").alias("id1"), F.col("ev").alias("e1"), SIM.l2_norm(F.col("ev")).alias("n1")
+        F.col("vec_id").alias("id1"),
+        F.col("ev").alias("e1"),
+        F.expr(SIM.l2_norm_sql("`ev`")).alias("n1"),
     )
     v2 = b.select(
-        F.col("vec_id").alias("id2"), F.col("ev").alias("e2"), SIM.l2_norm(F.col("ev")).alias("n2")
+        F.col("vec_id").alias("id2"),
+        F.col("ev").alias("e2"),
+        F.expr(SIM.l2_norm_sql("`ev`")).alias("n2"),
     )
     return (
         cand.join(v1, "id1")
         .join(v2, "id2")
-        .withColumn("cos", SIM.dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")))
+        .withColumn(
+            "cos",
+            F.expr(SIM.dot_sql("`e1`", "`e2`")) / (F.col("n1") * F.col("n2")),
+        )
         .filter(F.col("cos") >= 0.35)
         .select("id1", "id2", F.round("cos", 6).alias("cos"))
     )

@@ -194,9 +194,9 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             "vec_id",
             F.col("embedding").alias("ev"),
-            SIM.lsh_table_keys(F.col("embedding"), _PLANES, _PLANES_PER_TABLE).alias(
-                "tkeys"
-            ),
+            F.expr(
+                SIM.lsh_table_keys_sql("`embedding`", _PLANES, _PLANES_PER_TABLE)
+            ).alias("tkeys"),
         )
         .crossJoin(F.broadcast(n))
         .withColumn("__bits", F.expr(_bits_case("__n")))
@@ -328,13 +328,15 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: v feeds the centroid aggregate, the query set, and the
     # scored join probe — and caching keeps the posexplode's inferred
     # size(ev)>0 filter off the scan (see ann_lsh_bucketed)
-    ev = F.transform("embedding", lambda x: x.cast("double"))
+    ev = F.expr(SIM.d_sql("`embedding`"))
     v = (
         e.select(
             "vec_id",
             "label",
             ev.alias("ev"),
-            SIM.lsh_bucket(ev, _IVF_SUB_PLANES).alias("__sig"),
+            F.expr(
+                SIM.lsh_bucket_sql(SIM.d_sql("`embedding`"), _IVF_SUB_PLANES)
+            ).alias("__sig"),
         )
         .crossJoin(F.broadcast(n))
         .select(
@@ -362,7 +364,9 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = v.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"), "sub"
     )
-    qc = q.crossJoin(F.broadcast(cent)).withColumn("ccos", SIM.cosine(F.col("qv"), F.col("cv")))
+    qc = q.crossJoin(F.broadcast(cent)).withColumn(
+        "ccos", F.expr(SIM.cosine_sql("`qv`", "`cv`"))
+    )
     wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("label"))
     probe = (
         qc.withColumn("crk", F.row_number().over(wq))
@@ -370,14 +374,17 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "qv", "sub", "label")
     )
 
-    vn = v.withColumn("nn", SIM.l2_norm(F.col("ev")))
+    vn = v.withColumn("nn", F.expr(SIM.l2_norm_sql("`ev`")))
     # no broadcast hint: the probe side is fact-proportional (|Q| ∝ N);
     # AQE's size-based choice decides
-    probe_n = probe.withColumn("qn", SIM.l2_norm(F.col("qv")))
+    probe_n = probe.withColumn("qn", F.expr(SIM.l2_norm_sql("`qv`")))
     scored = (
         vn.join(probe_n, ["label", "sub"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", SIM.dot(F.col("qv"), F.col("ev")) / (F.col("qn") * F.col("nn")))
+        .withColumn(
+            "cos",
+            F.expr(SIM.dot_sql("`qv`", "`ev`")) / (F.col("qn") * F.col("nn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -604,13 +611,15 @@ def ann_ivf_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = spread(load_tables(spark, sf_dir)["embeddings"])
     n = e.agg(F.count(F.lit(1)).alias("__n"))
-    ev_x = F.transform("embedding", lambda x: x.cast("double"))
+    ev_x = F.expr(SIM.d_sql("`embedding`"))
     v = (
         e.select(
             "vec_id",
             "label",
             ev_x.alias("ev"),
-            SIM.lsh_bucket(ev_x, _IVF_SUB_PLANES).alias("__sig"),
+            F.expr(
+                SIM.lsh_bucket_sql(SIM.d_sql("`embedding`"), _IVF_SUB_PLANES)
+            ).alias("__sig"),
         )
         .crossJoin(F.broadcast(n))
         .select(
@@ -663,7 +672,7 @@ def ann_ivf_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_norm").alias("q_qn"),
     )
     qc = q.crossJoin(F.broadcast(cent)).withColumn(
-        "ccos", SIM.cosine(F.col("qv"), F.col("cv"))
+        "ccos", F.expr(SIM.cosine_sql("`qv`", "`cv`"))
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("label"))
     probe = (
@@ -688,7 +697,7 @@ def ann_ivf_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ark") <= 10)
         .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "ev")
     )
-    s2 = cand.withColumn("cos", SIM.cosine(F.col("qv"), F.col("ev")))
+    s2 = cand.withColumn("cos", F.expr(SIM.cosine_sql("`qv`", "`ev`")))
     w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         s2.withColumn("rk", F.row_number().over(w2).cast("long"))
@@ -757,13 +766,14 @@ def knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # occupancy ≤ 2500).  A fixed block count makes the per-block
     # |block|² kernel quadratic in N even vectorized; occupancy-bounded
     # blocks make total FLOPs N × target × dim — linear.
-    ev_x = F.transform("embedding", lambda x: x.cast("double"))
     v = (
         e.select(
             "vec_id",
             "label",
             "embedding",
-            SIM.lsh_bucket(ev_x, _IVF_SUB_PLANES).alias("__sig"),
+            F.expr(
+                SIM.lsh_bucket_sql(SIM.d_sql("`embedding`"), _IVF_SUB_PLANES)
+            ).alias("__sig"),
         )
         .crossJoin(F.broadcast(n))
         .select(
@@ -943,27 +953,26 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     best_cols = []
     for s in range(_PQ_M):
         qsub = [float(x) for x in qrow[f"sub{s}"]]
-        lit = F.array(
-            *[
-                F.struct(
-                    F.lit(int(cid)).cast("long").alias("cid"),
-                    F.lit([float(x) for x in cv]).alias("cv"),
-                    F.lit(_pq_qd2(qsub, [float(x) for x in cv])).alias("qd2"),
+        # codebook + query-to-centroid distances as ONE parsed literal
+        # and the scorer fold as ONE parsed expression (the per-element
+        # F.lit / HOF-lambda form cost ~0.8 s of py4j driver time per
+        # construction, measured r13; float.__repr__ round-trips
+        # doubles exactly, `D` keeps every literal double-typed)
+        lit_sql = "array({})".format(
+            ",".join(
+                "named_struct('cid', {cid}L, 'cv', array({cv}), 'qd2', {qd2}D)".format(
+                    cid=int(cid),
+                    cv=",".join(f"{float(x)!r}D" for x in cv),
+                    qd2=repr(_pq_qd2(qsub, [float(x) for x in cv])),
                 )
                 for cid, cv in sorted(books[s])
-            ]
-        )
-        def _scorer(sub_col):
-            # factory closure: a plain lambda with a default arg would
-            # look 2-ary to transform() and receive the array index
-            return lambda c: F.struct(
-                KM.l2sq(F.col(sub_col), c["cv"]).alias("d2"),
-                c["cid"].alias("cid"),
-                c["qd2"].alias("qd2"),
             )
-
-        dists = F.transform(lit, _scorer(f"sub{s}"))
-        best_cols.append(F.array_min(dists).alias(f"best{s}"))
+        )
+        best_sql = (
+            "array_min(transform({lit}, c -> named_struct("
+            "'d2', {d2}, 'cid', c.cid, 'qd2', c.qd2)))"
+        ).format(lit=lit_sql, d2=KM.l2sq_sql(f"`sub{s}`", "c.cv"))
+        best_cols.append(F.expr(best_sql).alias(f"best{s}"))
 
     enc = vs.select("vec_id", *best_cols)
     adc = sum_col = None
