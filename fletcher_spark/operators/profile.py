@@ -51,45 +51,51 @@ def profile(
     """
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols = list(columns) if columns is not None else list(fields)
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    # every aggregate and the one-row stack built as parsed SQL text
+    # (r13 wave 10, guide §7.3): the per-node Column form cost ~0.6 s
+    # of py4j round-trips per construction at ~8 columns × 4 aggs;
+    # trees identical (CASE WHEN c IS NULL THEN 1 END is F.when with
+    # no otherwise, the D-suffixed rsd stays double-typed)
+    aggs = ["count(1) AS __n"]
     for c in cols:
         dt = fields[c]
-        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"))
+        aggs.append(f"count(CASE WHEN `{c}` IS NULL THEN 1 END) AS `{c}__nulls`")
         if distinct == "exact":
-            aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__dist"))
+            aggs.append(f"count(DISTINCT `{c}`) AS `{c}__dist`")
         else:
-            aggs.append(F.approx_count_distinct(c, rsd).alias(f"{c}__dist"))
+            aggs.append(
+                f"approx_count_distinct(`{c}`, {float(rsd)!r}D) AS `{c}__dist`"
+            )
         if isinstance(dt, _NUMERIC):
-            aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
-            aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
-            aggs.append(F.avg(c).cast("string").alias(f"{c}__mean"))
+            probe = f"`{c}`"
         elif isinstance(dt, (T.StringType, T.BinaryType)):
-            aggs.append(F.min(F.length(c)).cast("string").alias(f"{c}__min"))
-            aggs.append(F.max(F.length(c)).cast("string").alias(f"{c}__max"))
-            aggs.append(F.avg(F.length(c)).cast("string").alias(f"{c}__mean"))
+            probe = f"length(`{c}`)"
         else:
-            aggs.append(F.lit(None).cast("string").alias(f"{c}__min"))
-            aggs.append(F.lit(None).cast("string").alias(f"{c}__max"))
-            aggs.append(F.lit(None).cast("string").alias(f"{c}__mean"))
-    wide = df.agg(*aggs)
+            probe = None
+        if probe is None:
+            for stat in ("min", "max", "mean"):
+                aggs.append(f"CAST(NULL AS STRING) AS `{c}__{stat}`")
+        else:
+            aggs.append(f"CAST(min({probe}) AS STRING) AS `{c}__min`")
+            aggs.append(f"CAST(max({probe}) AS STRING) AS `{c}__max`")
+            aggs.append(f"CAST(avg({probe}) AS STRING) AS `{c}__mean`")
+    wide = df.agg(*[F.expr(a) for a in aggs])
 
     # pivot the single wide row to long form with a literal stack — the
     # reshape runs on ONE row, not on the data
-    parts = []
-    for c in cols:
-        parts.append(
-            F.struct(
-                F.lit(c).alias("column"),
-                F.lit(fields[c].simpleString()).alias("dtype"),
-                F.col("__n").alias("n_rows"),
-                F.col(f"{c}__nulls").alias("n_nulls"),
-                F.col(f"{c}__dist").alias("approx_distinct"),
-                F.col(f"{c}__min").alias("min"),
-                F.col(f"{c}__max").alias("max"),
-                F.col(f"{c}__mean").alias("mean"),
-            )
-        )
-    return wide.select(F.explode(F.array(*parts)).alias("s")).select("s.*")
+    parts = ",".join(
+        "named_struct("
+        f"'column', '{c}', "
+        f"'dtype', '{fields[c].simpleString()}', "
+        "'n_rows', __n, "
+        f"'n_nulls', `{c}__nulls`, "
+        f"'approx_distinct', `{c}__dist`, "
+        f"'min', `{c}__min`, "
+        f"'max', `{c}__max`, "
+        f"'mean', `{c}__mean`)"
+        for c in cols
+    )
+    return wide.selectExpr(f"explode(array({parts})) AS s").select("s.*")
 
 
 def key_skew_report(df: DataFrame, key: str, top: int = 10) -> DataFrame:

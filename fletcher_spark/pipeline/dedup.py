@@ -32,7 +32,9 @@ __all__ = [
     "shingle_frame",
     "minhash_signature",
     "lsh_band_keys",
+    "lsh_band_keys_sql",
     "lsh_band_keys_adaptive",
+    "lsh_band_keys_adaptive_sql",
     "lsh_rpb_case_sql",
     "candidate_pairs",
     "verify_jaccard",
@@ -156,6 +158,36 @@ def lsh_band_keys(sig: Column, bands: int = 4, rows: int = 3) -> Column:
     )
 
 
+def lsh_band_keys_sql(sig_sql: str, bands: int = 4, rows: int = 3) -> str:
+    """:func:`lsh_band_keys` as SQL text — the same (band, key) struct
+    array via ONE parser call (the Column form costs a py4j round-trip
+    per node: ~0.25 s per construction for the adaptive three-rung
+    CASE, measured r13).  Differentially pinned value-identical in
+    tests/test_vector_sql_twins.py."""
+    return "array({})".format(
+        ",".join(
+            "named_struct('band', {b}, 'key', md5(concat_ws('|', {cols})))".format(
+                b=b,
+                cols=",".join(
+                    f"CAST(element_at({sig_sql}, {b * rows + r + 1}) AS STRING)"
+                    for r in range(rows)
+                ),
+            )
+            for b in range(bands)
+        )
+    )
+
+
+def lsh_band_keys_adaptive_sql(sig_sql: str, n_sql: str) -> str:
+    """:func:`lsh_band_keys_adaptive` as SQL text — the same
+    ladder-threshold CASE over the same branch expressions."""
+    whens = " ".join(
+        f"WHEN {n_sql} <= {max_n} THEN {lsh_band_keys_sql(sig_sql, bands, rows)}"
+        for max_n, bands, rows in LSH_BAND_LADDER
+    )
+    return f"CASE {whens} ELSE {lsh_band_keys_sql(sig_sql, *LSH_BAND_FLOOR)} END"
+
+
 #: Broder (bands × rows) ladder for the 12-hash signature: rows-per-band
 #: grows ~log(N) so the BACKGROUND candidate volume stays linear in the
 #: corpus.  A random non-duplicate pair with background shingle overlap
@@ -254,9 +286,15 @@ def minhash_signature_df(
     |docs| × n_hashes longs cross the wire.  Output: (id, sig).
     """
     ex = df.select(id_col, F.explode(shingle_col).alias("t"))
-    v1, v2 = _halves_cols(F.col("t"))
-    hashed = ex.select(
-        id_col, *[((v1 + j * v2) % _MINHASH_P).alias(f"h{j}") for j in range(n_hashes)]
+    # the n_hashes affine-hash columns as ONE selectExpr batch (the
+    # Column-op form cost a py4j round-trip per node per member —
+    # ~0.1 s per construction; same 56-bit integer math, exact at
+    # < 2^61 either way)
+    v1s = "CAST(conv(substring(md5(t), 1, 14), 16, 10) AS BIGINT)"
+    v2s = "CAST(conv(substring(md5(t), 15, 14), 16, 10) AS BIGINT)"
+    hashed = ex.selectExpr(
+        id_col,
+        *[f"({v1s} + {j} * {v2s}) % {_MINHASH_P} AS h{j}" for j in range(n_hashes)],
     )
     agg = hashed.groupBy(id_col).agg(
         *[F.min(f"h{j}").alias(f"h{j}") for j in range(n_hashes)]
@@ -283,14 +321,13 @@ def simhash_df(
     Output: (id, bv array<long> of 64 bits, MSB-first).
     """
     ex = df.select(id_col, F.explode(shingle_col).alias("t"))
-    h = F.md5("t")
     # materialize the halves in their own projection: they are re-read
     # 32× each by the packed columns, and CollapseProject keeps non-cheap
     # multi-referenced aliases as a separate stage (no md5 re-eval)
-    halves = ex.select(
+    halves = ex.selectExpr(
         id_col,
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("w1"),
-        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("w2"),
+        "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) AS w1",
+        "CAST(conv(substring(md5(t), 9, 8), 16, 10) AS BIGINT) AS w2",
     )
 
     # the 16 packed-lane columns and the 64-term signature are built as
@@ -301,11 +338,13 @@ def simhash_df(
         v, k = ("w1", 31 - i) if i < 32 else ("w2", 63 - i)
         return f"shiftleft(shiftright({v}, {k}) & 1, {16 * j})"
 
-    packed = [
-        F.expr(" + ".join(lane(g * 4 + j, j) for j in range(4))).alias(f"p{g}")
-        for g in range(16)
-    ]
-    contrib = halves.select(id_col, *packed)
+    contrib = halves.selectExpr(
+        id_col,
+        *[
+            " + ".join(lane(g * 4 + j, j) for j in range(4)) + f" AS p{g}"
+            for g in range(16)
+        ],
+    )
     summed = contrib.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(f"p{g}").alias(f"p{g}") for g in range(16)],
@@ -346,11 +385,10 @@ def simhash_df_128(
     ``bit_count(sig1⊕sig1') + bit_count(sig2⊕sig2')``.
     """
     ex = df.select(id_col, F.explode(shingle_col).alias("t"))
-    h = F.md5("t")
-    words = ex.select(
+    words = ex.selectExpr(
         id_col,
         *[
-            F.conv(F.substring(h, 1 + 8 * q, 8), 16, 10).cast("long").alias(f"w{q}")
+            f"CAST(conv(substring(md5(t), {1 + 8 * q}, 8), 16, 10) AS BIGINT) AS w{q}"
             for q in range(4)
         ],
     )
@@ -359,11 +397,13 @@ def simhash_df_128(
         q, k = divmod(i, 32)
         return f"shiftleft(shiftright(w{q}, {31 - k}) & 1, {16 * j})"
 
-    packed = [
-        F.expr(" + ".join(lane(g * 4 + j, j) for j in range(4))).alias(f"p{g}")
-        for g in range(32)
-    ]
-    contrib = words.select(id_col, *packed)
+    contrib = words.selectExpr(
+        id_col,
+        *[
+            " + ".join(lane(g * 4 + j, j) for j in range(4)) + f" AS p{g}"
+            for g in range(32)
+        ],
+    )
     summed = contrib.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(f"p{g}").alias(f"p{g}") for g in range(32)],

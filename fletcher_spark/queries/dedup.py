@@ -174,7 +174,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh.count()
     sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
     banded = sig.crossJoin(F.broadcast(n)).select(
-        "doc_id", D.lsh_band_keys_adaptive(F.col("sig"), F.col("__n")).alias("band_keys")
+        "doc_id", F.expr(D.lsh_band_keys_adaptive_sql("sig", "__n")).alias("band_keys")
     )
     # materialize=True: AQE fails to reuse the self-join's twin
     # exchanges here (cached-child canonicalization — see
@@ -632,7 +632,7 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same adaptive Broder banding as dedup_minhash_lsh (they share the
     # oracle CTE, so the edge set stays value-checked on both branches)
     banded = sig.crossJoin(F.broadcast(n)).select(
-        "doc_id", D.lsh_band_keys_adaptive(F.col("sig"), F.col("__n")).alias("band_keys")
+        "doc_id", F.expr(D.lsh_band_keys_adaptive_sql("sig", "__n")).alias("band_keys")
     )
     # materialize=True: same AQE twin-exchange miss as dedup_minhash_lsh
     pairs = D.candidate_pairs(banded, "doc_id", materialize=True)
@@ -805,7 +805,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in test_bucketing.py::test_band_index_rebuild_rebands_from_
     # stored_signatures), not a per-query choice.
     banded = sig.select(
-        "doc_id", F.explode(D.lsh_band_keys(F.col("sig"), 4, 3)).alias("bk")
+        "doc_id", F.expr("explode(" + D.lsh_band_keys_sql("sig", 4, 3) + ")").alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     # persist+materialize: the batch→corpus probe filters this frame on
     # OPPOSING predicates, so no exchange reuse is even possible — both

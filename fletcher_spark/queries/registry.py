@@ -113,6 +113,15 @@ CHANGED_ROUND: dict[str, int] = {
     "events_rfm_segments_cuts": 13,
     "winsorize_by_source_cuts": 13,
     "sketch_quantile_bound": 13,
+    # r13 wave 10: chatty expression builders rendered as parsed SQL
+    # text in OPERATOR modules (invisible to the hash guard) — values
+    # identical, pinned by tests/test_vector_sql_twins.py and per-query
+    # oracle re-checks: pipeline/dedup.py simhash_df / simhash_df_128 /
+    # minhash_signature_df selectExpr batches; operators/profile.py
+    # profile() agg+stack text
+    "dedup_simhash_pairs": 13,
+    "dedup_simhash128_pairs": 13,
+    "profile_documents": 13,
 }
 
 

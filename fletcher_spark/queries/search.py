@@ -143,51 +143,45 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four times below (dl + one tf per term) and CollapseProject keeps
     # a non-cheap expression staged when it is referenced more than
     # once, so split+filter runs once per row (same discipline as
-    # text_boilerplate_ratio's token-hash staging)
-    w = d.select(
-        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("ws")
-    )
-    def _eq(t: str):
-        # factory closure, NOT a default-arg lambda: a 2-parameter
-        # lambda flips F.filter into its (element, index) calling
-        # convention (the exact trap r12's minhash_signature fix pinned)
-        return lambda x: x == t
-
-    tfs = [
-        F.size(F.filter("ws", _eq(t))).cast("long").alias(f"tf{i}")
-        for i, t in enumerate(_QUERY_TERMS)
-    ]
-    per = w.select("doc_id", F.size("ws").cast("long").alias("dl"), *tfs)
-    stats = per.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("dl").alias("avgdl"),
+    # text_boilerplate_ratio's token-hash staging).  Everything is
+    # built as parsed SQL text (r13 wave 10, guide §7.3): the Column-
+    # API form of this function cost ~0.5 s of py4j round-trips per
+    # construction; the parsed trees are node-identical (double
+    # literals carry the D suffix — a bare 0.5 would parse DECIMAL —
+    # and the score sum keeps reduce()'s left fold).
+    w = d.selectExpr("doc_id", "filter(split(text, ' '), x -> x != '') AS ws")
+    per = w.selectExpr(
+        "doc_id",
+        "CAST(size(ws) AS BIGINT) AS dl",
         *[
-            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            f"CAST(size(filter(ws, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+            for i, t in enumerate(_QUERY_TERMS)
+        ],
+    )
+    stats = per.agg(
+        F.expr("count(1) AS n"),
+        F.expr("avg(dl) AS avgdl"),
+        *[
+            F.expr(f"sum(CAST(tf{i} > 0 AS BIGINT)) AS df{i}")
             for i in range(len(_QUERY_TERMS))
         ],
     )
-    def _contrib(i: int):
-        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+
+    def _contrib(i: int) -> str:
         c = (
-            F.log(1 + (F.col("n") - df + 0.5) / (df + 0.5))
-            * (tf * (_K1 + 1))
-            / (tf + _K1 * ((1 - _B) + _B * F.col("dl") / F.col("avgdl")))
+            f"ln(1 + (n - df{i} + 0.5D) / (df{i} + 0.5D))"
+            f" * (tf{i} * {float(_K1 + 1)!r}D)"
+            f" / (tf{i} + {float(_K1)!r}D * ({float(1 - _B)!r}D"
+            f" + {float(_B)!r}D * dl / avgdl))"
         )
-        return F.when(tf > 0, c).otherwise(F.lit(0.0))
+        return f"CASE WHEN tf{i} > 0 THEN {c} ELSE 0.0D END"
 
-    from functools import reduce
-
-    hit = reduce(
-        lambda a, b: a | b,
-        [F.col(f"tf{i}") > 0 for i in range(len(_QUERY_TERMS))],
-    )
-    score = reduce(
-        lambda a, b: a + b, [_contrib(i) for i in range(len(_QUERY_TERMS))]
-    )
+    hit = " OR ".join(f"tf{i} > 0" for i in range(len(_QUERY_TERMS)))
+    score = " + ".join(f"({_contrib(i)})" for i in range(len(_QUERY_TERMS)))
     return (
         per.crossJoin(F.broadcast(stats))
         .filter(hit)
-        .select("doc_id", score.alias("score"))
+        .selectExpr("doc_id", f"{score} AS score")
     )
 
 

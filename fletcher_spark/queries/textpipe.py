@@ -306,7 +306,7 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set), read off the persisted exact_kept — a one-row broadcast
     nk = exact_kept.agg(F.count(F.lit(1)).alias("__n"))
     banded = sig.crossJoin(F.broadcast(nk)).select(
-        "doc_id", D.lsh_band_keys_adaptive(F.col("sig"), F.col("__n")).alias("band_keys")
+        "doc_id", F.expr(D.lsh_band_keys_adaptive_sql("sig", "__n")).alias("band_keys")
     )
     # materialize=True: same AQE twin-exchange miss as dedup_minhash_lsh
     pairs = D.candidate_pairs(banded, "doc_id", materialize=True)

@@ -85,6 +85,34 @@ def test_nearest_struct_twin(vecs):
     _pairs(vecs, col_form, KM.nearest_struct_sql("`a`", cent))
 
 
+def test_lsh_band_keys_twin(spark):
+    from fletcher_spark.pipeline import dedup as D
+
+    rows = [(1, [11, 22, 33, 44, 55, 66, 77, 88, 99, 100, 101, 102]), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, sig array<long>")
+    for bands, rws in [(4, 3), (3, 4), (2, 6)]:
+        got = df.select(
+            D.lsh_band_keys(F.col("sig"), bands, rws).alias("col_form"),
+            F.expr(D.lsh_band_keys_sql("sig", bands, rws)).alias("sql_form"),
+        ).collect()
+        for r in got:
+            assert r["col_form"] == r["sql_form"], (bands, rws, r)
+
+
+def test_lsh_band_keys_adaptive_twin(spark):
+    from fletcher_spark.pipeline import dedup as D
+
+    rows = [(1, [11, 22, 33, 44, 55, 66, 77, 88, 99, 100, 101, 102], n)
+            for n in (1, 20_000, 100_000, 5_000_000)]
+    df = spark.createDataFrame(rows, "doc_id long, sig array<long>, n long")
+    got = df.select(
+        D.lsh_band_keys_adaptive(F.col("sig"), F.col("n")).alias("col_form"),
+        F.expr(D.lsh_band_keys_adaptive_sql("sig", "n")).alias("sql_form"),
+    ).collect()
+    for r in got:
+        assert r["col_form"] == r["sql_form"], r
+
+
 def test_assign_nearest_ties_break_low_cid(spark):
     # two equidistant centroids: struct comparison orders d2 then cid
     v = spark.createDataFrame([(1, [0.0, 0.0])], "id long, v array<double>")
