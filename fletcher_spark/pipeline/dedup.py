@@ -41,6 +41,8 @@ __all__ = [
     "simhash64",
     "simhash_chunks",
     "simhash_chunks_packed",
+    "simhash_chunks_packed_sql",
+    "simhash_chunks_packed_128_sql",
 ]
 
 
@@ -297,10 +299,10 @@ def minhash_signature_df(
         *[f"({v1s} + {j} * {v2s}) % {_MINHASH_P} AS h{j}" for j in range(n_hashes)],
     )
     agg = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{j}").alias(f"h{j}") for j in range(n_hashes)]
+        *[F.expr(f"min(h{j}) AS h{j}") for j in range(n_hashes)]
     )
-    return agg.select(
-        id_col, F.array(*[F.col(f"h{j}") for j in range(n_hashes)]).alias("sig")
+    return agg.selectExpr(
+        id_col, "array({}) AS sig".format(",".join(f"h{j}" for j in range(n_hashes)))
     )
 
 
@@ -346,8 +348,8 @@ def simhash_df(
         ],
     )
     summed = contrib.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(f"p{g}").alias(f"p{g}") for g in range(16)],
+        F.expr("count(1) AS n"),
+        *[F.expr(f"sum(p{g}) AS p{g}") for g in range(16)],
     )
 
     def bit(i: int) -> str:
@@ -405,8 +407,8 @@ def simhash_df_128(
         ],
     )
     summed = contrib.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(f"p{g}").alias(f"p{g}") for g in range(32)],
+        F.expr("count(1) AS n"),
+        *[F.expr(f"sum(p{g}) AS p{g}") for g in range(32)],
     )
 
     def bit(i: int) -> str:
@@ -641,6 +643,41 @@ def simhash_chunks_packed(sig: Column, n_chunks: int = 8) -> Column:
             for k in range(n_chunks)
         ]
     )
+
+
+def simhash_chunks_packed_sql(sig_sql: str, n_chunks: int = 8) -> str:
+    """:func:`simhash_chunks_packed` as SQL text — same (band, key)
+    structs via ONE parser call (r13 wave 10 discipline; differential
+    pin in tests/test_vector_sql_twins.py)."""
+    w = 64 // n_chunks
+    mask = (1 << w) - 1
+    return "array({})".format(
+        ",".join(
+            f"named_struct('band', {k}, 'key', "
+            f"shiftright({sig_sql}, {64 - (k + 1) * w}) & {mask})"
+            for k in range(n_chunks)
+        )
+    )
+
+
+def simhash_chunks_packed_128_sql(
+    sig1_sql: str, sig2_sql: str, n_chunks: int = 8
+) -> str:
+    """:func:`simhash_chunks_packed_128` as SQL text — see
+    :func:`simhash_chunks_packed_sql`."""
+    w = 128 // n_chunks
+    assert 64 % w == 0, "chunk width must divide the 64-bit words"
+    per_word = 64 // w
+    mask = (1 << w) - 1
+    parts = []
+    for k in range(n_chunks):
+        word = sig1_sql if k < per_word else sig2_sql
+        kk = k % per_word
+        parts.append(
+            f"named_struct('band', {k}, 'key', "
+            f"shiftright({word}, {64 - (kk + 1) * w}) & {mask})"
+        )
+    return "array({})".format(",".join(parts))
 
 
 def gram_occurrences(

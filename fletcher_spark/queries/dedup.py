@@ -247,7 +247,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair join — persist it or the explode+sum sub-DAG runs three times
     bits = D.simhash_df(sh, "doc_id", "shingles").select("doc_id", "sig").persist()
     bits.count()  # materialize: 3 consumers race the cache otherwise (r13)
-    banded = bits.select("doc_id", D.simhash_chunks_packed(F.col("sig"), 8).alias("band_keys"))
+    banded = bits.select(
+        "doc_id", F.expr(D.simhash_chunks_packed_sql("sig", 8)).alias("band_keys")
+    )
     # distinct AFTER the Hamming filter: verification is two integer ops,
     # so letting multi-chunk collisions through is cheaper than shuffling
     # every candidate for an early dedup — the filter kills ~all pairs
@@ -330,7 +332,7 @@ def dedup_simhash128_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits.count()  # materialize: 3 consumers race the cache otherwise (r13)
     banded = bits.select(
         "doc_id",
-        D.simhash_chunks_packed_128(F.col("sig1"), F.col("sig2"), 8).alias("band_keys"),
+        F.expr(D.simhash_chunks_packed_128_sql("sig1", "sig2", 8)).alias("band_keys"),
     )
     pairs = D.candidate_pairs(banded, "doc_id", distinct=False)
     b1 = bits.select(

@@ -113,6 +113,22 @@ def test_lsh_band_keys_adaptive_twin(spark):
         assert r["col_form"] == r["sql_form"], r
 
 
+def test_simhash_chunk_key_twins(spark):
+    from fletcher_spark.pipeline import dedup as D
+
+    rows = [(1, -0x123456789ABCDEF0, 0x7EDCBA9876543210), (2, 0, -1)]
+    df = spark.createDataFrame(rows, "doc_id long, sig1 long, sig2 long")
+    got = df.select(
+        D.simhash_chunks_packed(F.col("sig1"), 8).alias("c64"),
+        F.expr(D.simhash_chunks_packed_sql("sig1", 8)).alias("s64"),
+        D.simhash_chunks_packed_128(F.col("sig1"), F.col("sig2"), 8).alias("c128"),
+        F.expr(D.simhash_chunks_packed_128_sql("sig1", "sig2", 8)).alias("s128"),
+    ).collect()
+    for r in got:
+        assert r["c64"] == r["s64"], r
+        assert r["c128"] == r["s128"], r
+
+
 def test_assign_nearest_ties_break_low_cid(spark):
     # two equidistant centroids: struct comparison orders d2 then cid
     v = spark.createDataFrame([(1, [0.0, 0.0])], "id long, v array<double>")
