@@ -244,7 +244,14 @@ def _cuts_local(hist, keys: list, k: int):
         cuts = []
         for i in range(1, k):
             thr = math.ceil(float(i) * n / k)  # same double op order as Column form
-            cuts.append(float(v[s + int(np.searchsorted(cum, thr, side="left"))]))
+            idx = int(np.searchsorted(cum, thr, side="left"))
+            if idx >= e - s:
+                # thr > cum[-1] is reachable only when the double product
+                # rounds up near 2^53; the staged path yields a NULL cut
+                # there, which this replica cannot represent in-place —
+                # fall through to the distributed twin (ADVICE r13)
+                return None
+            cuts.append(float(v[s + idx]))
         src = int(order[s])  # original row index: key values for this group
         out_rows.append(tuple(_py(kv[src]) for kv in kraw) + (cuts, n))
     schema = T.StructType(

@@ -198,7 +198,51 @@ def connected_components(
     return labels
 
 
-def kcore_peel(e: DataFrame, k: int, rounds: int) -> DataFrame:
+def _local_kcore(tbl, spark, k: int, rounds: int, id_type) -> DataFrame:
+    """Driver-local k-core peel over a collected Arrow edge table —
+    the numpy twin of the distributed rounds below (same discipline as
+    :func:`_local_union_find`): factorize vertex ids, per-round
+    ``bincount`` degrees over the surviving edge mask, peel
+    ``deg < k``.  Value-identical by construction: degrees are exact
+    integer row counts, isolated survivors read degree 0 (the
+    distributed path's ``coalesce(d, 0)``), and a peeled node's edges
+    leave both endpoints' counts — the same induced subgraph."""
+    u = tbl.column(0).to_numpy(zero_copy_only=False)
+    v = tbl.column(1).to_numpy(zero_copy_only=False)
+    ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    iu, iv = inv[: len(u)], inv[len(u) :]
+    n = len(ids)
+    alive_node = np.ones(n, dtype=bool)
+    alive_edge = np.ones(len(iu), dtype=bool)
+    removed_round = np.zeros(n, dtype=np.int32)
+    for rnd in range(1, rounds + 1):
+        deg = np.bincount(iu[alive_edge], minlength=n) + np.bincount(
+            iv[alive_edge], minlength=n
+        )
+        peel = alive_node & (deg < k)
+        removed_round[peel] = rnd
+        alive_node &= ~peel
+        alive_edge &= alive_node[iu] & alive_node[iv]
+    fdeg = np.bincount(iu[alive_edge], minlength=n) + np.bincount(
+        iv[alive_edge], minlength=n
+    )
+    core_deg = np.where(alive_node, fdeg, 0).astype(np.int64)
+    schema = T.StructType(
+        [
+            T.StructField("node", id_type, False),
+            T.StructField("removed_round", T.IntegerType(), False),
+            T.StructField("core_deg", T.LongType(), False),
+        ]
+    )
+    pdf = pd.DataFrame(
+        {"node": ids, "removed_round": removed_round, "core_deg": core_deg}
+    )
+    return spark.createDataFrame(pdf, schema)
+
+
+def kcore_peel(
+    e: DataFrame, k: int, rounds: int, local_edge_limit: int = LOCAL_EDGE_LIMIT
+) -> DataFrame:
     """k-core decomposition by iterative peeling: each round removes
     every surviving node whose current degree is below ``k``, then
     recomputes degrees on the induced subgraph (Montresor et al.'s
@@ -224,9 +268,31 @@ def kcore_peel(e: DataFrame, k: int, rounds: int) -> DataFrame:
     checkpointed) peeled sets, saving one checkpoint job per round
     (2·rounds + 1 jobs instead of 3·rounds + 1) with identical output
     (set semantics: chained anti-joins ≡ anti-join of the union).
+
+    Small edge sets (≤ ``local_edge_limit``, the same 4M-edge /
+    ~64 MB-of-int64-pairs gate as :func:`connected_components`) are
+    peeled driver-locally instead (r14, guide §1.2/§5): the
+    distributed rounds cost 2·rounds + 1 eager checkpoint jobs of
+    almost pure scheduling latency when the graph is a bounded
+    aggregate (the nation trade graph is ≤ |nations|² edges), while
+    ONE ``limit(L+1).toArrow()`` probe both answers "is local safe?"
+    and delivers the edges (limit returns all rows when ≤ L).  NULL
+    endpoints or an over-limit count fall through to the distributed
+    rounds unchanged — scale behavior identical.  The two paths are
+    pinned value-equal by tests/test_sketches.py's differential.
     """
     if rounds < 1:
         raise ValueError(f"kcore_peel needs rounds >= 1, got {rounds}")
+    if local_edge_limit and local_edge_limit > 0:
+        tbl = e.select("u", "v").limit(local_edge_limit + 1).toArrow()
+        if (
+            tbl.num_rows <= local_edge_limit
+            and not tbl.column(0).null_count
+            and not tbl.column(1).null_count
+        ):
+            return _local_kcore(
+                tbl, e.sparkSession, k, rounds, e.schema["u"].dataType
+            )
 
     def degrees(ed: DataFrame) -> DataFrame:
         return (

@@ -51,6 +51,17 @@ def profile(
     """
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols = list(columns) if columns is not None else list(fields)
+
+    # SQL-text identifier/literal escaping (ADVICE r13): the parsed-text
+    # form must handle ANY column name, as the Column-API form it
+    # replaced did — backticks double inside quoted identifiers, quotes
+    # escape inside string literals.
+    def _ident(name: str) -> str:
+        return "`{}`".format(name.replace("`", "``"))
+
+    def _slit(s: str) -> str:
+        return "'{}'".format(s.replace("\\", "\\\\").replace("'", "\\'"))
+
     # every aggregate and the one-row stack built as parsed SQL text
     # (r13 wave 10, guide §7.3): the per-node Column form cost ~0.6 s
     # of py4j round-trips per construction at ~8 columns × 4 aggs;
@@ -59,40 +70,41 @@ def profile(
     aggs = ["count(1) AS __n"]
     for c in cols:
         dt = fields[c]
-        aggs.append(f"count(CASE WHEN `{c}` IS NULL THEN 1 END) AS `{c}__nulls`")
+        q = _ident(c)
+        aggs.append(f"count(CASE WHEN {q} IS NULL THEN 1 END) AS {_ident(c + '__nulls')}")
         if distinct == "exact":
-            aggs.append(f"count(DISTINCT `{c}`) AS `{c}__dist`")
+            aggs.append(f"count(DISTINCT {q}) AS {_ident(c + '__dist')}")
         else:
             aggs.append(
-                f"approx_count_distinct(`{c}`, {float(rsd)!r}D) AS `{c}__dist`"
+                f"approx_count_distinct({q}, {float(rsd)!r}D) AS {_ident(c + '__dist')}"
             )
         if isinstance(dt, _NUMERIC):
-            probe = f"`{c}`"
+            probe = q
         elif isinstance(dt, (T.StringType, T.BinaryType)):
-            probe = f"length(`{c}`)"
+            probe = f"length({q})"
         else:
             probe = None
         if probe is None:
             for stat in ("min", "max", "mean"):
-                aggs.append(f"CAST(NULL AS STRING) AS `{c}__{stat}`")
+                aggs.append(f"CAST(NULL AS STRING) AS {_ident(f'{c}__{stat}')}")
         else:
-            aggs.append(f"CAST(min({probe}) AS STRING) AS `{c}__min`")
-            aggs.append(f"CAST(max({probe}) AS STRING) AS `{c}__max`")
-            aggs.append(f"CAST(avg({probe}) AS STRING) AS `{c}__mean`")
+            aggs.append(f"CAST(min({probe}) AS STRING) AS {_ident(c + '__min')}")
+            aggs.append(f"CAST(max({probe}) AS STRING) AS {_ident(c + '__max')}")
+            aggs.append(f"CAST(avg({probe}) AS STRING) AS {_ident(c + '__mean')}")
     wide = df.agg(*[F.expr(a) for a in aggs])
 
     # pivot the single wide row to long form with a literal stack — the
     # reshape runs on ONE row, not on the data
     parts = ",".join(
         "named_struct("
-        f"'column', '{c}', "
-        f"'dtype', '{fields[c].simpleString()}', "
+        f"'column', {_slit(c)}, "
+        f"'dtype', {_slit(fields[c].simpleString())}, "
         "'n_rows', __n, "
-        f"'n_nulls', `{c}__nulls`, "
-        f"'approx_distinct', `{c}__dist`, "
-        f"'min', `{c}__min`, "
-        f"'max', `{c}__max`, "
-        f"'mean', `{c}__mean`)"
+        f"'n_nulls', {_ident(c + '__nulls')}, "
+        f"'approx_distinct', {_ident(c + '__dist')}, "
+        f"'min', {_ident(c + '__min')}, "
+        f"'max', {_ident(c + '__max')}, "
+        f"'mean', {_ident(c + '__mean')})"
         for c in cols
     )
     return wide.selectExpr(f"explode(array({parts})) AS s").select("s.*")

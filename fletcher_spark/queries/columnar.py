@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fletcher_spark.io import load_tables, spread
+from fletcher_spark.io import load_tables
 from fletcher_spark.operators import core as C
 from fletcher_spark.operators import encoding as E
 from fletcher_spark.queries.registry import query

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fletcher_spark.functions.timeutil import epoch_seconds
-from fletcher_spark.io import load_tables, spread
+from fletcher_spark.io import load_tables
 from fletcher_spark.queries.registry import query
 from fletcher_spark.streaming import windows as W
 

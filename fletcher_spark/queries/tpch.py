@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fletcher_spark.functions.timeutil import epoch_seconds
-from fletcher_spark.io import load_tables, spread
+from fletcher_spark.io import load_tables
 from fletcher_spark.queries.registry import query
 
 #: Exact fixed-point accumulation (r13): TPC-H defines these columns

@@ -12,6 +12,7 @@ timestamp semantics are deterministic across engines.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -47,25 +48,29 @@ RUNTIME_CONFS = {
 }
 
 
-#: applicationIds already conf'd — each conf.set is a py4j roundtrip
-#: (~5 ms for the block), and load_tables calls this on EVERY query
-#: invocation; once per session is enough (nothing in this library
-#: unsets them).
-_CONFS_APPLIED: set[str] = set()
+#: SparkSession objects already conf'd — each conf.set is a py4j
+#: roundtrip (~5 ms for the block), and load_tables calls this on EVERY
+#: query invocation; once per session is enough (nothing in this
+#: library unsets them).  Keyed on the SESSION object, not the
+#: applicationId (ADVICE r13): the confs are per-SparkSession, and a
+#: ``spark.newSession()`` over the same SparkContext keeps the
+#: applicationId — an app-id memo would silently skip it and
+#: timestamp[ns] reads would fail or shift timezone.  WeakSet so a
+#: stopped session's entry does not pin the JVM-side session alive.
+_CONFS_APPLIED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply deterministic/performance confs that are legal at runtime.
-    Idempotent and memoized per application — see ``_CONFS_APPLIED``."""
-    app_id = spark.sparkContext.applicationId
-    if app_id in _CONFS_APPLIED:
+    Idempotent and memoized per session object — see ``_CONFS_APPLIED``."""
+    if spark in _CONFS_APPLIED:
         return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # immutable in this deployment; keep going
-    _CONFS_APPLIED.add(app_id)
+    _CONFS_APPLIED.add(spark)
     return spark
 
 

@@ -57,3 +57,17 @@ def test_key_skew_report(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_profile_handles_hostile_column_names(spark):
+    # the parsed-SQL rewrite (r13 wave 10) must keep the Column-API
+    # form's generality: identifiers with backticks, literals with
+    # quotes (ADVICE r13)
+    d = spark.createDataFrame(
+        [(1, "x"), (2, None)], ["a`b", "it's"]
+    )
+    out = {r["column"]: r for r in profile(d).collect()}
+    assert set(out) == {"a`b", "it's"}
+    assert out["a`b"]["n_rows"] == 2 and out["a`b"]["n_nulls"] == 0
+    assert out["it's"]["n_nulls"] == 1
+    assert out["a`b"]["min"] == "1" and out["a`b"]["max"] == "2"

@@ -182,3 +182,41 @@ def test_kcore_peel_triangle_with_tail_converges(spark):
     assert got[4] == (1, 0)
     for n in (1, 2, 3):
         assert got[n] == (0, 2), got
+
+
+def test_kcore_local_vs_distributed_differential(spark):
+    """The r14 driver-local peel must be value-identical to the
+    distributed rounds on graphs exercising every branch: cascades,
+    exact cores, isolated-by-peeling nodes, multi-edges, self-loops at
+    both parities of k."""
+    import random
+
+    from fletcher_spark.operators.graph import kcore_peel
+
+    rng = random.Random(1414)
+    cases = [
+        [(i, i + 1) for i in range(9)],                 # path (cascade)
+        [(1, 2), (2, 3), (1, 3), (3, 4)],               # triangle + tail
+        [(1, 2), (1, 2), (2, 3)],                       # multi-edge
+        [(1, 1), (1, 2)],                               # self-loop
+    ]
+    for _ in range(3):  # random graphs
+        n = rng.randint(4, 12)
+        cases.append(
+            [
+                (rng.randint(0, n), rng.randint(0, n))
+                for _ in range(rng.randint(3, 25))
+            ]
+        )
+    for k in (2, 3):
+        for edges in cases:
+            e = spark.createDataFrame(edges, "u long, v long")
+            loc = {
+                r["node"]: (r["removed_round"], r["core_deg"])
+                for r in kcore_peel(e, k, 3).collect()
+            }
+            dist = {
+                r["node"]: (r["removed_round"], r["core_deg"])
+                for r in kcore_peel(e, k, 3, local_edge_limit=0).collect()
+            }
+            assert loc == dist, (k, edges)
