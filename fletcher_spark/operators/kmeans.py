@@ -75,15 +75,25 @@ def centroid_literal_sql(cent: Centroids) -> str:
     )
 
 
+def nearest_struct_over_sql(vec_sql: str, cents_sql: str) -> str:
+    """``array_min`` over (d2, cid) structs as SQL text, with the
+    centroid array supplied as ANY SQL expression — a literal
+    (:func:`nearest_struct_sql`) or a broadcast COLUMN carrying the
+    previous Lloyd round's result (the r14 chained-round form).  Struct
+    comparison orders by d2 then cid, so ties still break on the lowest
+    cid; the fold is node-for-node the same expression either way."""
+    return (
+        "array_min(transform({lit}, cc -> named_struct("
+        "'d2', {d2}, 'cid', cc.cid)))"
+    ).format(lit=cents_sql, d2=l2sq_sql(vec_sql, "cc.cv"))
+
+
 def nearest_struct_sql(vec_sql: str, cent: Centroids) -> str:
     """``array_min`` over (d2, cid) structs as SQL text — the
     :func:`assign_nearest` fold with the whole per-centroid transform
     parsed in ONE call.  Struct comparison orders by d2 then cid, so
     ties still break on the lowest cid."""
-    return (
-        "array_min(transform({lit}, cc -> named_struct("
-        "'d2', {d2}, 'cid', cc.cid)))"
-    ).format(lit=centroid_literal_sql(cent), d2=l2sq_sql(vec_sql, "cc.cv"))
+    return nearest_struct_over_sql(vec_sql, centroid_literal_sql(cent))
 
 
 def centroid_literal(cent: Centroids) -> Column:
@@ -130,6 +140,60 @@ def _repack_expr() -> Column:
     return F.expr("transform(array_sort(collect_list(struct(i, cv))), st -> st.cv)")
 
 
+def init_cents_frame(
+    v: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """The deterministic lowest-id init as a LAZY one-row frame
+    ``(cents: array<struct<cid,cv>>)``, cid-ascending — the r14 chained
+    form of the init collect.  ``array_sort`` on the structs orders by
+    the leading field ``cid`` (unique by construction), exactly the
+    cid-ascending order :func:`centroid_literal_sql` pins."""
+    w0 = Window.orderBy(id_col)  # k rows only — the LIMIT k result
+    return (
+        v.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.row_number().over(w0).cast("long").alias("cid"),
+            F.col(vec_col).alias("cv"),
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents"))
+    )
+
+
+def lloyd_round_frame(
+    v: DataFrame, vec_col: str, cents_df: DataFrame
+) -> DataFrame:
+    """ONE Lloyd round (assign → recompute) as a LAZY plan: the prior
+    round's one-row ``cents`` frame rides in as a broadcast, the argmin
+    fold runs over that COLUMN (same expression tree as the literal
+    form — :func:`nearest_struct_over_sql`), and the recomputed model
+    is re-aggregated to the next one-row ``cents`` frame.
+
+    This is the r14 eager-job cut (guide §1.2): chaining rounds through
+    broadcast frames keeps every round's centroid state INSIDE one
+    query plan, so ``iters`` rounds plus the consumer run as a single
+    driver action — the per-round ``collect`` → literal → re-analyze
+    round-trips (1 eager job + a py4j sync each, measured r13/r14) are
+    gone.  Numerically identical: the pinned path round-trips doubles
+    through ``float.__repr__`` EXACTLY, so column-carried and
+    literal-carried centroids are the same bits, and the only shuffle
+    per round is still the (cid, dim)-keyed average."""
+    best = F.expr(nearest_struct_over_sql(f"`{vec_col}`", "`cents`"))
+    assign = v.crossJoin(F.broadcast(cents_df)).select(
+        best["cid"].alias("cid"), F.col(vec_col).alias("__v")
+    )
+    cdim = (
+        assign.select("cid", F.posexplode("__v").alias("i", "val"))
+        .groupBy("cid", "i")
+        .agg(F.avg("val").alias("cv"))
+    )
+    return (
+        cdim.groupBy("cid")
+        .agg(_repack_expr().alias("cv"))
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents"))
+    )
+
+
 def lloyd_centroids(
     v: DataFrame, id_col: str, vec_col: str, k: int, iters: int
 ) -> Centroids:
@@ -139,32 +203,17 @@ def lloyd_centroids(
     Same rounds as :func:`lloyd`, exposed separately for consumers that
     need the codebook rather than an assignment — product quantization
     trains one of these per subspace (queries/similarity.py:ann_pq_adc)
-    and folds all of them back into a single map-only encode."""
-    w0 = Window.orderBy(id_col)  # k rows only — the LIMIT k result
-    init = (
-        v.orderBy(id_col)
-        .limit(k)
-        .select(
-            F.row_number().over(w0).cast("long").alias("cid"),
-            F.col(vec_col).alias("cv"),
-        )
-    )
+    and folds all of them back into a single map-only encode.
 
-    def _pin(c: DataFrame) -> Centroids:
-        # centroids → driver: k×dim model state, never corpus data;
-        # cuts the per-round DAG at the model
-        return [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in c.collect()]
-
-    cent = _pin(init)
+    r14: rounds are CHAINED through broadcast one-row frames
+    (:func:`lloyd_round_frame`), so the whole training is ONE driver
+    collect regardless of ``iters`` (was 1 init + 1 collect per round);
+    the collected model is k×dim metadata, never corpus data."""
+    cents_df = init_cents_frame(v, id_col, vec_col, k)
     for _ in range(iters):
-        assign = assign_nearest(v, cent, id_col, vec_col)
-        cdim = (
-            assign.select("cid", F.posexplode(vec_col).alias("i", "val"))
-            .groupBy("cid", "i")
-            .agg(F.avg("val").alias("cv"))
-        )
-        cent = _pin(cdim.groupBy("cid").agg(_repack_expr().alias("cv")))
-    return cent
+        cents_df = lloyd_round_frame(v, vec_col, cents_df)
+    row = cents_df.collect()[0]["cents"]
+    return [(int(c["cid"]), [float(x) for x in c["cv"]]) for c in row]
 
 
 def lloyd_centroids_multi(
@@ -189,7 +238,15 @@ def lloyd_centroids_multi(
     hence exact bits may differ) — and the SQL oracle that replays
     per-subspace training stays valid.  Requires all
     ``vec_cols`` to share one element type (they are slices of one
-    embedding in the PQ case)."""
+    embedding in the PQ case).
+
+    Deliberately NOT chained through broadcast frames the way
+    :func:`lloyd`/:func:`lloyd_centroids` are (r14): A/B'd at sf0.1
+    (iters=1, m=4), the chained form regressed ann_pq_adc 0.89 → 1.10 s
+    (6 → 7 jobs) — the init/re-pivot global aggregates plus the
+    broadcast exchange cost more than the two driver collects they
+    replace when there is only one round.  Revisit only if a consumer
+    ever trains with iters ≥ 3."""
     w0 = Window.orderBy(id_col)
     init_rows = (
         v.orderBy(id_col)
@@ -249,7 +306,23 @@ def lloyd(
     break on cid, and centroid averages are order-insensitive — which
     is what makes the trainer cross-engine value-checkable.  Empty
     clusters simply drop out (matching the SQL replay).
+
+    r14: the assignment consumer never needs the model on the driver,
+    so the whole chain — init, every round, final assign — is ONE lazy
+    plan (:func:`lloyd_round_frame`): ZERO construction-time jobs
+    (was 1 init + ``iters`` round collects), each round's centroids a
+    one-row broadcast.  The broadcast dependencies serialize the
+    stages, so a caller-persisted ``v`` materializes once in the init
+    stage and every later scan reads the cache — no concurrent-stage
+    cache race (the r13 hazard).
     """
-    return assign_nearest(
-        v, lloyd_centroids(v, id_col, vec_col, k, iters), id_col, vec_col
+    cents_df = init_cents_frame(v, id_col, vec_col, k)
+    for _ in range(iters):
+        cents_df = lloyd_round_frame(v, vec_col, cents_df)
+    best = F.expr(nearest_struct_over_sql(f"`{vec_col}`", "`cents`"))
+    return v.crossJoin(F.broadcast(cents_df)).select(
+        id_col,
+        vec_col,
+        best["cid"].alias("cid"),
+        best["d2"].alias("d2"),
     )

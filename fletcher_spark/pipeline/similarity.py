@@ -219,6 +219,22 @@ def _planes_3d_lit(
     return F.expr(_planes_3d_sql(planes, planes_per_table))
 
 
+@lru_cache(maxsize=128)
+def expr_cached(sql: str) -> Column:
+    """``F.expr`` memoized per process on the SQL text (r14) — the
+    general form of :func:`_planes_2d_lit`/:func:`_planes_3d_lit`.
+
+    Parsing a plane-matrix fold (4k double literals) costs ~0.1 s of
+    driver time PER QUERY CONSTRUCTION, and every bench/driver run
+    reconstructs its queries; the texts are deterministic functions of
+    module constants, and an unresolved parsed Column is immutable,
+    session-independent plan METADATA — reusing it never reuses data
+    or results.  Only worth routing through here for payload-heavy
+    texts (plane folds, codebooks); trivial expressions don't repay
+    the cache lookup."""
+    return F.expr(sql)
+
+
 def lsh_table_keys_sql(
     vec_sql: str, planes: list[list[int]], planes_per_table: int = 4
 ) -> str:

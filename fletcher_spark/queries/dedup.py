@@ -555,7 +555,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             "vec_id",
             F.col("embedding").alias("ev"),
-            F.expr(
+            SIM.expr_cached(
                 SIM.lsh_table_keys_sql("`embedding`", _emb_planes(), _EMB_PPT)
             ).alias("tkeys"),
         )
@@ -569,42 +569,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # planes × dim hyperplane projection (r13 measured four ~equal
     # full-cost jobs; same fix as dedup_substring_exact's docs.count())
     b.count()
-    ex = b.select("vec_id", F.explode("tkeys").alias("bk"), "__bits").select(
-        "vec_id",
-        F.col("bk.band").alias("band"),
-        F.expr("substr(bk.key, 1, __bits)").alias("key"),
+    # tail as parsed selectExpr batches (r14, guide §7.3 — same trees,
+    # fewer py4j round-trips / eager re-analyses per construction)
+    ex = b.selectExpr("vec_id", "explode(tkeys) AS bk", "__bits").selectExpr(
+        "vec_id", "bk.band AS band", "substr(bk.key, 1, __bits) AS key"
     )
     a = ex.alias("a")
     c = ex.alias("c")
     cand = (
         a.join(
             c,
-            (F.col("a.band") == F.col("c.band"))
-            & (F.col("a.key") == F.col("c.key"))
-            & (F.col("a.vec_id") < F.col("c.vec_id")),
+            F.expr("a.band = c.band AND a.key = c.key AND a.vec_id < c.vec_id"),
         )
-        .select(F.col("a.vec_id").alias("id1"), F.col("c.vec_id").alias("id2"))
+        .selectExpr("a.vec_id AS id1", "c.vec_id AS id2")
         .distinct()
     )
-    v1 = b.select(
-        F.col("vec_id").alias("id1"),
-        F.col("ev").alias("e1"),
-        F.expr(SIM.l2_norm_sql("`ev`")).alias("n1"),
+    v1 = b.selectExpr(
+        "vec_id AS id1", "ev AS e1", f"{SIM.l2_norm_sql('`ev`')} AS n1"
     )
-    v2 = b.select(
-        F.col("vec_id").alias("id2"),
-        F.col("ev").alias("e2"),
-        F.expr(SIM.l2_norm_sql("`ev`")).alias("n2"),
+    v2 = b.selectExpr(
+        "vec_id AS id2", "ev AS e2", f"{SIM.l2_norm_sql('`ev`')} AS n2"
     )
     return (
         cand.join(v1, "id1")
         .join(v2, "id2")
-        .withColumn(
-            "cos",
-            F.expr(SIM.dot_sql("`e1`", "`e2`")) / (F.col("n1") * F.col("n2")),
+        .selectExpr(
+            "id1",
+            "id2",
+            f"({SIM.dot_sql('`e1`', '`e2`')}) / (n1 * n2) AS cos",
         )
-        .filter(F.col("cos") >= 0.35)
-        .select("id1", "id2", F.round("cos", 6).alias("cos"))
+        .filter("cos >= 0.35")
+        .selectExpr("id1", "id2", "round(cos, 6) AS cos")
     )
 
 

@@ -194,7 +194,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             "vec_id",
             F.col("embedding").alias("ev"),
-            F.expr(
+            SIM.expr_cached(
                 SIM.lsh_table_keys_sql("`embedding`", _PLANES, _PLANES_PER_TABLE)
             ).alias("tkeys"),
         )
@@ -207,41 +207,49 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # racing an in-flight cache each recompute the L x k plane products
     # (r13; same fix as dedup_substring_exact's docs.count())
     b.count()
-    ex = b.select("vec_id", "ev", F.explode("tkeys").alias("bk"), "__bits").select(
-        "vec_id",
-        "ev",
-        F.col("bk.band").alias("band"),
-        F.expr("substr(bk.key, 1, __bits)").alias("key"),
+    # the tail as parsed selectExpr batches (r14, guide §7.3 driver-side
+    # work): the Column/HOF form cost ~600 py4j round-trips of the
+    # ~1.9 s sf0.1 wall — the l2_norm/dot lambdas alone ~0.25 s per
+    # construction; trees identical (the *_sql builders are the pinned
+    # twins from tests/test_vector_sql_twins.py)
+    ex = b.selectExpr("vec_id", "ev", "explode(tkeys) AS bk", "__bits").selectExpr(
+        "vec_id", "ev", "bk.band AS band", "substr(bk.key, 1, __bits) AS key"
     )
-    q = ex.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"), "band", "key"
+    q = ex.filter("vec_id % 50 = 0").selectExpr(
+        "vec_id AS query_id", "ev AS qv", "band", "key"
     )
     cand = (
         ex.join(q, ["band", "key"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .filter("vec_id != query_id")
+        .selectExpr("query_id", "vec_id AS neighbor_id")
         .distinct()
     )
-    vq = b.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("ev").alias("qv"),
-        SIM.l2_norm(F.col("ev")).alias("qn"),
+    vq = b.selectExpr(
+        "vec_id AS query_id",
+        "ev AS qv",
+        f"{SIM.l2_norm_sql('`ev`')} AS qn",
     )
-    vn = b.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("ev").alias("nv"),
-        SIM.l2_norm(F.col("ev")).alias("nn"),
+    vn = b.selectExpr(
+        "vec_id AS neighbor_id",
+        "ev AS nv",
+        f"{SIM.l2_norm_sql('`ev`')} AS nn",
     )
-    scored = (
+    return (
         cand.join(vq, "query_id")
         .join(vn, "neighbor_id")
-        .withColumn("cos", SIM.dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 3)
-        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"({SIM.dot_sql('`qv`', '`nv`')}) / (qn * nn) AS cos",
+        )
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            "round(cos, 6) AS cos",
+            "CAST(row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cos DESC, neighbor_id) AS LONG) AS rk",
+        )
+        .filter("rk <= 3")
     )
 
 
@@ -334,7 +342,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             ev.alias("ev"),
-            F.expr(
+            SIM.expr_cached(
                 SIM.lsh_bucket_sql(SIM.d_sql("`embedding`"), _IVF_SUB_PLANES)
             ).alias("__sig"),
         )
@@ -347,55 +355,85 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    v.count()  # materialize: 3 consumers race the cache otherwise (r13)
 
-    # centroids: explode to (label, pos, val); partial+final avg; re-pack
+    # centroids: explode to (label, pos, val); partial+final avg; re-pack.
+    # COLLECTED at construction (r14, guide §1.2): the centroid table is
+    # nlist×dim MODEL state (the same bounded-aggregate contract as the
+    # kmeans trainer and the cut-point stats), and this one collect job
+    # both materializes v's cache — replacing the r13 v.count(), whose
+    # only purpose was beating the consumer-stage cache race — and
+    # removes the centroid subtree + its broadcast exchange from the
+    # returned plan.  The remaining cache consumers (query scan, vn
+    # scan) start from a materialized cache, so the race is gone by
+    # construction.
     cdim = (
         v.select("label", F.posexplode("ev").alias("i", "val"))
         .groupBy("label", "i")
         .agg(F.avg("val").alias("cv"))
     )
-    cent = cdim.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "cv"))), lambda s: s["cv"]
-        ).alias("cv")
+    cent_rows = (
+        cdim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cv"))), lambda s: s["cv"]
+            ).alias("cv")
+        )
+        .collect()
+    )
+    # (label, cv) re-entered as ONE parsed literal — float.__repr__
+    # round-trips doubles exactly, bare ints match the int32 label
+    cent_lit = "array({})".format(
+        ",".join(
+            "named_struct('label', {}, 'cv', array({}))".format(
+                int(r["label"]), ",".join(f"{float(x)!r}D" for x in r["cv"])
+            )
+            for r in sorted(cent_rows, key=lambda r: r["label"])
+        )
     )
 
-    q = v.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"), "sub"
+    # probe pick + scoring tail as parsed selectExpr batches (r14,
+    # guide §7.3; same trees — windows ride the OVER clause)
+    q = v.filter("vec_id % 50 = 0").selectExpr(
+        "vec_id AS query_id", "ev AS qv", "sub"
     )
-    qc = q.crossJoin(F.broadcast(cent)).withColumn(
-        "ccos", F.expr(SIM.cosine_sql("`qv`", "`cv`"))
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("label"))
     probe = (
-        qc.withColumn("crk", F.row_number().over(wq))
-        .filter(F.col("crk") <= 2)
-        .select("query_id", "qv", "sub", "label")
+        q.selectExpr("query_id", "qv", "sub", f"explode({cent_lit}) AS c")
+        .selectExpr(
+            "query_id",
+            "qv",
+            "sub",
+            "c.label AS label",
+            "row_number() OVER (PARTITION BY query_id ORDER BY"
+            f" ({SIM.cosine_sql('`qv`', 'c.cv')}) DESC, c.label) AS crk",
+        )
+        .filter("crk <= 2")
+        .selectExpr("query_id", "qv", "sub", "label")
     )
 
-    vn = v.withColumn("nn", F.expr(SIM.l2_norm_sql("`ev`")))
+    vn = v.selectExpr(
+        "vec_id", "label", "ev", "sub", f"{SIM.l2_norm_sql('`ev`')} AS nn"
+    )
     # no broadcast hint: the probe side is fact-proportional (|Q| ∝ N);
     # AQE's size-based choice decides
-    probe_n = probe.withColumn("qn", F.expr(SIM.l2_norm_sql("`qv`")))
-    scored = (
-        vn.join(probe_n, ["label", "sub"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "cos",
-            F.expr(SIM.dot_sql("`qv`", "`ev`")) / (F.col("qn") * F.col("nn")),
-        )
+    probe_n = probe.selectExpr(
+        "query_id", "qv", "sub", "label", f"{SIM.l2_norm_sql('`qv`')} AS qn"
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 3)
-        .select(
+        vn.join(probe_n, ["label", "sub"])
+        .filter("vec_id != query_id")
+        .selectExpr(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round("cos", 6).alias("cos"),
-            "rk",
+            "vec_id",
+            f"({SIM.dot_sql('`qv`', '`ev`')}) / (qn * nn) AS cos",
         )
+        .selectExpr(
+            "query_id",
+            "vec_id AS neighbor_id",
+            "round(cos, 6) AS cos",
+            "CAST(row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cos DESC, vec_id) AS LONG) AS rk",
+        )
+        .filter("rk <= 3")
     )
 
 
@@ -617,7 +655,7 @@ def ann_ivf_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             ev_x.alias("ev"),
-            F.expr(
+            SIM.expr_cached(
                 SIM.lsh_bucket_sql(SIM.d_sql("`embedding`"), _IVF_SUB_PLANES)
             ).alias("__sig"),
         )
@@ -628,81 +666,144 @@ def ann_ivf_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ev",
             F.expr(f"substr(__sig, 1, {_ivf_bits_case('__n')})").alias("sub"),
         )
+    )
+    # v is NOT persisted (r14): its only remaining consumer is qn below
+    # — the centroid aggregate now reads qn too, so caching the
+    # intermediate would just duplicate qn's cache.
+
+    # per-vector int8 quantization + integer norm (one map-only pass);
+    # the whole block as parsed SQL (r14, guide §7.3): the
+    # transform/zip_with/aggregate lambda cascade cost ~700 py4j
+    # round-trips per construction — trees identical (0L is the same
+    # long-typed zero as F.lit(0).cast("long"), bare 127.0 the same
+    # double literal)
+    def _int_dot_sql(a_sql: str, b_sql: str) -> str:
+        return (
+            "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x * y AS LONG)), "
+            "0L, (acc, z) -> acc + z)"
+        ).format(a=a_sql, b=b_sql)
+
+    qn = (
+        # maxabs STAGED in its own projection: Catalyst does not CSE
+        # inside HOF lambdas, so inlining it into the transform would
+        # recompute the array_max per ELEMENT (the r13 45 s trap)
+        v.selectExpr(
+            "vec_id",
+            "label",
+            "ev",
+            "sub",
+            "array_max(transform(ev, y -> abs(y))) AS maxabs",
+        )
+        .selectExpr(
+            "vec_id",
+            "label",
+            "ev",
+            "sub",
+            "transform(ev, x -> CAST(round(127.0 * x / maxabs) AS INT)) AS qv8",
+        )
+        .selectExpr(
+            "vec_id",
+            "label",
+            "ev",
+            "sub",
+            "qv8",
+            f"sqrt(CAST({_int_dot_sql('qv8', 'qv8')} AS DOUBLE)) AS q_norm",
+        )
         .persist()
     )
-
+    # centroids from the SAME cached frame (qn carries ev), collected
+    # at construction (r14, guide §1.2): one job both materializes qn's
+    # cache — replacing the r13 qn.count(), whose only purpose was
+    # beating the consumer-stage cache race — and removes the centroid
+    # subtree + broadcast from the returned plan.  nlist×dim MODEL
+    # state, the same bounded-aggregate contract as ann_ivf_probe.
     cdim = (
-        v.select("label", F.posexplode("ev").alias("i", "val"))
+        qn.select("label", F.posexplode("ev").alias("i", "val"))
         .groupBy("label", "i")
         .agg(F.avg("val").alias("cv"))
     )
-    cent = cdim.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "cv"))), lambda s: s["cv"]
-        ).alias("cv")
+    cent_rows = (
+        cdim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cv"))), lambda s: s["cv"]
+            ).alias("cv")
+        )
+        .collect()
+    )
+    cent_lit = "array({})".format(
+        ",".join(
+            "named_struct('label', {}, 'cv', array({}))".format(
+                int(r["label"]), ",".join(f"{float(x)!r}D" for x in r["cv"])
+            )
+            for r in sorted(cent_rows, key=lambda r: r["label"])
+        )
     )
 
-    # per-vector int8 quantization + integer norm (one map-only pass)
-    maxabs = F.array_max(F.transform("ev", F.abs))
-    qv8 = F.transform(
-        "ev", lambda x: F.round(F.lit(127.0) * x / F.col("maxabs")).cast("int")
-    )
-    int_dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, z: acc + z,
-    )
-    qn = (
-        v.withColumn("maxabs", maxabs)
-        .withColumn("qv8", qv8)
-        .withColumn("q_norm", F.sqrt(int_dot(F.col("qv8"), F.col("qv8")).cast("double")))
-        .select("vec_id", "label", "ev", "sub", "qv8", "q_norm")
-        .persist()
-    )
-    # materialize qn (and v's cache in passing — qn scans it) before
-    # the main action: the probe build and s1's qn-side map stage are
-    # independent AQE stages and race the cache otherwise (r13)
-    qn.count()
-
-    q = qn.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("ev").alias("qv"),
+    # probe + two-stage scoring tail as parsed selectExpr batches (r14,
+    # guide §7.3; windows ride the OVER clause — same trees)
+    q = qn.filter("vec_id % 50 = 0").selectExpr(
+        "vec_id AS query_id",
+        "ev AS qv",
         "sub",
-        F.col("qv8").alias("qq8"),
-        F.col("q_norm").alias("q_qn"),
+        "qv8 AS qq8",
+        "q_norm AS q_qn",
     )
-    qc = q.crossJoin(F.broadcast(cent)).withColumn(
-        "ccos", F.expr(SIM.cosine_sql("`qv`", "`cv`"))
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("label"))
     probe = (
-        qc.withColumn("crk", F.row_number().over(wq))
-        .filter(F.col("crk") <= 2)
-        .select("query_id", "qv", "sub", "qq8", "q_qn", "label")
+        q.selectExpr(
+            "query_id", "qv", "sub", "qq8", "q_qn", f"explode({cent_lit}) AS c"
+        )
+        .selectExpr(
+            "query_id",
+            "qv",
+            "sub",
+            "qq8",
+            "q_qn",
+            "c.label AS label",
+            "row_number() OVER (PARTITION BY query_id ORDER BY"
+            f" ({SIM.cosine_sql('`qv`', 'c.cv')}) DESC, c.label) AS crk",
+        )
+        .filter("crk <= 2")
+        .selectExpr("query_id", "qv", "sub", "qq8", "q_qn", "label")
     )
 
     # no broadcast hint: the probe side is fact-proportional (|Q| ∝ N)
-    s1 = (
-        qn.join(probe, ["label", "sub"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "acos",
-            int_dot(F.col("qq8"), F.col("qv8")).cast("double")
-            / (F.col("q_qn") * F.col("q_norm")),
-        )
-    )
-    w1 = Window.partitionBy("query_id").orderBy(F.col("acos").desc(), F.col("vec_id"))
     cand = (
-        s1.withColumn("ark", F.row_number().over(w1))
-        .filter(F.col("ark") <= 10)
-        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "ev")
+        qn.join(probe, ["label", "sub"])
+        .filter("vec_id != query_id")
+        .selectExpr(
+            "query_id",
+            "qv",
+            "vec_id",
+            "ev",
+            f"CAST({_int_dot_sql('qq8', 'qv8')} AS DOUBLE)"
+            " / (q_qn * q_norm) AS acos",
+        )
+        .selectExpr(
+            "query_id",
+            "qv",
+            "vec_id AS neighbor_id",
+            "ev",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY acos DESC, vec_id) AS ark",
+        )
+        .filter("ark <= 10")
+        .selectExpr("query_id", "qv", "neighbor_id", "ev")
     )
-    s2 = cand.withColumn("cos", F.expr(SIM.cosine_sql("`qv`", "`ev`")))
-    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        s2.withColumn("rk", F.row_number().over(w2).cast("long"))
-        .filter(F.col("rk") <= 3)
-        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
+        cand.selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"{SIM.cosine_sql('`qv`', '`ev`')} AS cos",
+        )
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            "round(cos, 6) AS cos",
+            "CAST(row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cos DESC, neighbor_id) AS LONG) AS rk",
+        )
+        .filter("rk <= 3")
     )
 
 
@@ -771,7 +872,7 @@ def knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             "embedding",
-            F.expr(
+            SIM.expr_cached(
                 SIM.lsh_bucket_sql(SIM.d_sql("`embedding`"), _IVF_SUB_PLANES)
             ).alias("__sig"),
         )

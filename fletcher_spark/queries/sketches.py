@@ -634,59 +634,71 @@ def sketch_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the sketch is one fixed-memory mergeable aggregate; the
     rank check is one more hash aggregate over the same scan."""
+    from pyspark.sql import Observation
+
     li = load_tables(spark, sf_dir)["lineitem"].filter(
         F.col("l_extendedprice").isNotNull()
     )
     probs = [0.25, 0.5, 0.75]
     eps = 1.0 / 100
-    # two scans of lineitem TOTAL: the sketch aggregate, and the value
-    # histogram — rank checks AND exact cuts both derive from the
-    # persisted histogram, never a third pass over the fact table.
-    # Cache lifetime: the exact-cuts branch consumes it eagerly at
-    # construction (exact_cut_points materializes) and the rank-check
-    # branch at execution; after that the entry is dead weight and ages
-    # out under the documented MEMORY_AND_DISK LRU contract (a query
-    # can't unpersist what its returned plan still references)
+    # ONE scan of lineitem TOTAL (r14, guide §1.4/§2.4 — was two): the
+    # sketch aggregate rides the histogram's materialization pass as an
+    # ``observe`` metric (the histogram's shuffle forces every scan
+    # task, so the CollectMetrics aggregate is complete), and the rank
+    # checks AND exact cuts both derive from the persisted histogram.
+    # exact_cut_points(materialize=True) below consumes the histogram
+    # eagerly at construction, which is the action that fills ``obs``.
+    # Cache lifetime: after the rank-check branch executes, the entry
+    # ages out under the documented MEMORY_AND_DISK LRU contract (a
+    # query can't unpersist what its returned plan still references).
+    obs = Observation()
     hist = (
-        li.groupBy(F.col("l_extendedprice").cast("double").alias("v"))
+        li.observe(
+            obs,
+            F.percentile_approx("l_extendedprice", probs, 100).alias("est"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .groupBy(F.col("l_extendedprice").cast("double").alias("v"))
         .agg(F.count(F.lit(1)).alias("c"))
         .persist()
     )
-    sk = li.agg(
-        F.percentile_approx("l_extendedprice", probs, 100).alias("est"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    x = hist.crossJoin(F.broadcast(sk))
-    aggs = []
-    for i in range(len(probs)):
-        est = F.col("est")[i]
-        aggs += [
-            F.sum(F.when(F.col("v") < est, F.col("c")).otherwise(F.lit(0))).alias(f"lo{i}"),
-            F.sum(F.when(F.col("v") <= est, F.col("c")).otherwise(F.lit(0))).alias(f"hi{i}"),
-        ]
-    chk = x.agg(*aggs, F.max("n").alias("n"))
-    checks = chk.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.round(F.lit(p), 2).alias("p"),
-                        (
-                            (F.col(f"lo{i}") + 1 <= (p + eps) * F.col("n") + 2)
-                            & (F.col(f"hi{i}") >= (p - eps) * F.col("n") - 2)
-                        ).alias("within_bound"),
-                    )
-                    for i, p in enumerate(probs)
-                ]
-            )
-        ).alias("z")
-    ).select("z.p", "z.within_bound")
 
     # exact disc quantiles (min v with cum >= ceil(p*n)) from the SAME
     # histogram — the cross-engine value anchor
     from fletcher_spark.operators.agg import exact_cut_points
 
     quarts = exact_cut_points(None, "", 4, prehist=hist)  # cuts = [p25, p50, p75]
+
+    # the eager cuts materialization above filled ``obs``; the sketch
+    # estimate and row count re-enter the rank checks as plan literals
+    # (same doubles — repr round-trips exactly; same exact long n)
+    vals = obs.get
+    est = [float(x) for x in vals["est"]]
+    n_rows = int(vals["n"])
+    # rank-check aggregates + the bound stack as parsed SQL (r14, guide
+    # §7.3): the per-prob when/struct Column loops cost ~2,200 py4j
+    # round-trips per construction; trees identical (CASE WHEN …
+    # ELSE 0L is the F.when(...).otherwise(lit(0)) node, the p±eps
+    # factors are the SAME Python-computed doubles rendered via repr)
+    chk = hist.agg(
+        *[
+            F.expr(
+                f"sum(CASE WHEN v {op} {est[i]!r}D THEN c ELSE 0L END)"
+            ).alias(f"{nm}{i}")
+            for i in range(len(probs))
+            for nm, op in (("lo", "<"), ("hi", "<="))
+        ]
+    )
+    bound_stack = ",".join(
+        "named_struct('p', round({p!r}D, 2), 'within_bound', "
+        "(lo{i} + 1 <= {pe!r}D * {n}L + 2) AND (hi{i} >= {me!r}D * {n}L - 2))".format(
+            p=float(p), i=i, pe=float(p + eps), me=float(p - eps), n=n_rows
+        )
+        for i, p in enumerate(probs)
+    )
+    checks = chk.selectExpr(f"explode(array({bound_stack})) AS z").select(
+        "z.p", "z.within_bound"
+    )
     ex = quarts.select(
         F.explode(
             F.arrays_zip(
