@@ -169,9 +169,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles feed both the signature and the verify join; the diamond
     # would otherwise recompute the shingling sub-DAG per consumer
     sh = D.shingle_frame(d, "text", 3).persist()
-    # materialize: the verify join's shingle-side map stages are
-    # independent of the signature chain and race the cache (r13)
-    sh.count()
+    # no sh.count() (r14): candidate_pairs(materialize=True) below
+    # counts the exploded key frame, whose plan is a LINEAR chain over
+    # this cache — that one construction-time action fills sh's cache
+    # before any exec-time consumer (the verify join's shingle-side map
+    # stages) can race it, so the r13 count was a duplicate shingle
+    # pass
     sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
     banded = sig.crossJoin(F.broadcast(n)).select(
         "doc_id", F.expr(D.lsh_band_keys_adaptive_sql("sig", "__n")).alias("band_keys")
@@ -624,7 +627,9 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(base)
     n = base.agg(F.count(F.lit(1)).alias("__n"))  # unspread: see dedup_minhash_lsh
     sh = D.shingle_frame(d, "text", 3).persist()
-    sh.count()  # materialize: 3 consumers race the cache otherwise (r13)
+    # no sh.count() (r14): candidate_pairs(materialize=True) below
+    # fills this cache in its own construction action — see
+    # dedup_minhash_lsh
     sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
     # same adaptive Broder banding as dedup_minhash_lsh (they share the
     # oracle CTE, so the edge set stays value-checked on both branches)
@@ -774,7 +779,9 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = spread(load_tables(spark, sf_dir)["documents"])
     sh = D.shingle_frame(d, "text", 3).persist()
-    sh.count()  # materialize: multiple consumers race the cache (r13)
+    # no sh.count() (r14): the banded.count() below materializes this
+    # cache through its linear signature chain in one construction
+    # action — see dedup_minhash_lsh
     is_batch = F.col("doc_id") % 10 == 0
 
     # canonical-form fingerprint (same md5-of-sorted-shingles the
@@ -977,6 +984,14 @@ def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ran twice per run (r13 wave 8; same pattern as candidate_pairs
     # materialize=True)
     b.count()
+    # A/B'd and NOT kept (r14, VERDICT r13 #6): an explicit
+    # repartition("blk") of the join sides — the widen_by_key idea for
+    # the AQE-coalesced banded-DP stage — regressed ~4x at BOTH scales
+    # (sf0.1 isolated min-of-3: 1.04 -> 4.78 s; .tmp/sf1: 3.09 ->
+    # 12.7 s; jobs 4 -> 6): the exchange re-shuffles the cached frame
+    # on both sides and the widened stage buys nothing because the DP
+    # compare is not the bottleneck.  AQE's byte-based coalescing
+    # stands.
     a, c = b.alias("a"), b.alias("c")
     return (
         a.join(c, (F.col("a.blk") == F.col("c.blk")) & (F.col("a.doc_id") < F.col("c.doc_id")))

@@ -298,9 +298,10 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
 
     sh = D.shingle_frame(exact_kept, "text", 3).persist()
-    # materialize sh (and exact_kept's cache in passing — sh scans it):
-    # the verify sides and the final anti-join race the caches (r13)
-    sh.count()
+    # no sh.count() (r14): candidate_pairs(materialize=True) below
+    # fills BOTH caches (its exploded-key plan is a linear chain over
+    # sh over exact_kept) in one construction action — see
+    # dedup_minhash_lsh
     sig = D.minhash_signature_df(sh, "doc_id", "shingles", 12)
     # adaptive Broder banding keyed on the SURVIVOR count (the banded
     # set), read off the persisted exact_kept — a one-row broadcast

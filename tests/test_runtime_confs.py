@@ -32,3 +32,16 @@ def test_memo_is_idempotent_per_session(spark):
     # flip one conf behind the memo's back: a second call must be a no-op
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # keep value sane
     assert apply_runtime_confs(spark) is spark
+
+
+def test_dataframe_debugging_capture_disabled(spark):
+    # r14: apply_runtime_confs flips the process-global gate that
+    # PySpark's per-op call-site capture consults (the static conf's
+    # cache) — the capture costs ~5 ms + 2 py4j round-trips per
+    # DataFrame operation and only enriches error messages
+    import pyspark.errors.utils as eu
+
+    from fletcher_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    assert eu.is_debugging_enabled() is False
