@@ -634,33 +634,34 @@ def sketch_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the sketch is one fixed-memory mergeable aggregate; the
     rank check is one more hash aggregate over the same scan."""
-    from pyspark.sql import Observation
-
     li = load_tables(spark, sf_dir)["lineitem"].filter(
         F.col("l_extendedprice").isNotNull()
     )
     probs = [0.25, 0.5, 0.75]
     eps = 1.0 / 100
-    # ONE scan of lineitem TOTAL (r14, guide §1.4/§2.4 — was two): the
-    # sketch aggregate rides the histogram's materialization pass as an
-    # ``observe`` metric (the histogram's shuffle forces every scan
-    # task, so the CollectMetrics aggregate is complete), and the rank
-    # checks AND exact cuts both derive from the persisted histogram.
-    # exact_cut_points(materialize=True) below consumes the histogram
-    # eagerly at construction, which is the action that fills ``obs``.
-    # Cache lifetime: after the rank-check branch executes, the entry
-    # ages out under the documented MEMORY_AND_DISK LRU contract (a
-    # query can't unpersist what its returned plan still references).
-    obs = Observation()
+    # two scans of lineitem TOTAL: the sketch aggregate, and the value
+    # histogram — rank checks AND exact cuts both derive from the
+    # persisted histogram, never a third pass over the fact table.
+    # An observe()-based fusion of the sketch into the histogram scan
+    # (ONE pass) was tried and REVERTED (r14): the CollectMetrics node
+    # carries a per-construction observation name, which makes the
+    # histogram's analyzed plan UNIQUE per run — breaking analyzed-
+    # plan-equality cache reuse both across bench runs and with
+    # histogram_equidepth_cuts' identical histogram (in-sweep: this
+    # query 1.60 → 2.29 s AND equidepth 1.26 → 1.55 s), costing far
+    # more than the saved scan.  Cache lifetime: the exact-cuts branch
+    # consumes the histogram eagerly at construction and the rank-check
+    # branch at execution; after that the entry ages out under the
+    # documented MEMORY_AND_DISK LRU contract (a query can't unpersist
+    # what its returned plan still references).
     hist = (
-        li.observe(
-            obs,
-            F.percentile_approx("l_extendedprice", probs, 100).alias("est"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .groupBy(F.col("l_extendedprice").cast("double").alias("v"))
+        li.groupBy(F.col("l_extendedprice").cast("double").alias("v"))
         .agg(F.count(F.lit(1)).alias("c"))
         .persist()
+    )
+    sk = li.agg(
+        F.percentile_approx("l_extendedprice", probs, 100).alias("est"),
+        F.count(F.lit(1)).alias("n"),
     )
 
     # exact disc quantiles (min v with cum >= ceil(p*n)) from the SAME
@@ -669,30 +670,26 @@ def sketch_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     quarts = exact_cut_points(None, "", 4, prehist=hist)  # cuts = [p25, p50, p75]
 
-    # the eager cuts materialization above filled ``obs``; the sketch
-    # estimate and row count re-enter the rank checks as plan literals
-    # (same doubles — repr round-trips exactly; same exact long n)
-    vals = obs.get
-    est = [float(x) for x in vals["est"]]
-    n_rows = int(vals["n"])
     # rank-check aggregates + the bound stack as parsed SQL (r14, guide
     # §7.3): the per-prob when/struct Column loops cost ~2,200 py4j
     # round-trips per construction; trees identical (CASE WHEN …
     # ELSE 0L is the F.when(...).otherwise(lit(0)) node, the p±eps
     # factors are the SAME Python-computed doubles rendered via repr)
-    chk = hist.agg(
+    x = hist.crossJoin(F.broadcast(sk))
+    chk = x.agg(
         *[
-            F.expr(
-                f"sum(CASE WHEN v {op} {est[i]!r}D THEN c ELSE 0L END)"
-            ).alias(f"{nm}{i}")
+            F.expr(f"sum(CASE WHEN v {op} est[{i}] THEN c ELSE 0L END)").alias(
+                f"{nm}{i}"
+            )
             for i in range(len(probs))
             for nm, op in (("lo", "<"), ("hi", "<="))
-        ]
+        ],
+        F.max("n").alias("n"),
     )
     bound_stack = ",".join(
         "named_struct('p', round({p!r}D, 2), 'within_bound', "
-        "(lo{i} + 1 <= {pe!r}D * {n}L + 2) AND (hi{i} >= {me!r}D * {n}L - 2))".format(
-            p=float(p), i=i, pe=float(p + eps), me=float(p - eps), n=n_rows
+        "(lo{i} + 1 <= {pe!r}D * n + 2) AND (hi{i} >= {me!r}D * n - 2))".format(
+            p=float(p), i=i, pe=float(p + eps), me=float(p - eps)
         )
         for i, p in enumerate(probs)
     )
