@@ -92,12 +92,12 @@ CHANGED_ROUND: dict[str, int] = {
     # expression (was a py4j call per element); graph.kcore_peel no
     # longer checkpoints `survivors` (derived from n0 minus the peeled
     # sets instead)
-    "ann_kmeans_train": 13,
+    "ann_kmeans_train": 14,
     "ann_pq_adc": 13,
     "ann_ivf_probe": 13,
     "ann_ivf_int8_rescore": 13,
-    "knn_graph_blocked": 13,
-    "graph_kcore_peel": 13,
+    "knn_graph_blocked": 14,
+    "graph_kcore_peel": 14,
     # r13: _bm25_scores (shared helper, invisible to the hash guard)
     # rewritten single-scan — tf per term as in-row array ops, df/n/
     # avgdl one broadcast 1-row aggregate; same integers, same scores
@@ -109,9 +109,9 @@ CHANGED_ROUND: dict[str, int] = {
     # literals, then the gated single-job LOCAL histogram path
     # (numpy-vectorized, LOCAL_HIST_LIMIT-gated, exact same rank
     # arithmetic — differential-pinned in tests/test_cuts_driver_stage)
-    "histogram_equidepth_cuts": 13,
-    "events_rfm_segments_cuts": 13,
-    "winsorize_by_source_cuts": 13,
+    "histogram_equidepth_cuts": 14,
+    "events_rfm_segments_cuts": 14,
+    "winsorize_by_source_cuts": 14,
     "sketch_quantile_bound": 13,
     # r13 wave 10: chatty expression builders rendered as parsed SQL
     # text in OPERATOR modules (invisible to the hash guard) — values
@@ -121,7 +121,24 @@ CHANGED_ROUND: dict[str, int] = {
     # profile() agg+stack text
     "dedup_simhash_pairs": 13,
     "dedup_simhash128_pairs": 13,
-    "profile_documents": 13,
+    "profile_documents": 14,
+    # r14 optimization round 2, operator-module rewrites invisible to
+    # the source-hash guard — output values identical in every case
+    # (oracle-verified at sf0.01/sf0.1 and sf1-ladder hash-matched),
+    # plan/construction shape changed:
+    # - graph.kcore_peel gained the gated driver-local numpy peel
+    #   (tests/test_sketches.py local-vs-distributed differential) and
+    #   kmeans.lloyd chains rounds through broadcast frames — their
+    #   r13 entries above are bumped to 14 in place
+    # - graph.connected_components releases the symmetrized edge cache
+    #   after convergence (unpersist only — recompute hint, not values)
+    "dedup_cc_clusters": 14,
+    # - profile() SQL-text identifier/literal escaping (hostile
+    #   names) — r13 entry above bumped to 14 in place
+    # - agg._cuts_local clamps the 2^53 rank-threshold corner to the
+    #   distributed fall-through; pipeline/similarity.expr_cached parse
+    #   memo on the plane folds — the cuts-family and knn entries above
+    #   are bumped to 14 in place
 }
 
 

@@ -6,7 +6,7 @@ is double-cast left-folds, bit-identical across engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fletcher_spark.io import load_tables, spread
